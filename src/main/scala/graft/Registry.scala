@@ -1,0 +1,17 @@
+package graft
+
+/** Single assembly point for the SURVEY §2 inventory. Order follows the
+  * survey sections; keys are stable contract strings — never rename. */
+object Registry {
+  val all: Seq[(String, Q)] =
+    sources.Scans.qs ++
+    operators.Filters.qs ++
+    operators.Joins.qs ++
+    operators.Aggs.qs ++
+    operators.Windows.qs ++
+    operators.SetOps.qs
+
+  lazy val byName: Map[String, Q] = all.toMap
+
+  require(all.map(_._1).distinct.size == all.size, "duplicate query keys")
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{H, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2d — aggregations. All double sums/avgs go through H.dsum/H.davg
+  * (exact decimal) so results are independent of partial-aggregation order
+  * — mandatory for the hash-compare gate and for determinism under AQE. */
+object Aggs {
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // TPC-H Q1 shape — partial+final HashAggregate, map-side combine free.
+    "q_agg_group" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          H.dsum(col("l_quantity")).as("sum_qty"),
+          H.dsum(col("l_extendedprice")).as("sum_base"),
+          H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc"),
+          H.davg(col("l_quantity")).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                      ${H.oSum("l_quantity")} AS sum_qty,
+                      ${H.oSum("l_extendedprice")} AS sum_base,
+                      ${H.oSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc,
+                      ${H.oAvg("l_quantity")} AS avg_qty,
+                      MIN(l_quantity) AS min_qty,
+                      MAX(l_extendedprice) AS max_price,
+                      COUNT(*) AS n_rows
+               FROM lineitem
+               GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")),
+
+    // Exact distinct per group → Expand + two-phase agg in Spark.
+    "q_agg_distinct" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs,
+                     COUNT(*) AS n_orders
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // HLL++ sketch — the 100 TB path for cardinality. Algorithm-dependent
+    // value → no SQL oracle; ScalaTest asserts |approx-exact|/exact ≤ 3·rsd.
+    "q_agg_approx_distinct" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy(col("l_returnflag")),
+      None),
+
+    "q_agg_rollup" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_custs"), H.dsum(col("c_acctbal")).as("sum_bal"))
+          .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+                  coalesce(col("n_name"), lit("(all)")).as("nation"),
+                  col("n_custs"), col("sum_bal"))
+          .orderBy(col("region"), col("nation"))
+      },
+      Some(s"""SELECT COALESCE(r_name, '(all)') AS region,
+                      COALESCE(n_name, '(all)') AS nation,
+                      COUNT(*) AS n_custs, ${H.oSum("c_acctbal")} AS sum_bal
+               FROM customer
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+               GROUP BY ROLLUP(r_name, n_name)
+               ORDER BY region, nation""")),
+
+    "q_agg_cube" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .cube(col("n_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_custs"))
+          .select(coalesce(col("n_name"), lit("(all)")).as("nation"),
+                  coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+                  col("n_custs"))
+          .orderBy(col("nation"), col("segment"))
+      },
+      Some("""SELECT COALESCE(n_name, '(all)') AS nation,
+                     COALESCE(c_mktsegment, '(all)') AS segment,
+                     COUNT(*) AS n_custs
+              FROM customer JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY CUBE(n_name, c_mktsegment)
+              ORDER BY nation, segment""")),
+
+    "q_agg_groupingsets" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_orders_gs")
+        s.sql("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+                        COALESCE(o_orderpriority, '(all)') AS priority,
+                        COUNT(*) AS n,
+                        SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS total
+                 FROM graft_orders_gs
+                 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                         (o_orderstatus), ())
+                 ORDER BY status, priority""")
+      },
+      Some(s"""SELECT COALESCE(o_orderstatus, '(all)') AS status,
+                      COALESCE(o_orderpriority, '(all)') AS priority,
+                      COUNT(*) AS n, ${H.oSum("o_totalprice")} AS total
+               FROM orders
+               GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                       (o_orderstatus), ())
+               ORDER BY status, priority""")),
+
+    // Manifest building: gather group members into a deterministic array.
+    "q_agg_collect" -> Q(
+      (s, dir) => Tables.customer(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(array_sort(collect_set(col("c_nationkey"))).as("nations"),
+             count(lit(1)).as("n_custs"))
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, array_agg(k ORDER BY k) AS nations, n_custs
+              FROM (SELECT c_mktsegment, c_nationkey AS k
+                    FROM customer GROUP BY 1, 2),
+                   (SELECT c_mktsegment AS seg2, COUNT(*) AS n_custs
+                    FROM customer GROUP BY 1) cnt
+              WHERE c_mktsegment = seg2
+              GROUP BY c_mktsegment, n_custs
+              ORDER BY c_mktsegment""")),
+
+    // Wide validation matrix: day × event_type counts.
+    "q_agg_pivot" -> Q(
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val piv = Tables.events(s, dir)
+          .groupBy(date_trunc("day", col("ts")).as("day"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        piv.select(col("day") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+          .orderBy(col("day"))
+      },
+      Some("""SELECT date_trunc('day', ts) AS day,
+                     COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                     COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                     COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                     COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                     COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+              FROM events
+              GROUP BY day
+              ORDER BY day"""))
+  )
+}

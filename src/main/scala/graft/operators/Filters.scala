@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{H, Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2b — projections / filters / predicates. Reference capability:
+  * spreadsheet column mapping, row validation, malformed-row handling
+  * (imperative pandas in the reference; declarative Catalyst here so
+  * pushdown/pruning come free at scale). */
+object Filters {
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    "q_project_rename_cast" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey").as("order_id"),
+          col("l_linenumber").cast(LongType).as("line_no"),
+          col("l_quantity").cast(IntegerType).as("qty_int"),
+          col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"),
+          upper(col("l_returnflag")).as("flag"))
+        .orderBy(col("order_id"), col("line_no")),
+      Some("""SELECT l_orderkey AS order_id,
+                     CAST(l_linenumber AS BIGINT) AS line_no,
+                     CAST(l_quantity AS INT) AS qty_int,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+                     UPPER(l_returnflag) AS flag
+              FROM lineitem
+              ORDER BY order_id, line_no""")),
+
+    "q_filter_pred" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .filter(
+          col("o_orderstatus").isin("F", "O") &&
+          col("o_totalprice").between(1000.0, 200000.0) &&
+          (col("o_orderpriority").like("1%") || col("o_orderpriority").like("2%")) &&
+          !col("o_orderpriority").like("%LOW%") &&
+          col("o_orderdate").isNotNull)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+                col("o_orderpriority"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+              FROM orders
+              WHERE o_orderstatus IN ('F','O')
+                AND o_totalprice BETWEEN 1000.0 AND 200000.0
+                AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+                AND NOT (o_orderpriority LIKE '%LOW%')
+                AND o_orderdate IS NOT NULL
+              ORDER BY o_orderkey""")),
+
+    // Fixtures carry no nulls, so nulls are manufactured deterministically
+    // with NULLIF, then cleaned: drop null keys, default-fill optionals.
+    "q_null_clean" -> Q(
+      (s, dir) => Tables.customer(s, dir)
+        .withColumn("seg", when(col("c_mktsegment") === "BUILDING", lit(null: String))
+          .otherwise(col("c_mktsegment")))
+        .withColumn("bal", when(col("c_acctbal") < 0, lit(null: java.lang.Double))
+          .otherwise(col("c_acctbal")))
+        .na.fill(Map("seg" -> "UNKNOWN"))
+        .withColumn("bal", coalesce(col("bal"), lit(0.0)))
+        .filter(col("c_custkey").isNotNull)
+        .select(col("c_custkey"), col("seg"), col("bal"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+                     COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'UNKNOWN') AS seg,
+                     COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal
+              FROM customer
+              WHERE c_custkey IS NOT NULL
+              ORDER BY c_custkey""")),
+
+    "q_conditional" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 150000.0, "large")
+            .when(col("o_totalprice") > 50000.0, "medium")
+            .when(col("o_orderstatus") === "F", "small_done")
+            .otherwise("small_open").as("bucket"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+                     CASE WHEN o_totalprice > 150000.0 THEN 'large'
+                          WHEN o_totalprice > 50000.0 THEN 'medium'
+                          WHEN o_orderstatus = 'F' THEN 'small_done'
+                          ELSE 'small_open' END AS bucket
+              FROM orders
+              ORDER BY o_orderkey"""))
+  )
+}

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{H, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2c — joins. Reference capability: registry lookups (broadcast),
+  * not-yet-registered detection (anti), reconciliation (full outer).
+  * Scale notes per query inline: broadcast below the 10 MB threshold is
+  * automatic; large-large goes sort-merge on shuffled keys; the range and
+  * as-of joins are written equi-key-first so the shuffle is on the join
+  * key (user_id), never a cross product. */
+object Joins {
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Flagship (TPC-H Q5 shape): revenue by nation. nation/customer are
+    // dims → broadcast; lineitem⋈orders is the only real shuffle.
+    "q_join_broadcast" -> Q(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o  = Tables.orders(s, dir)
+        val c  = Tables.customer(s, dir)
+        val n  = Tables.nation(s, dir)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+                      ${H.oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+                      COUNT(*) AS n_items
+               FROM lineitem
+               JOIN orders   ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation   ON c_nationkey = n_nationkey
+               GROUP BY n_name
+               ORDER BY revenue DESC, n_name""")),
+
+    // Large-large equi-join → SortMergeJoin (hinted; at 100 TB both sides
+    // would be bucketed on orderkey to make this shuffle-free).
+    "q_join_sortmerge" -> Q(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o  = Tables.orders(s, dir)
+        li.hint("merge")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                  col("o_custkey"), col("o_orderstatus"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_orderstatus
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    "q_join_left" -> Q(
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first),
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              ORDER BY c_custkey, o_orderkey NULLS FIRST""")),
+
+    // Full-outer reconciliation of two derived views of "important
+    // customers": by account balance vs by realized spend.
+    "q_join_full" -> Q(
+      (s, dir) => {
+        val rich  = Tables.customer(s, dir).filter(col("c_acctbal") > 9000.0)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val spend = Tables.orders(s, dir).groupBy(col("o_custkey"))
+          .agg(H.dsum(col("o_totalprice")).as("spend"))
+          .filter(col("spend") > 500000.0)
+        rich.join(spend, col("c_custkey") === col("o_custkey"), "full")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+                  col("c_acctbal"), col("spend"))
+          .orderBy(col("custkey"))
+      },
+      Some(s"""SELECT COALESCE(a.c_custkey, b.o_custkey) AS custkey, a.c_acctbal, b.spend
+               FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0) a
+               FULL JOIN (SELECT o_custkey, ${H.oSum("o_totalprice")} AS spend
+                          FROM orders GROUP BY o_custkey
+                          HAVING ${H.oSum("o_totalprice")} > 500000.0) b
+                 ON a.c_custkey = b.o_custkey
+               ORDER BY custkey""")),
+
+    // "keep rows whose key exists in the registry"
+    "q_join_semi" -> Q(
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name
+              FROM customer SEMI JOIN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') o
+                ON c_custkey = o_custkey
+              ORDER BY c_custkey""")),
+
+    // "find rows NOT yet registered" — the classic manual-ingest check
+    // (customers with no pending 'P' order; every customer has *some*
+    // order in the fixtures, so plain anti-vs-orders would match nothing).
+    "q_join_anti" -> Q(
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name
+              FROM customer ANTI JOIN (SELECT o_custkey FROM orders
+                                       WHERE o_orderstatus = 'P') o
+                ON c_custkey = o_custkey
+              ORDER BY c_custkey""")),
+
+    // Range join, equi-key first: clicks within ±4 h of each error by
+    // the same user. Shuffles on user_id only; the time band is a local
+    // predicate — no cross product at any scale.
+    "q_join_range" -> Q(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val errs   = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"), col("ts").as("err_ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        errs.join(clicks,
+            col("user_id") === col("c_user") &&
+            col("click_ts") >= col("err_ts") - expr("INTERVAL 4 HOURS") &&
+            col("click_ts") <= col("err_ts") + expr("INTERVAL 4 HOURS"))
+          .groupBy(col("err_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+          .orderBy(col("err_id"))
+      },
+      Some("""SELECT e.event_id AS err_id, COUNT(*) AS n_clicks
+              FROM events e JOIN events c
+                ON e.user_id = c.user_id
+               AND c.event_type = 'click'
+               AND c.ts BETWEEN e.ts - INTERVAL '4 hours' AND e.ts + INTERVAL '4 hours'
+              WHERE e.event_type = 'error'
+              GROUP BY err_id
+              ORDER BY err_id""")),
+
+    // As-of join: for each purchase, the latest strictly-earlier event of
+    // the same user. Equi-join on user_id then rank-and-keep-first; at
+    // 100 TB the same shape works because the shuffle key is user_id and
+    // the window sort is per-user.
+    "q_join_asof" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir)
+        val buys  = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+        val prior = e.select(col("user_id").as("p_user"), col("event_id").as("prior_id"),
+                             col("ts").as("prior_ts"), col("event_type").as("prior_type"))
+        val w = Window.partitionBy(col("buy_id"))
+          .orderBy(col("prior_ts").desc, col("prior_id").desc)
+        buys.join(prior, col("user_id") === col("p_user") && col("prior_ts") < col("buy_ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("buy_id"), col("prior_id"), col("prior_type"))
+          .orderBy(col("buy_id"))
+      },
+      Some("""SELECT buy_id, prior_id, prior_type FROM (
+                SELECT b.event_id AS buy_id, p.event_id AS prior_id,
+                       p.event_type AS prior_type,
+                       ROW_NUMBER() OVER (PARTITION BY b.event_id
+                                          ORDER BY p.ts DESC, p.event_id DESC) AS rn
+                FROM events b JOIN events p
+                  ON b.user_id = p.user_id AND p.ts < b.ts
+                WHERE b.event_type = 'purchase')
+              WHERE rn = 1
+              ORDER BY buy_id""")),
+
+    // Blocked self-join: dedup candidate pairs, same lang, near-equal
+    // length. Block key (lang) bounds the pair explosion; at 100 TB the
+    // block key would widen to (lang, n_chars DIV 20) to cap skew.
+    "q_join_self_pairs" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val a = d.select(col("lang"), col("doc_id").as("id_a"), col("n_chars").as("len_a"))
+        val b = d.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
+                         col("n_chars").as("len_b"))
+        a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b") &&
+                  abs(col("len_a") - col("len_b")) <= 2)
+          .select(col("lang"), col("id_a"), col("id_b"), col("len_a"), col("len_b"))
+          .orderBy(col("lang"), col("id_a"), col("id_b"))
+      },
+      Some("""SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.n_chars AS len_a, b.n_chars AS len_b
+              FROM documents a JOIN documents b
+                ON a.lang = b.lang AND a.doc_id < b.doc_id
+               AND abs(a.n_chars - b.n_chars) <= 2
+              ORDER BY lang, id_a, id_b"""))
+  )
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2f — sorts / limits / top-k / set operations. `q_topk` must plan
+  * as TakeOrderedAndProject (per-partition heaps, no global sort) — checked
+  * in the plan-audit spec. */
+object SetOps {
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    "q_sort_global" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+        .orderBy(col("o_orderstatus").asc_nulls_last, col("o_totalprice").desc,
+                 col("o_orderkey")),
+      Some("""SELECT o_orderstatus, o_totalprice, o_orderkey
+              FROM orders
+              ORDER BY o_orderstatus ASC NULLS LAST, o_totalprice DESC, o_orderkey""")),
+
+    "q_topk" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
+    "q_limit_offset" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(100).limit(50),
+      Some("""SELECT o_orderkey, o_totalprice
+              FROM orders ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 50 OFFSET 100""")),
+
+    // Multi-spreadsheet concat: two period slices stacked by column name.
+    "q_union" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        val a = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
+        val b = o.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+        a.unionByName(b).orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT * FROM (
+                SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+                WHERE o_orderdate < TIMESTAMP '1996-01-01'
+                UNION ALL
+                SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+              ORDER BY o_orderkey""")),
+
+    // Customers active in both halves of the data (INTERSECT dedups —
+    // same semantics both engines).
+    "q_intersect" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val early = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+          .select(col("o_custkey"))
+        val late = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz"))
+          .select(col("o_custkey"))
+        early.intersect(late).orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              ORDER BY o_custkey""")),
+
+    // Diff report old-vs-new: customers who ordered early but not late.
+    "q_except" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val early = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+          .select(col("o_custkey"))
+        val late = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz"))
+          .select(col("o_custkey"))
+        early.except(late).orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+              ORDER BY o_custkey""")),
+
+    // Whole-row dedup on a key projection (dropDuplicates(keys) picks a
+    // nondeterministic survivor — SURVEY §7.4.6 — so dedup the projection).
+    "q_distinct_rows" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+        .distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+              FROM lineitem
+              ORDER BY l_returnflag, l_linestatus, l_shipdate"""))
+  )
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{H, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2e — window functions. Every window ORDER BY carries a unique
+  * tiebreaker (duplicate sort values exist in the data) so rank-and-filter
+  * results are total-order deterministic for the hash gate. */
+object Windows {
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    "q_win_topn_group" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders)
+              WHERE rn <= 3
+              ORDER BY o_custkey, rn""")),
+
+    "q_win_rank" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+                  rank().over(w).as("rnk"),
+                  dense_rank().over(w).as("drnk"),
+                  percent_rank().over(w).as("prnk"),
+                  ntile(4).over(w).as("quartile"))
+          .filter(col("rnk") <= 100)
+          .orderBy(col("o_orderpriority"), col("rnk"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, prnk, quartile FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       RANK() OVER w AS rnk,
+                       DENSE_RANK() OVER w AS drnk,
+                       PERCENT_RANK() OVER w AS prnk,
+                       NTILE(4) OVER w AS quartile
+                FROM orders
+                WINDOW w AS (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey))
+              WHERE rnk <= 100
+              ORDER BY o_orderpriority, rnk""")),
+
+    // Per-user inter-event gap — the sessionization building block.
+    "q_win_lag_lead" -> Q(
+      { (s, dir) =>
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+                  lag(col("ts"), 1).over(w).as("prev_ts"),
+                  lead(col("event_id"), 1).over(w).as("next_id"))
+          .withColumn("gap_us",
+            unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("prev_ts").cast("timestamp")))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, ts,
+                     LAG(ts, 1) OVER w AS prev_ts,
+                     LEAD(event_id, 1) OVER w AS next_id,
+                     date_diff('microsecond', LAG(ts, 1) OVER w, ts) AS gap_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY user_id, event_id""")),
+
+    // Running revenue per customer — exact decimal prefix sums.
+    "q_win_running" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                  sum(col("o_totalprice").cast(H.D)).over(w).as("running"))
+          .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+                     SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+              FROM orders
+              ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    // 7-row moving average of event values per user. Exact decimal
+    // sum/count keeps the value independent of each engine's frame
+    // evaluation strategy (DuckDB segment trees vs Spark frame scans).
+    "q_win_moving_avg" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-6, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+                  (sum(col("value").cast(H.D)).over(w) /
+                   count(lit(1)).over(w)).cast(H.D).as("mavg7"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id,
+                     CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w
+                          / COUNT(*) OVER w AS DECIMAL(38,4)) AS mavg7
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+              ORDER BY user_id, event_id""")),
+
+    // RANGE frame: CURRENT ROW in RANGE mode = all order-date peers →
+    // same-day order total per customer.
+    "q_win_range_frame" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+          .rangeBetween(Window.currentRow, Window.currentRow)
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+                  sum(col("o_totalprice").cast(H.D)).over(w).as("same_day_total"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+                     SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                       OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                             RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS same_day_total
+              FROM orders
+              ORDER BY o_custkey, o_orderkey"""))
+  )
+}

@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** SURVEY §2a — scans / sources / sinks.
+  *
+  * CSV/JSON fixtures are materialized deterministically (sorted, fixed
+  * formatting) under /root/repo/target/graft_fixtures so both Spark and the
+  * DuckDB oracle read the exact same bytes. The reference's primary input
+  * is curator TSV spreadsheets; JSON-lines is its metadata-document form.
+  */
+object Scans {
+
+  private val fixDir = "/root/repo/target/graft_fixtures"
+
+  private def writeOnce(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  val nationCsvPath = s"$fixDir/nation.tsv"
+  val ordersJsonPath = s"$fixDir/orders100.jsonl"
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Columnar scan + projection + pushed filter (PushedFilters/ReadSchema
+    // audited in the plan spec).
+    "src_parquet" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 45.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+              FROM lineitem WHERE l_quantity >= 45.0
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // Delimited text with explicit schema, header, sep=\t.
+    "src_csv" -> Q(
+      (s, dir) => {
+        val rows = Tables.nation(s, dir)
+          .orderBy(col("n_nationkey"))
+          .collect()  // 25 rows, fixed size at every sf — driver-side ok
+          .map(r => s"${r.getInt(0)}\t${r.getString(1)}\t${r.getInt(2)}")
+        writeOnce(nationCsvPath,
+          "n_nationkey\tn_name\tn_regionkey\n" + rows.mkString("", "\n", "\n"))
+        val st = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        s.read.option("sep", "\t").option("header", "true").schema(st)
+          .csv(nationCsvPath)
+          .orderBy(col("n_nationkey"))
+      },
+      Some(s"""SELECT n_nationkey, n_name, n_regionkey
+               FROM read_csv('$nationCsvPath', delim='\t', header=true,
+                             columns={'n_nationkey': 'INTEGER',
+                                      'n_name': 'VARCHAR',
+                                      'n_regionkey': 'INTEGER'})
+               ORDER BY n_nationkey""")),
+
+    // JSON-lines metadata documents → typed columns via explicit schema.
+    "src_json" -> Q(
+      (s, dir) => {
+        val rows = Tables.orders(s, dir)
+          .orderBy(col("o_orderkey")).limit(100)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .collect()
+          .map(r => s"""{"o_orderkey": ${r.getLong(0)}, "o_orderstatus": "${r.getString(1)}", "o_totalprice": ${r.getDouble(2)}}""")
+        writeOnce(ordersJsonPath, rows.mkString("", "\n", "\n"))
+        val st = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.schema(st).json(ordersJsonPath)
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey, o_orderstatus, o_totalprice
+               FROM read_json('$ordersJsonPath', format='newline_delimited',
+                              columns={'o_orderkey': 'BIGINT',
+                                       'o_orderstatus': 'VARCHAR',
+                                       'o_totalprice': 'DOUBLE'})
+               ORDER BY o_orderkey""")),
+
+    // Partitioned lake write (the 100 TB layout) + partition-pruned read
+    // back. Oracle checks the round-trip against the original table.
+    "snk_partitioned" -> Q(
+      (s, dir) => {
+        val out = s"$fixDir/lineitem_by_flag"
+        Tables.lineitem(s, dir)
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        s.read.parquet(out)
+          .filter(col("l_returnflag") === "R")
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("l_linestatus"))
+      },
+      Some("""SELECT l_linestatus, COUNT(*) AS n
+              FROM lineitem WHERE l_returnflag = 'R'
+              GROUP BY l_linestatus ORDER BY l_linestatus"""))
+  )
+}
