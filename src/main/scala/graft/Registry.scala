@@ -9,7 +9,9 @@ object Registry {
     operators.Joins.qs ++
     operators.Aggs.qs ++
     operators.Windows.qs ++
-    operators.SetOps.qs
+    operators.SetOps.qs ++
+    operators.EventsBatch.qs ++
+    functions.Funcs.qs
 
   lazy val byName: Map[String, Q] = all.toMap
 

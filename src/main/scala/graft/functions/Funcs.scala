@@ -1,0 +1,201 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2g — scalar-function families. One query per family, each
+  * exercising several functions so the oracle hash pins all of them.
+  * Dialect parity notes (verified against DuckDB 1.0.0 this session):
+  *  - `round` on DOUBLE is HALF_UP (away from zero) in BOTH engines for
+  *    positive values — safe to compare rounded doubles.
+  *  - DuckDB `dayofweek` is Sunday=0; Spark is Sunday=1 → oracle adds 1.
+  *  - DuckDB `regexp_replace` needs the 'g' flag to match Spark's
+  *    replace-all default.
+  *  - `ln`/`pow` are libm-dependent (±1 ulp across JVM vs C) → always
+  *    rounded to 4 decimals before comparison.
+  * All functions here are Catalyst built-ins → whole-stage codegen, no UDF
+  * overhead, and at 100 TB they pipeline inside the scan stage (no shuffle).
+  */
+object Funcs {
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Column normalization: the reference's spreadsheet-cleaning surface.
+    "fn_string" -> Q(
+      (s, dir) => Tables.customer(s, dir)
+        .select(
+          col("c_custkey"),
+          lower(col("c_name")).as("lname"),
+          upper(col("c_mktsegment")).as("useg"),
+          substring(col("c_name"), 10, 9).as("cnum"),
+          length(col("c_name")).as("name_len"),
+          concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("seg_nat"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          regexp_replace(col("c_name"), lit("Customer#"), lit("C")).as("short_name"),
+          element_at(split(col("c_name"), "#"), 2).as("num_part"),
+          trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("trimmed"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+                     lower(c_name) AS lname,
+                     upper(c_mktsegment) AS useg,
+                     substring(c_name, 10, 9) AS cnum,
+                     length(c_name) AS name_len,
+                     concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+                     lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+                     replace(c_name, 'Customer#', 'C') AS short_name,
+                     string_split(c_name, '#')[2] AS num_part,
+                     trim('  ' || c_mktsegment || '  ') AS trimmed
+              FROM customer
+              ORDER BY c_custkey""")),
+
+    // ID parsing — the reference regex-parses consortium IDs; same shapes.
+    "fn_regex" -> Q(
+      (s, dir) => Tables.part(s, dir)
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "^(\\w+) (\\w+)$", 2).as("noun"),
+          regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+          regexp_replace(col("p_name"), "[aeiou]", "*").as("devoweled"),
+          col("p_name").rlike("^(red|blue|green)").as("is_color"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+                     regexp_extract(p_name, '^(\w+) (\w+)$', 2) AS noun,
+                     regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+                     regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+                     regexp_matches(p_name, '^(red|blue|green)') AS is_color
+              FROM part
+              ORDER BY p_partkey""")),
+
+    // Near-dup name gate via edit distance.
+    "fn_fuzzy" -> Q(
+      (s, dir) => Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"),
+                levenshtein(col("p_name"), lit("red widget")).as("dist"))
+        .filter(col("dist") <= 6)
+        .orderBy(col("dist"), col("p_partkey")),
+      Some("""SELECT p_partkey, p_name, levenshtein(p_name, 'red widget') AS dist
+              FROM part
+              WHERE levenshtein(p_name, 'red widget') <= 6
+              ORDER BY dist, p_partkey""")),
+
+    // Date parsing/arithmetic — ad-hoc string dates are the reference's norm.
+    "fn_date" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("omonth"),
+          year(col("o_orderdate")).as("oyear"),
+          month(col("o_orderdate")).as("omon"),
+          dayofweek(col("o_orderdate")).as("odow"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+          unix_timestamp(col("o_orderdate").cast("timestamp")).as("epoch_s"),
+          expr("CAST(to_timestamp(date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss'), " +
+               "'yyyy-MM-dd HH:mm:ss') AS TIMESTAMP_NTZ)").as("reparsed"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+                     date_trunc('month', o_orderdate) AS omonth,
+                     year(o_orderdate) AS oyear,
+                     month(o_orderdate) AS omon,
+                     dayofweek(o_orderdate) + 1 AS odow,
+                     date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+                     CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+                     strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'),
+                              '%Y-%m-%d %H:%M:%S') AS reparsed
+              FROM orders
+              ORDER BY o_orderkey""")),
+
+    // Price arithmetic; ln/pow rounded to 4 decimals (libm ulp hazard).
+    "fn_math" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          // round at scale 3 = the product's exact semantic decimal count:
+          // rounding 2-decimal prices ×1.1 at scale 2 lands exactly on .xx5
+          // boundaries where Spark (shortest-string HALF_UP) and DuckDB
+          // (binary) disagree — at scale 3 no boundary is ever hit.
+          round(col("l_extendedprice") * 1.1, 3).as("price_up"),
+          abs(col("l_discount") - 0.05).as("disc_dev"),
+          floor(col("l_quantity") / 7.0).as("qty_floor"),
+          ceil(col("l_quantity") / 7.0).as("qty_ceil"),
+          round(pow(col("l_tax") + lit(1.0), 2), 4).as("tax_sq"),
+          round(log(col("l_extendedprice")), 4).as("ln_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     round(l_extendedprice * 1.1, 3) AS price_up,
+                     abs(l_discount - 0.05) AS disc_dev,
+                     CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor,
+                     CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil,
+                     round(pow(l_tax + 1.0, 2), 4) AS tax_sq,
+                     round(ln(l_extendedprice), 4) AS ln_price
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // Array kernel over token arrays incl. higher-order transform/filter/
+    // aggregate — all codegen'd built-ins, no UDFs (100 TB hot path).
+    "fn_array" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          slice(col("toks"), 1, 3).as("first3"),
+          array_contains(col("toks"), "the").as("has_the"),
+          size(expr("filter(toks, t -> length(t) > 4)")).as("n_long"),
+          expr("transform(slice(toks, 1, 5), t -> length(t))").as("tok_lens"),
+          expr("aggregate(toks, 0, (a, t) -> a + length(t))").as("total_chars"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_toks,
+                     string_split(text, ' ')[1:3] AS first3,
+                     list_contains(string_split(text, ' '), 'the') AS has_the,
+                     len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long,
+                     list_transform(string_split(text, ' ')[1:5], t -> length(t)) AS tok_lens,
+                     CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INTEGER) AS total_chars
+              FROM documents
+              ORDER BY doc_id""")),
+
+    // Map build + explode to sorted entry rows (struct/map parity across
+    // engines is fragile → compare as rows, SURVEY §2g fn_map note).
+    "fn_map" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+                map_from_arrays(
+                  array(lit("type"), lit("uid")),
+                  array(col("event_type"), col("user_id").cast("string"))).as("m"))
+        .select(col("event_id"), explode(col("m")).as(Seq("k", "v")))
+        .orderBy(col("event_id"), col("k")),
+      Some("""SELECT event_id, k, v FROM (
+                SELECT event_id, 'type' AS k, event_type AS v FROM events
+                UNION ALL
+                SELECT event_id, 'uid' AS k, CAST(user_id AS VARCHAR) AS v FROM events)
+              ORDER BY event_id, k""")),
+
+    // JSON payload handling: path extraction + schema-full from_json.
+    "fn_json" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .select(
+          col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_path"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_typed"))
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_path,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
+              FROM events
+              ORDER BY event_id""")),
+
+    // Content hashing for checksums / dedup keys. xxhash64 is kept out of
+    // the compared columns (Spark-specific seed, SURVEY §2g).
+    "fn_hash" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+                sha2(col("text"), 256).as("sha"),
+                md5(col("text")).as("md5h"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, sha256(text) AS sha, md5(text) AS md5h
+              FROM documents
+              ORDER BY doc_id"""))
+  )
+}

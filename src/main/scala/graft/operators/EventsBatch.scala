@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{H, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2i — batch twins of the streaming window aggregations. The
+  * streaming variants (same expressions behind readStream) are verified by
+  * ScalaTest stream==batch equivalence; these batch twins carry the DuckDB
+  * oracles. Window starts are epoch-aligned in both engines (Spark
+  * `window()` and DuckDB `time_bucket`), verified at build time. */
+object EventsBatch {
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // 1 h tumbling count/sum by event_type.
+    "q_events_tumbling" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), H.dsum(col("value")).as("sum_value"))
+        .select(col("window.start").as("wstart"), col("event_type"),
+                col("n"), col("sum_value"))
+        .orderBy(col("wstart"), col("event_type")),
+      Some(s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+                      COUNT(*) AS n, ${H.oSum("value")} AS sum_value
+               FROM events
+               GROUP BY wstart, event_type
+               ORDER BY wstart, event_type""")),
+
+    // 1 h window sliding every 15 min: each event lands in 4 windows whose
+    // starts are the four 15-min-aligned instants in (ts-1h, ts]. The
+    // oracle reproduces exactly that with shifted time_buckets.
+    "q_events_sliding" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("wstart"), col("n"))
+        .orderBy(col("wstart")),
+      Some("""SELECT time_bucket(INTERVAL '15 minutes', ts)
+                       - k * INTERVAL '15 minutes' AS wstart,
+                     COUNT(*) AS n
+              FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) shifts
+              GROUP BY wstart
+              ORDER BY wstart""")),
+
+    // Session windows, 30 min gap, per user — the classic lag/flag/cumsum
+    // pattern, expressed identically in both engines so rows hash-match.
+    // (The streaming variant uses session_window; ScalaTest asserts it
+    // agrees with this batch result.)
+    "q_events_session" -> Q(
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+                 unix_micros(col("ts").cast("timestamp")) -
+                 unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"),
+               count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"), col("sess_id"))
+      },
+      Some("""WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sessions AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS BIGINT) AS sess_id
+                FROM flagged)
+              SELECT user_id, sess_id, MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+                     COUNT(*) AS n_events
+              FROM sessions
+              GROUP BY user_id, sess_id
+              ORDER BY user_id, sess_id"""))
+  )
+}

@@ -90,7 +90,12 @@ object Scans {
     "snk_partitioned" -> Q(
       (s, dir) => {
         val out = s"$fixDir/lineitem_by_flag"
+        // Shuffle to one task per partition value before partitionBy: 3
+        // output files instead of tasks×values small files, and the file
+        // committer's rename storm disappears (74 s → ~5 s at sf0.1). At
+        // 100 TB you'd repartition(N, col) for N files per value instead.
         Tables.lineitem(s, dir)
+          .repartition(col("l_returnflag"))
           .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
         s.read.parquet(out)
           .filter(col("l_returnflag") === "R")
