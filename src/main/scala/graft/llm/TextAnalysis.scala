@@ -1,0 +1,213 @@
+package graft.llm
+
+import graft.{H, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2h + driver mandate — text-analysis operators a training-data
+  * pipeline needs: corpus stats, TF-IDF, language-ID, quality scoring,
+  * token counting, document fingerprinting. All ratios/scores are exact
+  * decimal arithmetic (never raw double division) and every score that
+  * passes through `ln` is rounded to 6 decimals (libm ulp hazard). */
+object TextAnalysis {
+
+  private val toksE = "split(lower(trim(text)), ' ')"
+  private val duckToks = "string_split(lower(trim(text)), ' ')"
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Corpus statistics per (lang, source): doc counts, token totals,
+    // type-token ratio. The explode→two-level-agg shape: at 100 TB the
+    // token explosion is map-side only (partial aggs combine before the
+    // one shuffle on the small (lang, source) key space).
+    "llm_text_stats" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val tok = d.select(col("lang"), col("source"),
+                           explode(expr(toksE)).as("tok"))
+        val tokStats = tok.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+               countDistinct(col("tok")).as("n_types"))
+        val docStats = d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               H.davg(col("n_chars")).as("avg_chars"))
+        docStats.join(tokStats, Seq("lang", "source"))
+          .withColumn("ttr", (col("n_types").cast("decimal(18,6)") /
+                              col("n_tokens")).cast("decimal(18,6)"))
+          .select(col("lang"), col("source"), col("n_docs"), col("avg_chars"),
+                  col("n_tokens"), col("n_types"), col("ttr"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some(s"""WITH tok AS (SELECT lang, source, unnest($duckToks) AS tok
+                            FROM documents),
+               ts AS (SELECT lang, source, COUNT(*) AS n_tokens,
+                             COUNT(DISTINCT tok) AS n_types
+                      FROM tok GROUP BY lang, source),
+               ds AS (SELECT lang, source, COUNT(*) AS n_docs,
+                             ${H.oAvg("n_chars")} AS avg_chars
+                      FROM documents GROUP BY lang, source)
+               SELECT ds.lang AS lang, ds.source AS source, n_docs, avg_chars,
+                      n_tokens, n_types,
+                      CAST(CAST(n_types AS DECIMAL(18,6)) / n_tokens
+                           AS DECIMAL(18,6)) AS ttr
+               FROM ds JOIN ts ON ds.lang = ts.lang AND ds.source = ts.source
+               ORDER BY lang, source""")),
+
+    // Top-5 TF-IDF terms per lang (smoothed idf = ln((N+1)/(df+1))).
+    // Ranking happens on the 6-decimal-rounded score so both engines
+    // order identically; term is the tiebreaker.
+    "llm_tfidf_topterms" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val n = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val tok = d.select(col("lang"), col("doc_id"), explode(expr(toksE)).as("term"))
+        val tf = tok.groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(n, Seq("lang"))
+          .withColumn("score", round(
+            col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("rn"), col("term"), col("tf"), col("df"), col("score"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some(s"""WITH n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+               tok AS (SELECT lang, doc_id, unnest($duckToks) AS term FROM documents),
+               tf AS (SELECT lang, term, COUNT(*) AS tf,
+                             COUNT(DISTINCT doc_id) AS df
+                      FROM tok GROUP BY lang, term),
+               scored AS (SELECT tf.lang AS lang, term, tf, df,
+                                 round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score
+                          FROM tf JOIN n ON tf.lang = n.lang)
+               SELECT lang, rn, term, tf, df, score FROM (
+                 SELECT lang, term, tf, df, score,
+                        ROW_NUMBER() OVER (PARTITION BY lang
+                                           ORDER BY score DESC, term) AS rn
+                 FROM scored)
+               WHERE rn <= 5
+               ORDER BY lang, rn""")),
+
+    // Language-ID by marker-token voting (n-gram-heuristic shape: score
+    // each doc against per-class marker sets, argmax with a fixed class
+    // order as tiebreak). The fixture text is synthetic, so the classes
+    // here are content profiles — the operator shape is what matters.
+    "llm_lang_id" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("toks", expr(toksE))
+        .withColumn("s_art", size(expr(
+          "filter(toks, t -> t IN ('the', 'a', 'of', 'and'))")))
+        .withColumn("s_db", size(expr(
+          "filter(toks, t -> t IN ('table', 'query', 'scan', 'join', 'index'))")))
+        .withColumn("s_data", size(expr(
+          "filter(toks, t -> t IN ('data', 'row', 'column', 'value', 'key'))")))
+        .withColumn("pred",
+          when(col("s_art") >= col("s_db") && col("s_art") >= col("s_data"), "articleish")
+            .when(col("s_db") >= col("s_data"), "dbish")
+            .otherwise("dataish"))
+        .select(col("doc_id"), col("lang"), col("s_art"), col("s_db"),
+                col("s_data"), col("pred"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang, s_art, s_db, s_data,
+                      CASE WHEN s_art >= s_db AND s_art >= s_data THEN 'articleish'
+                           WHEN s_db >= s_data THEN 'dbish'
+                           ELSE 'dataish' END AS pred
+               FROM (SELECT doc_id, lang,
+                       len(list_filter($duckToks,
+                           t -> t IN ('the', 'a', 'of', 'and'))) AS s_art,
+                       len(list_filter($duckToks,
+                           t -> t IN ('table', 'query', 'scan', 'join', 'index'))) AS s_db,
+                       len(list_filter($duckToks,
+                           t -> t IN ('data', 'row', 'column', 'value', 'key'))) AS s_data
+                     FROM documents)
+               ORDER BY doc_id""")),
+
+    // Quality scoring: length/stopword/short-token ratios combined into an
+    // exact-decimal score — the pre-training filter-gate shape.
+    "llm_quality_score" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("toks", expr(toksE))
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("n_stop", size(expr(
+          "filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))")))
+        .withColumn("n_short", size(expr("filter(toks, t -> length(t) <= 2)")))
+        .withColumn("stop_ratio",
+          (col("n_stop").cast("decimal(18,6)") / col("n_toks")).cast("decimal(18,6)"))
+        .withColumn("short_ratio",
+          (col("n_short").cast("decimal(18,6)") / col("n_toks")).cast("decimal(18,6)"))
+        .withColumn("len_score", expr(
+          "CAST(least(CAST(n_chars AS DECIMAL(18,6)) / 300, CAST(1.0 AS DECIMAL(18,6))) AS DECIMAL(18,6))"))
+        // weights as DECIMAL(2,1) literals: scale-6 × scale-1 products are
+        // exact at scale 7, so the whole score is computed without a
+        // single rounding step (a double detour here lands exactly on
+        // .xxxxxx5 boundaries where the engines' round modes diverge).
+        .withColumn("quality", expr(
+          """CAST(len_score * CAST(0.5 AS DECIMAL(2,1))
+                  + (CAST(1.0 AS DECIMAL(2,1)) - stop_ratio) * CAST(0.3 AS DECIMAL(2,1))
+                  + (CAST(1.0 AS DECIMAL(2,1)) - short_ratio) * CAST(0.2 AS DECIMAL(2,1))
+             AS DECIMAL(18,7))"""))
+        .select(col("doc_id"), col("n_toks"), col("stop_ratio"),
+                col("short_ratio"), col("len_score"), col("quality"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, n_toks, stop_ratio, short_ratio, len_score,
+                      CAST(len_score * CAST(0.5 AS DECIMAL(2,1))
+                           + (CAST(1.0 AS DECIMAL(2,1)) - stop_ratio) * CAST(0.3 AS DECIMAL(2,1))
+                           + (CAST(1.0 AS DECIMAL(2,1)) - short_ratio) * CAST(0.2 AS DECIMAL(2,1))
+                      AS DECIMAL(18,7)) AS quality
+               FROM (SELECT doc_id, n_toks,
+                       CAST(CAST(n_stop AS DECIMAL(18,6)) / n_toks AS DECIMAL(18,6)) AS stop_ratio,
+                       CAST(CAST(n_short AS DECIMAL(18,6)) / n_toks AS DECIMAL(18,6)) AS short_ratio,
+                       CAST(least(CAST(n_chars AS DECIMAL(18,6)) / 300, 1.0)
+                            AS DECIMAL(18,6)) AS len_score
+                     FROM (SELECT doc_id, n_chars,
+                             len($duckToks) AS n_toks,
+                             len(list_filter($duckToks,
+                                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS n_stop,
+                             len(list_filter($duckToks, t -> length(t) <= 2)) AS n_short
+                           FROM documents))
+               ORDER BY doc_id""")),
+
+    // Token counting: whitespace tokens + BPE-ish regex token count (runs
+    // of letters / digits / single punctuation) + chars-per-token — the
+    // "how many tokens is this corpus" estimator.
+    "llm_token_count" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("n_ws", size(split(col("text"), " ")))
+        .withColumn("n_bpe", expr(
+          "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"))
+        .withColumn("chars_per_tok",
+          (col("n_chars").cast("decimal(18,6)") / col("n_ws")).cast("decimal(18,6)"))
+        .select(col("doc_id"), col("n_chars"), col("n_ws"), col("n_bpe"),
+                col("chars_per_tok"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, n_chars,
+                     len(string_split(text, ' ')) AS n_ws,
+                     len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+                     CAST(CAST(n_chars AS DECIMAL(18,6)) / len(string_split(text, ' '))
+                          AS DECIMAL(18,6)) AS chars_per_tok
+              FROM documents
+              ORDER BY doc_id""")),
+
+    // Document fingerprint: position-weighted rolling hash over
+    // md5-derived token ids — deterministic across engines/runs, the
+    // cheap near-identity key for incremental dedup.
+    "llm_fingerprint" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("tids", expr(
+          s"transform($toksE, tok -> CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % 1000003)"))
+        .withColumn("fp", expr(
+          """aggregate(sequence(1, size(tids)), 0L,
+                       (acc, i) -> acc + i * element_at(tids, i)) % 2147483647"""))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+                      CAST(list_sum(list_transform(generate_series(1, len(tids)),
+                             i -> i * tids[i])) % 2147483647 AS BIGINT) AS fp
+               FROM (SELECT doc_id,
+                       list_transform($duckToks,
+                         tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000003) AS tids
+                     FROM documents)
+               ORDER BY doc_id"""))
+  )
+}
