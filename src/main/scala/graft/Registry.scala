@@ -12,6 +12,7 @@ object Registry {
     operators.SetOps.qs ++
     operators.EventsBatch.qs ++
     functions.Funcs.qs ++
+    functions.Custom.qs ++
     llm.Dedup.qs ++
     llm.Similarity.qs ++
     llm.TextAnalysis.qs ++

@@ -1,0 +1,226 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SURVEY §2j — the engine's custom-extension surface: scalar UDF, typed
+  * `Aggregator` UDAF, generator/UDTF, and one native Catalyst `Expression`
+  * with whole-stage codegen. Everything else in this engine rides on
+  * built-ins (SURVEY §7.3); these four exist to prove each extension
+  * mechanism with a real, oracle-checked operator. */
+object Custom {
+
+  // -------------------------------------------------------------------
+  // expr_cosine: native codegen cosine kernel
+  // -------------------------------------------------------------------
+
+  /** cosine_sim(array<float>, array<float>) → double as a native Catalyst
+    * expression participating in whole-stage codegen — no UDF serde, no
+    * boxing, a tight primitive loop in the generated Java.
+    *
+    * Numeric parity (must stay bit-identical to the `zip_with`+`aggregate`
+    * fold in [[graft.llm.Similarity]] and to DuckDB's `list_sum` — all
+    * three fold doubles sequentially in element order): floats are widened
+    * to double before multiplying (exact — 24-bit mantissas fit 53), and
+    * each accumulator (`dot`, `nx`, `ny`) sees the same additions in the
+    * same order as the built-in formulation. */
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def checkInputDataTypes() = super.checkInputDataTypes()
+    override def prettyName: String = "cosine_sim"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData].toFloatArray()
+      val ys = b.asInstanceOf[ArrayData].toFloatArray()
+      val n = math.min(xs.length, ys.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        val xi = xs(i).toDouble; val yi = ys(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+        val ny = ctx.freshName("ny")
+        s"""
+           |float[] $xs = $a.toFloatArray();
+           |float[] $ys = $b.toFloatArray();
+           |int $n = Math.min($xs.length, $ys.length);
+           |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double xi = (double) $xs[$i]; double yi = (double) $ys[$i];
+           |  $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
+           |}
+           |${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  private val cosineInfo = new ExpressionInfo(
+    CosineSim.getClass.getCanonicalName, "cosine_sim")
+  private val cosineBuilder: Seq[Expression] => Expression =
+    es => CosineSim(es(0), es(1))
+
+  /** Idempotent per-session registration — the entry points receive a
+    * driver-built session we don't control, so functions register lazily
+    * at first use (same pattern as [[Tables.configure]]). */
+  def register(spark: SparkSession): SparkSession = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
+    spark
+  }
+
+  // -------------------------------------------------------------------
+  // udaf_topk: bounded top-k heap Aggregator
+  // -------------------------------------------------------------------
+
+  /** Bounded top-k per group: the scalable alternative to sort-everything
+    * — each partial buffer holds ≤ k entries, so the shuffle carries
+    * O(groups·k) bytes regardless of input size (the property that makes
+    * per-group top-k viable at 100 TB; a window row_number() shuffles and
+    * sorts every row). Ordered by (value desc, key asc) — the unique key
+    * tiebreak keeps the result deterministic over duplicate values. */
+  class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Long]] {
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (-v, id) }
+    override def zero: Seq[(Double, Long)] = Nil
+    override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      (a +: b).sorted(ord).take(k)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (a ++ b).sorted(ord).take(k)
+    override def finish(r: Seq[(Double, Long)]): Seq[Long] = r.map(_._2)
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  }
+
+  // -------------------------------------------------------------------
+  // udf_scalar: validator/extractor UDFs
+  // -------------------------------------------------------------------
+
+  /** Payload validator in the reference's ID-validation shape — a strict
+    * regex gate over a string column, as a registered Scala UDF. */
+  private val propsShape = """\{"k": \d+\}"""
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Scalar-UDF surface: validate the events JSON payload shape and
+    // extract its integer, as registered UDFs. The oracle re-expresses the
+    // same predicate/extraction as SQL regex — semantics, not mechanism.
+    "udf_scalar" -> Q(
+      (s, dir) => {
+        val validProps = udf((p: String) => p != null && p.matches(propsShape))
+        val extractK = udf((p: String) =>
+          "\\d+".r.findFirstIn(if (p == null) "" else p).map(_.toInt).getOrElse(-1))
+        s.udf.register("graft_valid_props", validProps)
+        s.udf.register("graft_extract_k", extractK)
+        Tables.events(s, dir)
+          .filter(validProps(col("props")))
+          .withColumn("k", extractK(col("props")))
+          .filter(col("k") >= 50)
+          .select(col("event_id"), col("event_type"), col("k"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, event_type,
+                     CAST(regexp_extract(props, '[0-9]+') AS INT) AS k
+              FROM events
+              WHERE regexp_matches(props, '^\{"k": [0-9]+\}$')
+                AND CAST(regexp_extract(props, '[0-9]+') AS INT) >= 50
+              ORDER BY event_id""")),
+
+    // Typed-Aggregator UDAF surface: top-3 orders by totalprice per
+    // priority class via the bounded-heap aggregator.
+    "udaf_topk" -> Q(
+      (s, dir) => {
+        val top3 = udaf(new TopKAgg(3))
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top_keys"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+                     (array_agg(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3]
+                       AS top_keys
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    // Generator/UDTF surface: one doc row → (pos, token) rows. Built-in
+    // posexplode IS the engine's generator surface (SURVEY §7.3); oracle
+    // is DuckDB's zipped-unnest (same-length unnests zip row-wise).
+    "udtf_gen" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+                posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+        .orderBy(col("doc_id"), col("pos")),
+      Some("""SELECT doc_id,
+                     unnest(generate_series(1, len(string_split(text, ' ')))) AS pos,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents WHERE doc_id < 20
+              ORDER BY doc_id, pos""")),
+
+    // Native-Expression surface: per-vector cosine against the vec_id=0
+    // query via the codegen kernel — full-scan shape (every ANN variant's
+    // inner loop), numerically bit-identical to the built-in fold.
+    "expr_cosine" -> Q(
+      (s, dir) => {
+        register(s)
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos", round(expr("cosine_sim(embedding, q_emb)"), 6))
+          .filter(col("cos") >= 0.1)
+          .select(col("vec_id"), col("label"), col("cos"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+              SELECT vec_id, label, cos FROM (
+                SELECT vec_id, label,
+                       round(list_sum(list_transform(list_zip(n.embedding, q.q_emb),
+                               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                             / (sqrt(list_sum(list_transform(list_zip(n.embedding, n.embedding),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                                * sqrt(list_sum(list_transform(list_zip(q.q_emb, q.q_emb),
+                                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))), 6) AS cos
+                FROM embeddings n, q WHERE vec_id <> 0)
+              WHERE cos >= 0.1
+              ORDER BY vec_id"""))
+  )
+}
+
+/** `SparkSessionExtensions` injector — the idiomatic cluster packaging:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` gives
+  * every session the engine's native functions without code changes.
+  * (The query builders above also self-register lazily, because the
+  * verification driver hands us a session built without extensions.) */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(Custom.CosineSim.getClass.getCanonicalName, "cosine_sim"),
+      (es: Seq[Expression]) => Custom.CosineSim(es(0), es(1))))
+  }
+}
