@@ -1,0 +1,176 @@
+package graft.streaming
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** SURVEY §2i — streaming correctness via the batch-equivalence idiom:
+  * replay fixture events through a MemoryStream, run the SAME
+  * transformation both ways, compare row sets. Watermark/dedup/stateful
+  * suites add hand-built batches where late/duplicate arrival matters. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** sf0.001 events as the typed stream shape (ts → µs TimestampType). */
+  private lazy val fixtureEvs: Seq[Ev] =
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+
+  private def evDf(evs: Seq[Ev]): DataFrame =
+    evs.toDF().select(col("event_id"), col("ts"), col("user_id"),
+                      col("event_type"), col("value"))
+
+  /** Run a complete-mode streaming agg over the rows and hand back the
+    * final result table. */
+  private def runComplete(evs: Seq[Ev], name: String)
+                         (f: DataFrame => DataFrame): DataFrame = {
+    val ms = MemoryStream[Ev]
+    val q = f(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      evs.grouped(math.max(1, evs.size / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  /** Run an append-mode streaming query; a sentinel event 2 h past the max
+    * fixture ts (user −1) pushes the watermark so every real window/
+    * session/state finalizes and is emitted. */
+  private def runAppendWithSentinel(evs: Seq[Ev], name: String)
+                                   (f: DataFrame => DataFrame): DataFrame = {
+    val maxTs = evs.map(_.ts.getTime).max
+    val sentinel = Ev(-1L, new java.sql.Timestamp(maxTs + 2 * 3600 * 1000), -1L,
+                      "sentinel", 0.0)
+    val ms = MemoryStream[Ev]
+    val q = f(ms.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(math.max(1, evs.size / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+      // One empty batch so windows closed by the sentinel's watermark flush.
+      ms.addData(Nil); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).filter(col("user_id").isNull || col("user_id") =!= -1L)
+  }
+
+  test("st_tumbling: streaming == batch on replayed fixture") {
+    val out = runComplete(fixtureEvs, "t_tumbling")(Streams.tumbling)
+    assertSameRows(out, Streams.tumbling(evDf(fixtureEvs)))
+  }
+
+  test("st_sliding: streaming == batch on replayed fixture") {
+    val out = runComplete(fixtureEvs, "t_sliding")(Streams.sliding)
+    assertSameRows(out, Streams.sliding(evDf(fixtureEvs)))
+  }
+
+  test("st_session: session_window streaming == batch twin") {
+    val out = runAppendWithSentinel(fixtureEvs, "t_session") { df =>
+      Streams.sessionWindows(df.withWatermark("ts", "10 minutes"))
+    }
+    assertSameRows(out, Streams.sessionWindows(evDf(fixtureEvs)))
+  }
+
+  test("st_watermark_late: late event dropped, on-time survives") {
+    val base = new java.sql.Timestamp(1704067200000L) // 2024-01-01 00:00 UTC
+    def at(minutes: Long) = new java.sql.Timestamp(base.getTime + minutes * 60000)
+    val ms = MemoryStream[Ev]
+    val q = Streams.tumblingWithWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("t_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events at h0, one far ahead at h3 → watermark ≈ h3−10m
+      ms.addData(Seq(Ev(1, at(5), 1, "a", 1.0), Ev(2, at(10), 1, "a", 1.0),
+                     Ev(3, at(180), 1, "a", 1.0)))
+      q.processAllAvailable()
+      // batch 2: a late h0 event (beyond watermark) must be DROPPED; the
+      // h4 event advances time further.
+      ms.addData(Seq(Ev(4, at(15), 1, "a", 99.0), Ev(5, at(240), 1, "a", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Ev(6, at(600), 1, "a", 0.0))) // flush
+      q.processAllAvailable()
+    } finally q.stop()
+    val h0 = spark.table("t_late").filter(col("wstart") === base)
+      .select("n").as[Long].collect()
+    assert(h0.sameElements(Array(2L)), s"late row leaked into h0: ${h0.toSeq}")
+  }
+
+  test("st_dedup: duplicate event_ids across batches collapse") {
+    val base = new java.sql.Timestamp(1704067200000L)
+    def at(minutes: Long) = new java.sql.Timestamp(base.getTime + minutes * 60000)
+    val ms = MemoryStream[Ev]
+    val q = Streams.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("t_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(Seq(Ev(1, at(0), 1, "a", 1.0), Ev(2, at(1), 1, "a", 1.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Ev(1, at(2), 1, "a", 1.0), Ev(3, at(3), 1, "a", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("t_dedup").select("event_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.toSeq}")
+  }
+
+  test("st_stream_static_join: enrichment matches batch join") {
+    val dim = Seq(("purchase", "rev"), ("error", "ops"), ("signup", "growth"),
+                  ("click", "product"), ("view", "product"))
+      .toDF("event_type", "category")
+    val evs = fixtureEvs.take(200)
+    val ms = MemoryStream[Ev]
+    val q = Streams.enrich(ms.toDF(), dim)
+      .writeStream.format("memory").queryName("t_enrich")
+      .outputMode(OutputMode.Append()).start()
+    try { ms.addData(evs); q.processAllAvailable() } finally q.stop()
+    assertSameRows(spark.table("t_enrich"), Streams.enrich(evDf(evs), dim))
+  }
+
+  test("st_sessionize_state: flatMapGroupsWithState sessions == batch sessions") {
+    val evs = fixtureEvs.take(300)
+    val maxTs = evs.map(_.ts.getTime).max
+    val sentinel = Ev(-1L, new java.sql.Timestamp(maxTs + 2 * 3600 * 1000), -1L,
+                      "sentinel", 0.0)
+    val ms = MemoryStream[Ev]
+    val q = Streams.sessionize(ms.toDS())
+      .toDF().writeStream.format("memory").queryName("t_fmgws")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      evs.grouped(100).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      ms.addData(Seq(sentinel)); q.processAllAvailable()
+      ms.addData(Nil); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("t_fmgws").filter(col("user_id") =!= -1L)
+    // Batch truth: the lag/cumsum sessionization over the same rows.
+    val expected = Streams.sessionWindows(evDf(evs))
+    assertSameRows(
+      out.select("user_id", "sess_start", "sess_end", "n_events"),
+      expected.select("user_id", "sess_start", "sess_end", "n_events"))
+  }
+
+  test("src_stream_file + st_foreachbatch_sink: file replay → exactly-once parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    // Stage the fixture as a 3-file input dir so maxFilesPerTrigger=1
+    // yields 3 real micro-batches.
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+      .repartition(3).write.parquet(inDir)
+    val stream = Streams.fileStream(spark, inDir, Streams.eventSchema)
+      .filter(col("event_type") === "purchase")
+    val q = Streams.foreachBatchParquet(stream, outDir, ckpt)
+    try { q.processAllAvailable() } finally q.stop()
+    val written = spark.read.parquet(s"$outDir/batch_*")
+    val expected = evDf(fixtureEvs).filter(col("event_type") === "purchase")
+    assertSameRows(written, expected)
+  }
+}
