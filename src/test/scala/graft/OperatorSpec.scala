@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Driver-contract smoke + edge-case unit tests the fixed fixtures can't
+  * hit (SURVEY §5.3): null handling, empty inputs, boundary semantics. */
+class OperatorSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("entry(): flagship query returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("every declared oracle key has a queries entry and vice-versa rules hold") {
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert(ok.subsetOf(qk), s"oracle keys without queries: ${ok -- qk}")
+    // The one intentionally oracle-less declared key:
+    assert((qk -- ok) == Set("q_agg_approx_distinct"), s"unexpected oracle-less: ${qk -- ok}")
+  }
+
+  test("q_agg_approx_distinct: within 3*rsd of exact") {
+    val approx = Registry.byName("q_agg_approx_distinct").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k).toDouble
+      assert(math.abs(ap - ex) / ex <= 0.06,
+        s"$k: approx $ap vs exact $ex drifted past 3*rsd")
+    }
+  }
+
+  test("null semantics: na.drop/fill and null-safe predicates") {
+    val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, null))
+      .toDF("k", "v")
+    assert(df.na.drop(Seq("k")).count() == 2)
+    assert(df.na.fill(Map("v" -> "missing")).filter($"v" === "missing").count() == 1)
+    assert(df.filter($"k" <=> null).count() == 1)
+  }
+
+  test("joins on empty inputs produce correct shapes") {
+    val a = Seq((1, "x")).toDF("k", "v")
+    val empty = spark.emptyDataFrame.selectExpr("CAST(NULL AS INT) AS k")
+      .limit(0)
+    assert(a.join(empty, Seq("k"), "left_anti").count() == 1)
+    assert(a.join(empty, Seq("k"), "left_semi").count() == 0)
+    assert(a.join(empty, Seq("k"), "left").count() == 1)
+  }
+
+  test("cosine_sim: custom Expression matches zip_with/aggregate fold bit-for-bit") {
+    graft.functions.Custom.register(spark)
+    val rnd = new scala.util.Random(42)
+    val vecs = Seq.fill(50)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "a")
+      .withColumn("b", expr("reverse(a)"))
+    val both = df.select(
+      expr("cosine_sim(a, b)").as("custom"),
+      expr("""aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+              / (sqrt(aggregate(zip_with(a, a, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+                 * sqrt(aggregate(zip_with(b, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                        CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))""").as("builtin"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+             java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"bit mismatch: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    // self-similarity ≈ 1, bounds hold
+    val self = df.select(expr("cosine_sim(a, a)").as("c")).as[Double].collect()
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("snk_rest: FileTransport round-trips every row exactly once") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rest").toString
+    val src = Tables.nation(spark, sf)
+    graft.sources.RestSink.postToDir(src, tmp, batchSize = 7)
+    val back = spark.read.json(s"$tmp/*.jsonl")
+    assert(back.count() == src.count())
+    assertSameRows(
+      back.select($"n_nationkey".cast("int"), $"n_name", $"n_regionkey".cast("int")),
+      src.select($"n_nationkey".cast("int"), $"n_name", $"n_regionkey".cast("int")))
+  }
+
+  test("snk_partitioned: partition pruning prunes files read back") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.lineitem(spark, sf)
+      .write.partitionBy("l_returnflag").mode("overwrite").parquet(tmp)
+    val pruned = spark.read.parquet(tmp).filter($"l_returnflag" === "R")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ==
+      Tables.lineitem(spark, sf).filter($"l_returnflag" === "R").count())
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      "partition filter missing from scan")
+  }
+}
