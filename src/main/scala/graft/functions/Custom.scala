@@ -87,6 +87,14 @@ object Custom {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim", cosineBuilder, "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => Sketches.DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("simhash32",
+      es => Sketches.SimHash32(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("minhash16",
+      es => Sketches.MinHash16(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("shingles3",
+      es => Sketches.Shingles3(es(0)), "built-in")
     spark
   }
 
@@ -222,5 +230,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(Custom.CosineSim.getClass.getCanonicalName, "cosine_sim"),
       (es: Seq[Expression]) => Custom.CosineSim(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(Sketches.DotProduct.getClass.getCanonicalName, "vec_dot"),
+      (es: Seq[Expression]) => Sketches.DotProduct(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(Sketches.SimHash32.getClass.getCanonicalName, "simhash32"),
+      (es: Seq[Expression]) => Sketches.SimHash32(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash16"),
+      new ExpressionInfo(Sketches.MinHash16.getClass.getCanonicalName, "minhash16"),
+      (es: Seq[Expression]) => Sketches.MinHash16(es(0))))
   }
 }

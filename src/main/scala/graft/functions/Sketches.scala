@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native codegen kernels for the sketch/vector hot loops (SURVEY §7.3's
+  * "performance-only custom expressions"). Each is bit-identical to the
+  * higher-order-function formulation it replaces — same integer math, same
+  * sequential double-fold order — so swapping them into an oracle-declared
+  * query never changes a hash. The interpreted `transform`/`aggregate`
+  * folds allocate per-element closures and ArrayData cells; these run one
+  * tight primitive loop per row inside whole-stage codegen. */
+object Sketches {
+
+  /** vec_dot(array<float>, array<float>) → double: sequential fold, same
+    * order as aggregate(zip_with(...)) and DuckDB list_sum(list_transform). */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val xs = a.asInstanceOf[ArrayData].toFloatArray()
+      val ys = b.asInstanceOf[ArrayData].toFloatArray()
+      val n = math.min(xs.length, ys.length)
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += xs(i).toDouble * ys(i).toDouble; i += 1 }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        s"""
+           |float[] $xs = $a.toFloatArray();
+           |float[] $ys = $b.toFloatArray();
+           |int $n = Math.min($xs.length, $ys.length);
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += (double) $xs[$i] * (double) $ys[$i];
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** simhash32(array<bigint>) → bigint: 32-bit majority-vote fingerprint
+    * over token ids. Bit i of the result is set iff more than half the ids
+    * have bit i set — identical to the SQL
+    * `aggregate(sequence(0,31), …, 2*size(filter(ids, bit i)) > size)`
+    * formulation, in one pass instead of 32. */
+  case class SimHash32(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash32"
+
+    override def nullSafeEval(input: Any): Any = {
+      val ids = input.asInstanceOf[ArrayData].toLongArray()
+      val cnt = new Array[Int](32)
+      var i = 0
+      while (i < ids.length) {
+        val h = ids(i); var b = 0
+        while (b < 32) { cnt(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        i += 1
+      }
+      var out = 0L; var b = 0
+      while (b < 32) { if (2 * cnt(b) > ids.length) out |= 1L << b; b += 1 }
+      out
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ids = ctx.freshName("ids"); val cnt = ctx.freshName("cnt")
+        val i = ctx.freshName("i"); val b = ctx.freshName("b")
+        val h = ctx.freshName("h"); val out = ctx.freshName("out")
+        s"""
+           |long[] $ids = $a.toLongArray();
+           |int[] $cnt = new int[32];
+           |for (int $i = 0; $i < $ids.length; $i++) {
+           |  long $h = $ids[$i];
+           |  for (int $b = 0; $b < 32; $b++) { $cnt[$b] += (int) (($h >>> $b) & 1L); }
+           |}
+           |long $out = 0L;
+           |for (int $b = 0; $b < 32; $b++) {
+           |  if (2 * $cnt[$b] > $ids.length) $out |= 1L << $b;
+           |}
+           |${ev.value} = $out;
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** shingles3(array<string>) → array<string>: distinct 3-token shingles
+    * joined by single spaces, first-occurrence order — value-identical to
+    * `array_distinct(transform(sequence(1, size(t)-2), i -> concat_ws(' ',
+    * element_at(t,i), element_at(t,i+1), element_at(t,i+2))))` on inputs of
+    * ≥3 tokens (shorter inputs: this returns [], the SQL form errors on
+    * element_at(…, 0) — and the DuckDB oracle's generate_series form also
+    * returns []). Exists because the SQL form hides an O(tokens²) trap:
+    * Catalyst CollapseProject inlines the upstream `split` into the lambda
+    * and Spark does not CSE inside higher-order-function lambdas, so every
+    * shingle element re-splits the whole text (measured 292 s at sf0.1 for
+    * the inverted-index join; ~3 s with this node). A native expression has
+    * no lambda to inline into. Interpreted eval (CodegenFallback) is fine:
+    * one JVM-compiled loop per row. */
+  case class Shingles3(child: Expression) extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "shingles3"
+
+    private val SPACE = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val seen = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+      var i = 0
+      while (i + 2 < n) {
+        seen.add(org.apache.spark.unsafe.types.UTF8String.concatWs(SPACE,
+          arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2)))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size())))
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** minhash16(array<bigint>) → array<bigint>: 16 MinHash signatures under
+    * the fixed permutation family h_j(x) = ((2j+3)·x + 5j+7) mod 1000003
+    * over ids already reduced mod 1000003 — identical arithmetic to the
+    * `transform(sequence(0,15), j -> array_min(...))` formulation (16
+    * passes) in a single pass. Empty input → all-Long.MaxValue signature
+    * (array_min of empty is null upstream; fixtures never produce it). */
+  case class MinHash16(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "minhash16"
+
+    private val P = 1000003L
+
+    override def nullSafeEval(input: Any): Any = {
+      val ids = input.asInstanceOf[ArrayData].toLongArray()
+      val sig = Array.fill(16)(Long.MaxValue)
+      var i = 0
+      while (i < ids.length) {
+        val h = ids(i); var j = 0
+        while (j < 16) {
+          val v = ((2 * j + 3) * h + 5 * j + 7) % P
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val ids = ctx.freshName("ids"); val sig = ctx.freshName("sig")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val h = ctx.freshName("h"); val v = ctx.freshName("v")
+        s"""
+           |long[] $ids = $a.toLongArray();
+           |long[] $sig = new long[16];
+           |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+           |for (int $i = 0; $i < $ids.length; $i++) {
+           |  long $h = $ids[$i];
+           |  for (int $j = 0; $j < 16; $j++) {
+           |    long $v = ((2L * $j + 3L) * $h + 5L * $j + 7L) % ${P}L;
+           |    if ($v < $sig[$j]) $sig[$j] = $v;
+           |  }
+           |}
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+}

@@ -22,11 +22,17 @@ object Dedup {
   /** Distinct 3-token shingles — the near-dup grain. A tiny shared
     * vocabulary makes unigram Jaccard saturate (~24% of pairs ≥ 0.8,
     * measured); 3-gram shingles isolate the deliberately planted
-    * near-duplicates (6 pairs ≥ 0.3 at sf0.01). */
-  private val shinglesE =
-    s"""array_distinct(transform(sequence(1, size($toksE) - 2),
-        i -> concat_ws(' ', element_at($toksE, i), element_at($toksE, i + 1),
-                       element_at($toksE, i + 2))))"""
+    * near-duplicates (6 pairs ≥ 0.3 at sf0.01).
+    *
+    * PERFORMANCE HAZARD (measured, 85 s → 2 s at sf0.1): the token array
+    * MUST be a materialized column before shingling. Spark does not
+    * common-subexpression-eliminate inside higher-order-function lambdas,
+    * so inlining the `split` into `element_at(split(...), i)` re-splits
+    * the whole text once per shingle element — O(tokens²) per document. */
+  private val shinglesFromToks =
+    """array_distinct(transform(sequence(1, size(toks) - 2),
+        i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                       element_at(toks, i + 2))))"""
   /** Deterministic 60-bit token id from md5 — reproducible across engines
     * and runs (never JVM hashCode / xxhash64 whose seeds don't travel). */
   private def tidE(tok: String) =
@@ -36,6 +42,16 @@ object Dedup {
   private val duckShingles =
     s"""list_distinct(list_transform(generate_series(1, len($duckToks) - 2),
         i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2]))"""
+
+  /** (doc_id, lang, sh) via the native shingles3 kernel — immune to the
+    * CollapseProject/lambda-inlining trap documented on
+    * [[graft.functions.Sketches.Shingles3]] (the SQL spelling is kept
+    * above in [[shinglesFromToks]] as the semantic reference). */
+  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.Custom.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), expr(s"shingles3($toksE)").as("sh"))
+  }
 
   val qs: Seq[(String, Q)] = Seq(
 
@@ -59,25 +75,36 @@ object Dedup {
               JOIN documents d ON k.doc_id = d.doc_id
               ORDER BY k.doc_id""")),
 
-    // Near-dup pairs: 3-token-shingle Jaccard >= 0.3 inside lang blocks.
-    // Jaccard is computed as an exact integer ratio cast to DECIMAL so the
-    // hash gate never sees a raw double division.
+    // Near-dup pairs: 3-token-shingle Jaccard >= 0.3 inside lang blocks,
+    // via an INVERTED-INDEX join — explode distinct shingles, self-join on
+    // (lang, shingle), count co-occurrences per pair. Only pairs sharing
+    // ≥1 shingle materialize (identical output: a zero-intersection pair
+    // can't reach τ=0.3), so the cost is Σ_shingle group², not corpus²
+    // — the sparse-similarity-join layout that holds at 100 TB, where the
+    // dense blocked self-join (382 s at sf0.1) is quadratic death. The
+    // oracle keeps the dense formulation: DuckDB only verifies at sf0.01.
+    // Jaccard is an exact integer ratio cast to DECIMAL so the hash gate
+    // never sees a raw double division.
     "llm_dedup_near" -> Q(
       (s, dir) => {
-        val sh = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), expr(shinglesE).as("sh"))
-        val a = sh.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-        val b = sh.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
-                          col("sh").as("sh_b"))
-        a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
-          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-          .withColumn("n_union",
-            size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+        val sized = shingled(s, dir).withColumn("n", size(col("sh")))
+        val ex = sized.select(col("lang"), col("doc_id"), col("n"),
+                              explode(col("sh")).as("tok"))
+        val a = ex.select(col("lang"), col("doc_id").as("id_a"),
+                          col("n").as("n_a"), col("tok"))
+        val b = ex.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
+                          col("n").as("n_b"), col("tok").as("tok_b"))
+        a.join(b, col("lang") === col("lang_b") && col("tok") === col("tok_b") &&
+                  col("id_a") < col("id_b"))
+          .groupBy(col("lang"), col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+          .agg(count(lit(1)).as("n_inter"))
+          .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
           .withColumn("jac", (col("n_inter").cast("decimal(18,6)") /
                               col("n_union")).cast("decimal(18,6)"))
           .filter(col("jac") >= 0.3)
-          .select(col("lang"), col("id_a"), col("id_b"), col("n_inter"),
-                  col("n_union"), col("jac"))
+          .select(col("lang"), col("id_a"), col("id_b"),
+                  col("n_inter").cast("int").as("n_inter"),
+                  col("n_union").cast("int").as("n_union"), col("jac"))
           .orderBy(col("lang"), col("id_a"), col("id_b"))
       },
       Some(s"""WITH s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents)
@@ -99,33 +126,40 @@ object Dedup {
     // even the banding has a DuckDB oracle twin.
     "llm_dedup_minhash" -> Q(
       (s, dir) => {
+        graft.functions.Custom.register(s)
         val P = 1000003L
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), expr(shinglesE).as("sh"))
-          .withColumn("tids", expr(
-            s"transform(sh, tok -> ${tidE("tok")} % $P)"))
-          .withColumn("sigs", expr(
-            s"""transform(sequence(0, 15),
-                j -> array_min(transform(tids, h -> ((2*j + 3) * h + 5*j + 7) % $P)))"""))
-        val bands = docs.select(
-            col("doc_id"), col("lang"), col("sh"),
+        val sh = shingled(s, dir)
+        // One codegen pass per doc for all 16 signatures (minhash16 is
+        // arithmetic-identical to the 16× array_min(transform(...)) fold).
+        val sigs = sh
+          .withColumn("tids", expr(s"transform(sh, tok -> ${tidE("tok")} % $P)"))
+          .withColumn("sigs", expr("minhash16(tids)"))
+        // Bucket join carries ONLY (lang, band, bsig, doc_id) — the shingle
+        // arrays stay out of the shuffle and the distinct; candidates
+        // re-join them by id afterwards. At 100 TB the band-signature is
+        // the partition key and this join is the only corpus-wide shuffle.
+        val bands = sigs.select(
+            col("doc_id"), col("lang"),
             explode(expr(
               """transform(sequence(0, 3),
                  b -> struct(b AS band,
                              concat_ws(',', transform(slice(sigs, b*4 + 1, 4),
                                                       x -> cast(x AS STRING))) AS bsig))"""))
               .as("bb"))
-          .select(col("doc_id"), col("lang"), col("sh"),
+          .select(col("doc_id"), col("lang"),
                   col("bb.band").as("band"), col("bb.bsig").as("bsig"))
         val a = bands.select(col("lang"), col("band"), col("bsig"),
-                             col("doc_id").as("id_a"), col("sh").as("sh_a"))
+                             col("doc_id").as("id_a"))
         val b = bands.select(col("lang").as("lang_b"), col("band").as("band_b"),
-                             col("bsig").as("bsig_b"),
-                             col("doc_id").as("id_b"), col("sh").as("sh_b"))
-        a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
-                  col("bsig") === col("bsig_b") && col("id_a") < col("id_b"))
-          .select(col("lang"), col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+                             col("bsig").as("bsig_b"), col("doc_id").as("id_b"))
+        val cand = a.join(b,
+            col("lang") === col("lang_b") && col("band") === col("band_b") &&
+            col("bsig") === col("bsig_b") && col("id_a") < col("id_b"))
+          .select(col("lang"), col("id_a"), col("id_b"))
           .distinct() // a pair may collide in several bands
+        cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
           .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
           .withColumn("jac", (col("n_inter").cast("decimal(18,6)") /
             (size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))).cast("decimal(18,6)"))
@@ -161,26 +195,39 @@ object Dedup {
                ORDER BY lang, id_a, id_b""")),
 
     // SimHash: 32-bit majority-vote fingerprint over distinct-token md5
-    // ids, computed as one array projection; near-dup = hamming distance
-    // <= 4 within lang blocks. At 100 TB the pair step would block on
-    // simhash byte-prefixes instead of lang alone.
+    // ids (one codegen pass via simhash32), near-dup = hamming distance
+    // <= 4 within lang blocks. Pairing uses 5-BAND BLOCKING: 32 bits split
+    // into 5 bands (4×7 + 1×4 bits); hd ≤ 4 differing bits across 5 bands
+    // leaves ≥1 band identical (pigeonhole), so joining on any equal band
+    // finds EXACTLY the dense result while generating Σ bucket² candidates
+    // instead of corpus² — the same banding that scales this to 100 TB.
     "llm_dedup_simhash" -> Q(
       (s, dir) => {
+        graft.functions.Custom.register(s)
         val sh = Tables.documents(s, dir)
+          .withColumn("toks_d", expr(s"array_distinct($toksE)"))
           .withColumn("tids", expr(
-            s"transform(array_distinct($toksE), tok -> ${tidE("tok")})"))
-          .select(col("doc_id"), col("lang"),
-            expr("""aggregate(sequence(0, 31), 0L, (acc, i) ->
-                    acc + CASE WHEN 2 * size(filter(tids, h -> (shiftright(h, i) & 1) = 1))
-                                    > size(tids)
-                               THEN shiftleft(1L, i) ELSE 0L END)""").as("simhash"))
-        val a = sh.select(col("lang"), col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-        val b = sh.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
-                          col("simhash").as("sh_b"))
-        a.join(b, col("lang") === col("lang_b") && col("id_a") < col("id_b"))
+            s"transform(toks_d, tok -> ${tidE("tok")})"))
+          .select(col("doc_id"), col("lang"), expr("simhash32(tids)").as("simhash"))
+        val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
+            explode(expr(
+              """transform(sequence(0, 4),
+                 b -> struct(b AS band,
+                             shiftright(simhash, b * 7) & CASE WHEN b = 4 THEN 15L ELSE 127L END AS bval))"""))
+              .as("bb"))
+          .select(col("doc_id"), col("lang"), col("simhash"),
+                  col("bb.band").as("band"), col("bb.bval").as("bval"))
+        val a = banded.select(col("lang"), col("band"), col("bval"),
+                              col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+        val b = banded.select(col("lang").as("lang_b"), col("band").as("band_b"),
+                              col("bval").as("bval_b"),
+                              col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+        a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
+                  col("bval") === col("bval_b") && col("id_a") < col("id_b"))
+          .select(col("lang"), col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+          .distinct() // a pair may share several bands
           .withColumn("hd", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
           .filter(col("hd") <= 4)
-          .select(col("lang"), col("id_a"), col("id_b"), col("sh_a"), col("sh_b"), col("hd"))
           .orderBy(col("lang"), col("id_a"), col("id_b"))
       },
       Some(s"""WITH t AS (SELECT doc_id, lang,

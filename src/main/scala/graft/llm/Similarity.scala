@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   * centroids) to keep buckets executor-sized. */
 object Similarity {
 
-  /** dot(a, b) as an exact sequential double fold. */
-  private def dotE(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"""
+  /** dot(a, b) via the codegen kernel [[graft.functions.Sketches.DotProduct]]
+    * — bit-identical to the `aggregate(zip_with(...))` sequential double
+    * fold it replaced (same order of additions; parity proven in
+    * OperatorSpec), ~10× cheaper than the interpreted fold on the pair
+    * loops. Queries using it must call `Custom.register(s)` first. */
+  private def dotE(a: String, b: String): String = s"vec_dot($a, $b)"
   private val normE = s"sqrt(${dotE("embedding", "embedding")})"
 
   private def duckDot(a: String, b: String): String =
@@ -51,6 +53,7 @@ object Similarity {
     // the exact baseline every ANN variant is judged against.
     "llm_sim_topk" -> Q(
       (s, dir) => {
+        graft.functions.Custom.register(s)
         val e = Tables.embeddings(s, dir)
           .withColumn("nrm", expr(normE))
         val q = e.filter(col("vec_id") === 0)
@@ -78,6 +81,7 @@ object Similarity {
     // documented recall-for-throughput trade.
     "llm_sim_topk_ivf" -> Q(
       (s, dir) => {
+        graft.functions.Custom.register(s)
         val e = Tables.embeddings(s, dir)
           .withColumn("nrm", expr(normE))
           .withColumn("bucket", expr(codeE))
@@ -109,6 +113,7 @@ object Similarity {
     // 12 344 within-label pairs at sf0.01 — the threshold does real work).
     "llm_sim_pairs" -> Q(
       (s, dir) => {
+        graft.functions.Custom.register(s)
         val e = Tables.embeddings(s, dir).withColumn("nrm", expr(normE))
         val a = e.select(col("label"), col("vec_id").as("id_a"),
                          col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
@@ -136,6 +141,7 @@ object Similarity {
     // same survivor rule as llm_dedup_exact).
     "llm_dedup_embcos" -> Q(
       (s, dir) => {
+        graft.functions.Custom.register(s)
         val e = Tables.embeddings(s, dir).withColumn("nrm", expr(normE))
         val a = e.select(col("label"), col("vec_id").as("id_a"),
                          col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
