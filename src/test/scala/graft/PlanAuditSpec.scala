@@ -1,0 +1,79 @@
+package graft
+
+/** SURVEY §4 — the EXPLAIN audit, durable: asserts each free Catalyst
+  * optimization actually fires on our plans, so a refactor that silently
+  * defeats pushdown / broadcast / partial agg / top-k fails the build
+  * instead of surviving until a 100 TB run finds it. */
+class PlanAuditSpec extends SparkSuite {
+
+  private def planOf(key: String): String = {
+    val df = Registry.byName(key).fn(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("src_parquet: filter and projection reach the parquet scan") {
+    val p = planOf("src_parquet")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)]"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("q_agg_group: two-phase hash aggregation (map-side partial) + codegen") {
+    val p = planOf("q_agg_group")
+    assert(p.contains("partial_sum"), s"no partial agg:\n$p")
+    // Codegen spans only appear on the post-execution (final AQE) plan —
+    // and only for the df's OWN QueryExecution (count() would plan anew).
+    val df = Registry.byName("q_agg_group").fn(spark, sf)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes are the WholeStageCodegen span markers.
+    assert(executed.contains("WholeStageCodegen") || executed.contains("*("),
+      s"no codegen span:\n$executed")
+  }
+
+  test("q_join_broadcast: small dims broadcast, fact side streams") {
+    val p = planOf("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("q_join_sortmerge: large-large join picks sort-merge") {
+    val p = planOf("q_join_sortmerge")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+  }
+
+  test("q_topk: ORDER BY + LIMIT plans as TakeOrderedAndProject (no full sort)") {
+    val p = planOf("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort instead of top-k:\n$p")
+  }
+
+  test("llm_sim_topk: brute-force scan ends in TakeOrderedAndProject") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("llm_sim_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort instead of top-k:\n$p")
+    assert(p.contains("vec_dot"), s"codegen kernel missing:\n$p")
+  }
+
+  test("q_win_topn_group: single shuffle for window + no extra sort after filter") {
+    val p = planOf("q_win_topn_group")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+    // row_number rank-filter should run in the window operator's frame,
+    // not re-sort afterwards beyond the declared output order.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"extra shuffles before window:\n$p")
+  }
+
+  test("llm_dedup_near: inverted-index join aggregates before the pair filter") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("llm_dedup_near")
+    assert(p.contains("HashAggregate"), s"pair counting not aggregated:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated to nested loop:\n$p")
+  }
+
+  test("q_filter_pred: compound predicate pushed to parquet") {
+    val p = planOf("q_filter_pred")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"nothing pushed:\n$p")
+  }
+}
