@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** One event row as the typed streaming surface sees it (`ts` is µs
@@ -140,6 +140,33 @@ object Streams {
             closed.result().iterator
           }
       }
+  }
+
+  /** st_transform_with_state: per-user running (count, value-total) via
+    * Spark 4's transformWithState — the modern typed stateful API
+    * (arbitrary per-key state cells, timers, TTL). State here is one
+    * (count, sum) pair per user; each micro-batch emits the updated
+    * running totals (Update mode). Requires the RocksDB state store
+    * provider, which is how this state surface scales past executor
+    * memory at 100 TB — state lives on local disk + changelog, not heap. */
+  def runningTotals(events: Dataset[Ev]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).transformWithState(
+      new StatefulProcessor[Long, Ev, (Long, Long, Double)] {
+        @transient private var st: ValueState[(Long, Double)] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[(Long, Double)](
+            "totals", org.apache.spark.sql.Encoders.product[(Long, Double)],
+            TTLConfig.NONE)
+        override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                     timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+          var (n, v) = if (st.exists()) st.get() else (0L, 0.0)
+          rows.foreach { e => n += 1; v += e.value }
+          st.update((n, v))
+          Iterator.single((key, n, v))
+        }
+      },
+      TimeMode.None(), OutputMode.Update())
   }
 
   /** src_stream_file: replay a parquet directory as a micro-batched file

@@ -156,6 +156,36 @@ class StreamingSpec extends SparkSuite {
       expected.select("user_id", "sess_start", "sess_end", "n_events"))
   }
 
+  test("st_transform_with_state: running totals converge to batch groupBy") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = fixtureEvs.take(400)
+    val ms = MemoryStream[Ev]
+    val q = Streams.runningTotals(ms.toDS())
+      .toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName("t_tws")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      evs.grouped(150).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // Last emission per user = final running totals.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"n".desc)
+    val finals = spark.table("t_tws")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"n", $"total")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = evDf(evs).groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finals.keySet == expected.keySet)
+    expected.foreach { case (u, (n, tot)) =>
+      assert(finals(u)._1 == n, s"user $u count: ${finals(u)._1} vs $n")
+      // double accumulation order differs stream-vs-batch → tolerance
+      assert(math.abs(finals(u)._2 - tot) < 1e-6, s"user $u total drift")
+    }
+  }
+
   test("src_stream_file + st_foreachbatch_sink: file replay → exactly-once parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
