@@ -14,13 +14,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: session/JIT/codegen spin-up and parquet footer reads
     // would otherwise all land on whichever query happens to run first.
+    // Deliberately NOT df.cache(): measured 34.4 s → 71.2 s at sf0.1 —
+    // InMemoryRelation deserialization loses to the vectorized parquet
+    // reader on every scan-heavy query here (OS page cache already holds
+    // the bytes after this warmup).
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    Tables.configure(spark)
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable =>
-        Tables.events(spark, sfDir).count() // events needs the ns-fix path
-      }
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
     // Optional local-iteration filter (driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
