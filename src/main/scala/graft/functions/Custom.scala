@@ -226,6 +226,7 @@ object Custom {
   * verification driver hands us a session built without extensions.) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => graft.plans.KernelSubstitution)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(Custom.CosineSim.getClass.getCanonicalName, "cosine_sim"),
