@@ -99,6 +99,41 @@ object Multimodal {
                             generate_series(1, length(text), 16),
                             i -> ascii(substr(text, i, 1)))) AS BIGINT) AS frame_sum
               FROM documents
+              ORDER BY doc_id""")),
+
+    // Feature-extract + resize over the binary payload: nearest-neighbor
+    // downsample to a fixed 8-cell vector (the image-resize access
+    // pattern — strided reads at positions i·n/8) in the same
+    // mapPartitions pass. A real pipeline swaps the byte sampler for a
+    // pixel kernel; schema (fixed-length array<int> feature column),
+    // batch shape, and partition-local execution are what carry to 100 TB
+    // — features land beside the payload for late materialization.
+    "llm_multimodal_features" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, payload) =>
+              val n = payload.length
+              val feat = Array.tabulate(8) { i =>
+                if (n == 0) -1 else payload((i.toLong * n / 8).toInt) & 0xff
+              }
+              (id, feat, feat.max, feat.min)
+            }
+          }
+          .toDF("doc_id", "feat", "feat_max", "feat_min")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+                     list_transform(generate_series(0, 7),
+                       i -> ascii(substr(text, CAST(i * length(text) // 8 AS INT) + 1, 1))) AS feat,
+                     list_max(list_transform(generate_series(0, 7),
+                       i -> ascii(substr(text, CAST(i * length(text) // 8 AS INT) + 1, 1)))) AS feat_max,
+                     list_min(list_transform(generate_series(0, 7),
+                       i -> ascii(substr(text, CAST(i * length(text) // 8 AS INT) + 1, 1)))) AS feat_min
+              FROM documents
               ORDER BY doc_id"""))
   )
 }
