@@ -13,21 +13,31 @@ case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String] = N
   *  - never emit a raw double aggregate (parallel double sums are
   *    order-dependent and AQE changes partial-agg order run-to-run):
   *    sum in DECIMAL(38,4) — exact, associative, deterministic;
+  *  - never DECLARE a decimal output column: the driver reads Spark's
+  *    parquet via pandas (decimal → Python Decimal object, '2.5000') but
+  *    the DuckDB oracle via .df() (decimal → float64, 2.5) — the same
+  *    value hash-mismatches on representation (all 15 round-1 hash-fails).
+  *    So: exact decimal arithmetic INSIDE the query, one deterministic
+  *    cast to DOUBLE as the very last step on BOTH sides. A scale-4
+  *    decimal whose unscaled value fits a long converts to double as the
+  *    same correctly-rounded `unscaled / 10⁴` division in the JVM
+  *    (BigDecimal.doubleValue compact path) and DuckDB (hugeint→double
+  *    then /10⁴) — bit-identical;
   *  - every declared query ends in a total order with a unique tiebreaker.
   */
 object H {
   val D: DecimalType = DecimalType(38, 4)
 
-  /** Exact, order-independent sum of a double expression. Oracle twin:
-    * SUM(CAST(x AS DECIMAL(38,4))). */
-  def dsum(c: Column): Column = sum(c.cast(D))
+  /** Exact, order-independent sum of a double expression, emitted as
+    * DOUBLE. Oracle twin: [[oSum]]. */
+  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
 
   /** Deterministic average: exact decimal sum divided by count, rounded
-    * once at the end. Oracle twin:
-    * CAST(SUM(CAST(x AS DECIMAL(38,4))) / COUNT(x) AS DECIMAL(38,4)). */
-  def davg(c: Column): Column = (sum(c.cast(D)) / count(c)).cast(D)
+    * once to scale 4, then emitted as DOUBLE. Oracle twin: [[oAvg]]. */
+  def davg(c: Column): Column = (sum(c.cast(D)) / count(c)).cast(D).cast("double")
 
   /** Oracle-side spelling of dsum/davg. */
-  def oSum(x: String): String = s"SUM(CAST($x AS DECIMAL(38,4)))"
-  def oAvg(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(38,4))) / COUNT($x) AS DECIMAL(38,4))"
+  def oSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(38,4))) AS DOUBLE)"
+  def oAvg(x: String): String =
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(38,4))) / COUNT($x) AS DECIMAL(38,4)) AS DOUBLE)"
 }

@@ -157,17 +157,24 @@ object Custom {
               ORDER BY event_id""")),
 
     // Typed-Aggregator UDAF surface: top-3 orders by totalprice per
-    // priority class via the bounded-heap aggregator.
+    // priority class via the bounded-heap aggregator. The key array is
+    // DECLARED as a comma-joined string (driver's comparator can't
+    // sort/hash ndarray cells — round-1 `err` class).
     "udaf_topk" -> Q(
       (s, dir) => {
         val top3 = udaf(new TopKAgg(3))
         Tables.orders(s, dir)
           .groupBy(col("o_orderpriority"))
-          .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top_keys"))
+          .agg(top3(col("o_totalprice"), col("o_orderkey")).as("top_keys_arr"))
+          .select(col("o_orderpriority"),
+                  expr("concat_ws(',', transform(top_keys_arr, x -> CAST(x AS STRING)))")
+                    .as("top_keys"))
           .orderBy(col("o_orderpriority"))
       },
       Some("""SELECT o_orderpriority,
-                     (array_agg(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3]
+                     array_to_string(
+                       (array_agg(CAST(o_orderkey AS VARCHAR)
+                                  ORDER BY o_totalprice DESC, o_orderkey))[1:3], ',')
                        AS top_keys
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority""")),

@@ -132,24 +132,29 @@ object Funcs {
 
     // Array kernel over token arrays incl. higher-order transform/filter/
     // aggregate — all codegen'd built-ins, no UDFs (100 TB hot path).
+    // Array-valued results are DECLARED as comma-joined strings: the
+    // driver's pandas comparator can't sort/hash ndarray cells (round-1
+    // `err` class); the array logic itself is unchanged.
     "fn_array" -> Q(
       (s, dir) => Tables.documents(s, dir)
         .withColumn("toks", split(col("text"), " "))
         .select(
           col("doc_id"),
           size(col("toks")).as("n_toks"),
-          slice(col("toks"), 1, 3).as("first3"),
+          concat_ws(",", slice(col("toks"), 1, 3)).as("first3"),
           array_contains(col("toks"), "the").as("has_the"),
           size(expr("filter(toks, t -> length(t) > 4)")).as("n_long"),
-          expr("transform(slice(toks, 1, 5), t -> length(t))").as("tok_lens"),
+          expr("concat_ws(',', transform(slice(toks, 1, 5), t -> CAST(length(t) AS STRING)))")
+            .as("tok_lens"),
           expr("aggregate(toks, 0, (a, t) -> a + length(t))").as("total_chars"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id,
                      len(string_split(text, ' ')) AS n_toks,
-                     string_split(text, ' ')[1:3] AS first3,
+                     array_to_string(string_split(text, ' ')[1:3], ',') AS first3,
                      list_contains(string_split(text, ' '), 'the') AS has_the,
                      len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long,
-                     list_transform(string_split(text, ' ')[1:5], t -> length(t)) AS tok_lens,
+                     array_to_string(list_transform(string_split(text, ' ')[1:5],
+                                       t -> CAST(length(t) AS VARCHAR)), ',') AS tok_lens,
                      CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INTEGER) AS total_chars
               FROM documents
               ORDER BY doc_id""")),

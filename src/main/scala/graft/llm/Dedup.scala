@@ -102,13 +102,17 @@ object Dedup {
           .withColumn("jac", (col("n_inter").cast("decimal(18,6)") /
                               col("n_union")).cast("decimal(18,6)"))
           .filter(col("jac") >= 0.3)
+          // threshold on the exact decimal, DECLARE as double (driver's
+          // comparator hash-splits on decimal representation)
           .select(col("lang"), col("id_a"), col("id_b"),
                   col("n_inter").cast("int").as("n_inter"),
-                  col("n_union").cast("int").as("n_union"), col("jac"))
+                  col("n_union").cast("int").as("n_union"),
+                  col("jac").cast("double").as("jac"))
           .orderBy(col("lang"), col("id_a"), col("id_b"))
       },
       Some(s"""WITH s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents)
-               SELECT * FROM (
+               SELECT lang, id_a, id_b, n_inter, n_union,
+                      CAST(jac AS DOUBLE) AS jac FROM (
                  SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
                         len(list_intersect(a.sh, b.sh)) AS n_inter,
                         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union,
@@ -164,7 +168,8 @@ object Dedup {
           .withColumn("jac", (col("n_inter").cast("decimal(18,6)") /
             (size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))).cast("decimal(18,6)"))
           .filter(col("jac") >= 0.3)
-          .select(col("lang"), col("id_a"), col("id_b"), col("jac"))
+          .select(col("lang"), col("id_a"), col("id_b"),
+                  col("jac").cast("double").as("jac"))
           .orderBy(col("lang"), col("id_a"), col("id_b"))
       },
       Some(s"""WITH s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents),
@@ -185,7 +190,7 @@ object Dedup {
                         FROM bands a JOIN bands b
                           ON a.lang = b.lang AND a.band = b.band
                          AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-               SELECT lang, id_a, id_b, jac FROM (
+               SELECT lang, id_a, id_b, CAST(jac AS DOUBLE) AS jac FROM (
                  SELECT lang, id_a, id_b,
                         CAST(CAST(len(list_intersect(sh_a, sh_b)) AS DECIMAL(18,6))
                              / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b)))

@@ -123,12 +123,19 @@ object Multimodal {
               (id, feat, feat.max, feat.min)
             }
           }
-          .toDF("doc_id", "feat", "feat_max", "feat_min")
+          .toDF("doc_id", "feat_arr", "feat_max", "feat_min")
+          // the feature vector stays array<int> in the pipeline; the
+          // DECLARED column is its comma-joined string (driver's
+          // comparator can't sort/hash ndarray cells)
+          .select(col("doc_id"),
+                  expr("concat_ws(',', transform(feat_arr, x -> CAST(x AS STRING)))")
+                    .as("feat"),
+                  col("feat_max"), col("feat_min"))
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
-                     list_transform(generate_series(0, 7),
-                       i -> ascii(substr(text, CAST(i * length(text) // 8 AS INT) + 1, 1))) AS feat,
+                     array_to_string(list_transform(generate_series(0, 7),
+                       i -> CAST(ascii(substr(text, CAST(i * length(text) // 8 AS INT) + 1, 1)) AS VARCHAR)), ',') AS feat,
                      list_max(list_transform(generate_series(0, 7),
                        i -> ascii(substr(text, CAST(i * length(text) // 8 AS INT) + 1, 1)))) AS feat_max,
                      list_min(list_transform(generate_series(0, 7),

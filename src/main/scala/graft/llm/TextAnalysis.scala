@@ -33,7 +33,7 @@ object TextAnalysis {
                H.davg(col("n_chars")).as("avg_chars"))
         docStats.join(tokStats, Seq("lang", "source"))
           .withColumn("ttr", (col("n_types").cast("decimal(18,6)") /
-                              col("n_tokens")).cast("decimal(18,6)"))
+                              col("n_tokens")).cast("decimal(18,6)").cast("double"))
           .select(col("lang"), col("source"), col("n_docs"), col("avg_chars"),
                   col("n_tokens"), col("n_types"), col("ttr"))
           .orderBy(col("lang"), col("source"))
@@ -48,8 +48,8 @@ object TextAnalysis {
                       FROM documents GROUP BY lang, source)
                SELECT ds.lang AS lang, ds.source AS source, n_docs, avg_chars,
                       n_tokens, n_types,
-                      CAST(CAST(n_types AS DECIMAL(18,6)) / n_tokens
-                           AS DECIMAL(18,6)) AS ttr
+                      CAST(CAST(CAST(n_types AS DECIMAL(18,6)) / n_tokens
+                           AS DECIMAL(18,6)) AS DOUBLE) AS ttr
                FROM ds JOIN ts ON ds.lang = ts.lang AND ds.source = ts.source
                ORDER BY lang, source""")),
 
@@ -147,14 +147,21 @@ object TextAnalysis {
                   + (CAST(1.0 AS DECIMAL(2,1)) - stop_ratio) * CAST(0.3 AS DECIMAL(2,1))
                   + (CAST(1.0 AS DECIMAL(2,1)) - short_ratio) * CAST(0.2 AS DECIMAL(2,1))
              AS DECIMAL(18,7))"""))
-        .select(col("doc_id"), col("n_toks"), col("stop_ratio"),
-                col("short_ratio"), col("len_score"), col("quality"))
+        // declared outputs: the exact decimals, emitted as DOUBLE
+        .select(col("doc_id"), col("n_toks"),
+                col("stop_ratio").cast("double").as("stop_ratio"),
+                col("short_ratio").cast("double").as("short_ratio"),
+                col("len_score").cast("double").as("len_score"),
+                col("quality").cast("double").as("quality"))
         .orderBy(col("doc_id")),
-      Some(s"""SELECT doc_id, n_toks, stop_ratio, short_ratio, len_score,
-                      CAST(len_score * CAST(0.5 AS DECIMAL(2,1))
+      Some(s"""SELECT doc_id, n_toks,
+                      CAST(stop_ratio AS DOUBLE) AS stop_ratio,
+                      CAST(short_ratio AS DOUBLE) AS short_ratio,
+                      CAST(len_score AS DOUBLE) AS len_score,
+                      CAST(CAST(len_score * CAST(0.5 AS DECIMAL(2,1))
                            + (CAST(1.0 AS DECIMAL(2,1)) - stop_ratio) * CAST(0.3 AS DECIMAL(2,1))
                            + (CAST(1.0 AS DECIMAL(2,1)) - short_ratio) * CAST(0.2 AS DECIMAL(2,1))
-                      AS DECIMAL(18,7)) AS quality
+                      AS DECIMAL(18,7)) AS DOUBLE) AS quality
                FROM (SELECT doc_id, n_toks,
                        CAST(CAST(n_stop AS DECIMAL(18,6)) / n_toks AS DECIMAL(18,6)) AS stop_ratio,
                        CAST(CAST(n_short AS DECIMAL(18,6)) / n_toks AS DECIMAL(18,6)) AS short_ratio,
@@ -177,15 +184,16 @@ object TextAnalysis {
         .withColumn("n_bpe", expr(
           "size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"))
         .withColumn("chars_per_tok",
-          (col("n_chars").cast("decimal(18,6)") / col("n_ws")).cast("decimal(18,6)"))
+          (col("n_chars").cast("decimal(18,6)") / col("n_ws"))
+            .cast("decimal(18,6)").cast("double"))
         .select(col("doc_id"), col("n_chars"), col("n_ws"), col("n_bpe"),
                 col("chars_per_tok"))
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, n_chars,
                      len(string_split(text, ' ')) AS n_ws,
                      len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
-                     CAST(CAST(n_chars AS DECIMAL(18,6)) / len(string_split(text, ' '))
-                          AS DECIMAL(18,6)) AS chars_per_tok
+                     CAST(CAST(CAST(n_chars AS DECIMAL(18,6)) / len(string_split(text, ' '))
+                          AS DECIMAL(18,6)) AS DOUBLE) AS chars_per_tok
               FROM documents
               ORDER BY doc_id""")),
 

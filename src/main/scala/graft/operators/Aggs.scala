@@ -46,14 +46,23 @@ object Aggs {
                      COUNT(*) AS n_orders
               FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
-    // HLL++ sketch — the 100 TB path for cardinality. Algorithm-dependent
-    // value → no SQL oracle; ScalaTest asserts |approx-exact|/exact ≤ 3·rsd.
+    // HLL++ sketch — the 100 TB path for cardinality. The sketch estimate
+    // is algorithm-internal, so the DECLARED columns are oracle-checkable:
+    // the exact count plus a Spark-computed `within_bound` flag
+    // (|approx−exact|/exact ≤ 3·rsd); the oracle emits the exact count
+    // and literal TRUE. ScalaTest additionally asserts the bound directly.
     "q_agg_approx_distinct" -> Q(
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+             approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+        .select(col("l_returnflag"), col("exact_parts"),
+                (abs(col("approx") - col("exact_parts")).cast("double")
+                   / col("exact_parts") <= 0.06).as("within_bound"))
         .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+                     TRUE AS within_bound
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     "q_agg_rollup" -> Q(
       (s, dir) => {
@@ -103,7 +112,7 @@ object Aggs {
         s.sql("""SELECT COALESCE(o_orderstatus, '(all)') AS status,
                         COALESCE(o_orderpriority, '(all)') AS priority,
                         COUNT(*) AS n,
-                        SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS total
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
                  FROM graft_orders_gs
                  GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                          (o_orderstatus), ())
@@ -118,13 +127,22 @@ object Aggs {
                ORDER BY status, priority""")),
 
     // Manifest building: gather group members into a deterministic array.
+    // The DECLARED column is the comma-joined string: the driver's pandas
+    // comparator can't sort/hash ndarray cells (round-1 `err` class), so
+    // array outputs serialize to a canonical string at the projection.
     "q_agg_collect" -> Q(
       (s, dir) => Tables.customer(s, dir)
         .groupBy(col("c_mktsegment"))
-        .agg(array_sort(collect_set(col("c_nationkey"))).as("nations"),
+        .agg(array_sort(collect_set(col("c_nationkey"))).as("nations_arr"),
              count(lit(1)).as("n_custs"))
+        .select(col("c_mktsegment"),
+                expr("concat_ws(',', transform(nations_arr, x -> CAST(x AS STRING)))")
+                  .as("nations"),
+                col("n_custs"))
         .orderBy(col("c_mktsegment")),
-      Some("""SELECT c_mktsegment, array_agg(k ORDER BY k) AS nations, n_custs
+      Some("""SELECT c_mktsegment,
+                     string_agg(CAST(k AS VARCHAR), ',' ORDER BY k) AS nations,
+                     n_custs
               FROM (SELECT c_mktsegment, c_nationkey AS k
                     FROM customer GROUP BY 1, 2),
                    (SELECT c_mktsegment AS seg2, COUNT(*) AS n_custs

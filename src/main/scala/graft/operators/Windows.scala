@@ -83,13 +83,15 @@ object Windows {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         Tables.orders(s, dir)
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-                  sum(col("o_totalprice").cast(H.D)).over(w).as("running"))
+                  sum(col("o_totalprice").cast(H.D)).over(w)
+                    .cast("double").as("running"))
           .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
       },
       Some("""SELECT o_custkey, o_orderkey, o_orderdate,
-                     SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE) AS running
               FROM orders
               ORDER BY o_custkey, o_orderdate, o_orderkey""")),
 
@@ -103,12 +105,12 @@ object Windows {
         Tables.events(s, dir)
           .select(col("user_id"), col("event_id"),
                   (sum(col("value").cast(H.D)).over(w) /
-                   count(lit(1)).over(w)).cast(H.D).as("mavg7"))
+                   count(lit(1)).over(w)).cast(H.D).cast("double").as("mavg7"))
           .orderBy(col("user_id"), col("event_id"))
       },
       Some("""SELECT user_id, event_id,
-                     CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w
-                          / COUNT(*) OVER w AS DECIMAL(38,4)) AS mavg7
+                     CAST(CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w
+                          / COUNT(*) OVER w AS DECIMAL(38,4)) AS DOUBLE) AS mavg7
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -122,13 +124,15 @@ object Windows {
           .rangeBetween(Window.currentRow, Window.currentRow)
         Tables.orders(s, dir)
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-                  sum(col("o_totalprice").cast(H.D)).over(w).as("same_day_total"))
+                  sum(col("o_totalprice").cast(H.D)).over(w)
+                    .cast("double").as("same_day_total"))
           .orderBy(col("o_custkey"), col("o_orderkey"))
       },
       Some("""SELECT o_custkey, o_orderkey, o_orderdate,
-                     SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-                             RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS same_day_total
+                             RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                       AS DOUBLE) AS same_day_total
               FROM orders
               ORDER BY o_custkey, o_orderkey"""))
   )

@@ -16,22 +16,27 @@ class OperatorSpec extends SparkSuite {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
     assert(ok.subsetOf(qk), s"oracle keys without queries: ${ok -- qk}")
-    // The one intentionally oracle-less declared key:
-    assert((qk -- ok) == Set("q_agg_approx_distinct"), s"unexpected oracle-less: ${qk -- ok}")
+    // Every declared key carries an oracle (round 2: q_agg_approx_distinct
+    // gained its exact-count + within_bound formulation).
+    assert((qk -- ok).isEmpty, s"unexpected oracle-less: ${qk -- ok}")
   }
 
-  test("q_agg_approx_distinct: within 3*rsd of exact") {
-    val approx = Registry.byName("q_agg_approx_distinct").fn(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Tables.lineitem(spark, sf)
+  test("q_agg_approx_distinct: HLL++ estimate within 3*rsd of exact") {
+    // The declared query already encodes the bound as `within_bound`;
+    // assert it holds, and independently recompute the raw estimate so a
+    // broken within_bound expression can't self-certify.
+    val rows = Registry.byName("q_agg_approx_distinct").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val approx = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, ex) =>
+    assert(rows.keySet == approx.keySet)
+    rows.foreach { case (k, (exact, within)) =>
+      assert(within, s"$k: query-declared within_bound is false")
       val ap = approx(k).toDouble
-      assert(math.abs(ap - ex) / ex <= 0.06,
-        s"$k: approx $ap vs exact $ex drifted past 3*rsd")
+      assert(math.abs(ap - exact) / exact <= 0.06,
+        s"$k: approx $ap vs exact $exact drifted past 3*rsd")
     }
   }
 
