@@ -202,10 +202,13 @@ object Dedup {
     // SimHash: 32-bit majority-vote fingerprint over distinct-token md5
     // ids (one codegen pass via simhash32), near-dup = hamming distance
     // <= 4 within lang blocks. Pairing uses 5-BAND BLOCKING: 32 bits split
-    // into 5 bands (4×7 + 1×4 bits); hd ≤ 4 differing bits across 5 bands
+    // into 5 bands of 7,7,6,6,6 bits; hd ≤ 4 differing bits across 5 bands
     // leaves ≥1 band identical (pigeonhole), so joining on any equal band
     // finds EXACTLY the dense result while generating Σ bucket² candidates
     // instead of corpus² — the same banding that scales this to 100 TB.
+    // (Round 1 used 7,7,7,7,4: the 4-bit band has only 16 buckets, so it
+    // alone contributed n²/16 of the candidates — the suite's heaviest
+    // query. Evening the widths floors every band at 64 buckets.)
     "llm_dedup_simhash" -> Q(
       (s, dir) => {
         graft.functions.Custom.register(s)
@@ -218,7 +221,8 @@ object Dedup {
             explode(expr(
               """transform(sequence(0, 4),
                  b -> struct(b AS band,
-                             shiftright(simhash, b * 7) & CASE WHEN b = 4 THEN 15L ELSE 127L END AS bval))"""))
+                             shiftright(simhash, element_at(array(0, 7, 14, 20, 26), b + 1))
+                               & CASE WHEN b <= 1 THEN 127L ELSE 63L END AS bval))"""))
               .as("bb"))
           .select(col("doc_id"), col("lang"), col("simhash"),
                   col("bb.band").as("band"), col("bb.bval").as("bval"))

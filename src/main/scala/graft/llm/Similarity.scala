@@ -35,6 +35,55 @@ object Similarity {
                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"""
   private val duckNorm = s"sqrt(${duckDot("embedding", "embedding")})"
 
+  /** Shared by llm_sim_pairs / llm_dedup_embcos: all within-label pairs
+    * with round(cosine, 6) >= 0.2, via an ANGLE-BANDED candidate join
+    * instead of the round-1 dense blocked self-join (the verdict's named
+    * quadratic scale-killer).
+    *
+    * Exactness: angular distance d(a,b) = arccos(cos(a,b)) is a metric on
+    * the unit sphere, so for any fixed pivot p, |θ_a − θ_b| ≤ d(a,b)
+    * (triangle inequality) where θ_x = arccos(x̂·p). Every kept pair has
+    * cos ≥ 0.2 − ½ulp₆ ⇒ d ≤ W := arccos(0.1999) ⇒ the pair's
+    * floor(θ/W) bands differ by at most 1. Joining each vector's band
+    * against {band−1, band, band+1} probes therefore finds EXACTLY the
+    * dense result (each pair matches exactly one probe — no dedup needed).
+    *
+    * Scale behavior is threshold-driven: band width = arccos(τ). At the
+    * fixture τ = 0.2 that is 78.5° → 3 bands over [0°,180°] — honest but
+    * weak pruning (inherent: a τ-0.2 all-pairs OUTPUT is itself ~6% of all
+    * pairs, so no exact method is subquadratic here). At dedup-grade
+    * thresholds (τ = 0.9 → 25.8°, 7 bands; τ = 0.99 → 8.1°, 22 bands) the
+    * same plan prunes hard. The B side ships only (label, probe, id) —
+    * 3 small rows per vector, never 3 copies of the embedding; payloads
+    * re-attach by id after the candidate join, exactly like the LSH dedup
+    * family. */
+  private def cosPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.Custom.register(s)
+    val W = math.acos(0.1999) // band width with ulp margin for round(·, 6)
+    val e = Tables.embeddings(s, dir)
+      .withColumn("nrm", expr(normE))
+      .withColumn("theta", acos(
+        least(greatest(element_at(col("embedding"), 1) / col("nrm"), lit(-1.0)),
+              lit(1.0))))
+      .withColumn("band", floor(col("theta") / W))
+    val a = e.select(col("label"), col("band"), col("vec_id").as("id_a"),
+                     col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val probes = e.select(col("label").as("label_b"), col("vec_id").as("id_b"),
+                          explode(array(col("band") - 1, col("band"),
+                                        col("band") + 1)).as("probe"))
+    a.join(probes, col("label") === col("label_b") && col("band") === col("probe") &&
+                   col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"), col("emb_a"), col("nrm_a"))
+      .join(Tables.embeddings(s, dir).withColumn("nrm_b", expr(normE))
+              .select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+                      col("nrm_b")),
+            Seq("id_b"))
+      .withColumn("cos", round(
+        expr(dotE("emb_a", "emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= 0.2)
+      .select(col("label"), col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** 4-bit hyperplane sign code over the first 4 dims. */
   private val codeE =
     """CAST(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END +
@@ -111,21 +160,11 @@ object Similarity {
 
     // All pairs with cosine >= 0.2 inside label blocks (measured: 709 of
     // 12 344 within-label pairs at sf0.01 — the threshold does real work).
+    // Candidates come from the angle-banded join (see cosPairs) — the
+    // oracle keeps the dense SQL; the hash gate proves equivalence.
     "llm_sim_pairs" -> Q(
-      (s, dir) => {
-        graft.functions.Custom.register(s)
-        val e = Tables.embeddings(s, dir).withColumn("nrm", expr(normE))
-        val a = e.select(col("label"), col("vec_id").as("id_a"),
-                         col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-        val b = e.select(col("label").as("label_b"), col("vec_id").as("id_b"),
-                         col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-        a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-          .withColumn("cos", round(
-            expr(dotE("emb_a", "emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
-          .filter(col("cos") >= 0.2)
-          .select(col("label"), col("id_a"), col("id_b"), col("cos"))
-          .orderBy(col("label"), col("id_a"), col("id_b"))
-      },
+      (s, dir) => cosPairs(s, dir)
+        .orderBy(col("label"), col("id_a"), col("id_b")),
       Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm
                           FROM embeddings)
                SELECT * FROM (
@@ -138,19 +177,11 @@ object Similarity {
 
     // Embedding-cosine near-dup dedup: canonical vectors = those that are
     // never the higher-id member of a >= 0.2 pair (keep-min-id clustering,
-    // same survivor rule as llm_dedup_exact).
+    // same survivor rule as llm_dedup_exact). Pair generation shares the
+    // angle-banded join with llm_sim_pairs.
     "llm_dedup_embcos" -> Q(
       (s, dir) => {
-        graft.functions.Custom.register(s)
-        val e = Tables.embeddings(s, dir).withColumn("nrm", expr(normE))
-        val a = e.select(col("label"), col("vec_id").as("id_a"),
-                         col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-        val b = e.select(col("label").as("label_b"), col("vec_id").as("id_b"),
-                         col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-        val dupIds = a.join(b, col("label") === col("label_b") && col("id_a") < col("id_b"))
-          .filter(round(expr(dotE("emb_a", "emb_b")) / (col("nrm_a") * col("nrm_b")), 6)
-                    >= 0.2)
-          .select(col("id_b").as("dup_id"))
+        val dupIds = cosPairs(s, dir).select(col("id_b").as("dup_id"))
         Tables.embeddings(s, dir)
           .join(dupIds, col("vec_id") === col("dup_id"), "left_anti")
           .select(col("vec_id"), col("label"))

@@ -90,12 +90,15 @@ object Scans {
     "snk_partitioned" -> Q(
       (s, dir) => {
         val out = s"$fixDir/lineitem_by_flag"
-        // Shuffle to one task per partition value before partitionBy: 3
-        // output files instead of tasks×values small files, and the file
-        // committer's rename storm disappears (74 s → ~5 s at sf0.1). At
-        // 100 TB you'd repartition(N, col) for N files per value instead.
+        // Pre-shuffle on (partition value, salt) before partitionBy: each
+        // value lands in `writers` tasks → `writers` files per value,
+        // parallel writers, no committer rename storm (one task per VALUE
+        // was the round-1 shape — fine for 3 values, but a skew bottleneck
+        // once one value holds TBs; unsalted tasks×values small-files cost
+        // 74 s at sf0.1). `writers` scales with value volume at 100 TB.
+        val writers = 4
         Tables.lineitem(s, dir)
-          .repartition(col("l_returnflag"))
+          .repartition(col("l_returnflag"), pmod(col("l_orderkey"), lit(writers)))
           .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
         s.read.parquet(out)
           .filter(col("l_returnflag") === "R")

@@ -71,6 +71,17 @@ class PlanAuditSpec extends SparkSuite {
       s"pair join degenerated to nested loop:\n$p")
   }
 
+  test("llm_sim_pairs: angle-banded candidate join, no nested loop, payload re-attached by id") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("llm_sim_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated to nested loop:\n$p")
+    // the candidate join must key on the angle band, not label alone
+    assert(p.contains("band"), s"banded join missing from plan:\n$p")
+    // the probe side explodes 3 band candidates per vector
+    assert(p.contains("Generate explode"), s"band probes not generated:\n$p")
+  }
+
   test("q_filter_pred: compound predicate pushed to parquet") {
     val p = planOf("q_filter_pred")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
