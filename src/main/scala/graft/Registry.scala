@@ -16,7 +16,8 @@ object Registry {
     llm.Dedup.qs ++
     llm.Similarity.qs ++
     llm.TextAnalysis.qs ++
-    llm.Multimodal.qs
+    llm.Multimodal.qs ++
+    llm.Pipeline.qs
 
   lazy val byName: Map[String, Q] = all.toMap
 

@@ -53,6 +53,42 @@ object Dedup {
       .select(col("doc_id"), col("lang"), expr(s"shingles3($toksE)").as("sh"))
   }
 
+  /** Near-dup pairs (3-shingle Jaccard ≥ 0.3 within lang) via the
+    * inverted-index join — shared by llm_dedup_near and the clustering
+    * operator in [[Pipeline]]. Columns: lang, id_a, id_b, n_a, n_b,
+    * n_inter, n_union, jac (exact DECIMAL(18,6)). */
+  private[llm] def nearPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sized = shingled(s, dir).withColumn("n", size(col("sh")))
+    val ex = sized.select(col("lang"), col("doc_id"), col("n"),
+                          explode(col("sh")).as("tok"))
+    val a = ex.select(col("lang"), col("doc_id").as("id_a"),
+                      col("n").as("n_a"), col("tok"))
+    val b = ex.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
+                      col("n").as("n_b"), col("tok").as("tok_b"))
+    a.join(b, col("lang") === col("lang_b") && col("tok") === col("tok_b") &&
+              col("id_a") < col("id_b"))
+      .groupBy(col("lang"), col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jac", (col("n_inter").cast("decimal(18,6)") /
+                          col("n_union")).cast("decimal(18,6)"))
+      .filter(col("jac") >= 0.3)
+  }
+
+  /** DuckDB spelling of the dense near-dup pair set, as a CTE-list
+    * fragment (no WITH prefix — the cluster oracle prepends
+    * `WITH RECURSIVE`). The oracle keeps the dense formulation. */
+  private[llm] val duckNearPairsCtes: String =
+    s"""s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents),
+        near_pairs AS (
+          SELECT lang, id_a, id_b FROM (
+            SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
+                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                        AS DECIMAL(18,6)) AS jac
+            FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+          WHERE jac >= 0.3)"""
+
   val qs: Seq[(String, Q)] = Seq(
 
     // Exact dedup by normalized-content fingerprint (first 40 chars — the
@@ -86,30 +122,14 @@ object Dedup {
     // Jaccard is an exact integer ratio cast to DECIMAL so the hash gate
     // never sees a raw double division.
     "llm_dedup_near" -> Q(
-      (s, dir) => {
-        val sized = shingled(s, dir).withColumn("n", size(col("sh")))
-        val ex = sized.select(col("lang"), col("doc_id"), col("n"),
-                              explode(col("sh")).as("tok"))
-        val a = ex.select(col("lang"), col("doc_id").as("id_a"),
-                          col("n").as("n_a"), col("tok"))
-        val b = ex.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
-                          col("n").as("n_b"), col("tok").as("tok_b"))
-        a.join(b, col("lang") === col("lang_b") && col("tok") === col("tok_b") &&
-                  col("id_a") < col("id_b"))
-          .groupBy(col("lang"), col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-          .agg(count(lit(1)).as("n_inter"))
-          .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
-          .withColumn("jac", (col("n_inter").cast("decimal(18,6)") /
-                              col("n_union")).cast("decimal(18,6)"))
-          .filter(col("jac") >= 0.3)
-          // threshold on the exact decimal, DECLARE as double (driver's
-          // comparator hash-splits on decimal representation)
-          .select(col("lang"), col("id_a"), col("id_b"),
-                  col("n_inter").cast("int").as("n_inter"),
-                  col("n_union").cast("int").as("n_union"),
-                  col("jac").cast("double").as("jac"))
-          .orderBy(col("lang"), col("id_a"), col("id_b"))
-      },
+      (s, dir) => nearPairs(s, dir)
+        // threshold on the exact decimal, DECLARE as double (driver's
+        // comparator hash-splits on decimal representation)
+        .select(col("lang"), col("id_a"), col("id_b"),
+                col("n_inter").cast("int").as("n_inter"),
+                col("n_union").cast("int").as("n_union"),
+                col("jac").cast("double").as("jac"))
+        .orderBy(col("lang"), col("id_a"), col("id_b")),
       Some(s"""WITH s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents)
                SELECT lang, id_a, id_b, n_inter, n_union,
                       CAST(jac AS DOUBLE) AS jac FROM (

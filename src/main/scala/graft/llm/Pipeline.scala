@@ -1,0 +1,206 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver mandate (round-2 widening) — the corpus-construction operators a
+  * training-data pipeline runs AFTER filtering/dedup: deterministic
+  * sampling and splits, sequence packing, PII scrubbing, duplicate-cluster
+  * resolution, and embedding quantization. Everything keys on md5-derived
+  * integers (never JVM-seeded RNG) so each operator is reproducible across
+  * engines/runs and carries a full DuckDB oracle.
+  *
+  * Scale design (100 TB): sampling/split/scrub/quantize are stateless
+  * per-row projections (pipelined in the scan, no shuffle); packing is one
+  * window shuffle on the stratum key; clustering is the standard iterative
+  * min-label propagation whose per-step cost is one join+agg on the
+  * (sparse) duplicate-pair edge list — the edge list, not the corpus, is
+  * the working set. */
+object Pipeline {
+
+  /** Deterministic uniform in [0, 1e6): md5-derived 60-bit id mod 1e6.
+    * Identical arithmetic on the DuckDB side. */
+  private def uE(x: String) =
+    s"CAST(conv(substr(md5($x), 1, 15), 16, 10) AS BIGINT) % 1000000"
+  private def duckU(x: String) =
+    s"('0x' || substr(md5($x), 1, 15))::BIGINT % 1000000"
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Stratified Bernoulli sampling: per-stratum rates (downsample the
+    // dominant 'en' stratum to 20%, keep 50% elsewhere), keyed on a salted
+    // md5 uniform so the sample is a pure function of (lang, doc_id) —
+    // re-runs, retries, and engine swaps all draw the same rows.
+    "llm_sample_stratified" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("u", expr(uE("concat('sample:', lang, ':', CAST(doc_id AS STRING))")))
+        .filter(col("u") < when(col("lang") === "en", 200000).otherwise(500000))
+        .select(col("doc_id"), col("lang"), col("source"), col("u"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, lang, source, u FROM (
+                 SELECT doc_id, lang, source,
+                        ${duckU("'sample:' || lang || ':' || CAST(doc_id AS VARCHAR)")} AS u
+                 FROM documents)
+               WHERE u < CASE WHEN lang = 'en' THEN 200000 ELSE 500000 END
+               ORDER BY doc_id""")),
+
+    // Deterministic train/val/test split (8/1/1 by md5 bucket) with
+    // per-(lang, split) counts — the split is a pure function of doc_id,
+    // so adding data never reassigns existing documents.
+    "llm_split_train" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("b", expr(uE("concat('split:', CAST(doc_id AS STRING))")) % 10)
+        .withColumn("split",
+          when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("lang"), col("split")),
+      Some(s"""SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+               FROM (SELECT lang, doc_id,
+                       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                            ELSE 'test' END AS split
+                     FROM (SELECT lang, doc_id,
+                             ${duckU("'split:' || CAST(doc_id AS VARCHAR)")} % 10 AS b
+                           FROM documents))
+               GROUP BY lang, split
+               ORDER BY lang, split""")),
+
+    // Sequence packing: assign docs to fixed-token-budget packs by
+    // exclusive running token count within each lang stratum (sorted-fill
+    // packing — contiguous prefix-sum buckets, the shape that runs as ONE
+    // window pass; a greedy first-fit packer is inherently sequential and
+    // cannot scale out).
+    "llm_pack_sequences" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .withColumn("n_toks", size(split(col("text"), " ")))
+          .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+          .select(col("lang"), col("doc_id"), col("n_toks"),
+                  floor(col("cum_before") / 2048L).as("pack_id"))
+          .orderBy(col("lang"), col("doc_id"))
+      },
+      Some("""SELECT lang, doc_id, n_toks,
+                     CAST(FLOOR(cum_before / 2048) AS BIGINT) AS pack_id
+              FROM (SELECT lang, doc_id,
+                      len(string_split(text, ' ')) AS n_toks,
+                      COALESCE(SUM(len(string_split(text, ' ')))
+                        OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_before
+                    FROM documents)
+              ORDER BY lang, doc_id""")),
+
+    // PII scrubbing: redact email-shaped and 3+-digit-run substrings,
+    // count the hits — stateless regexp projection, pipelined in the scan.
+    "llm_pii_scrub" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("n_emails", size(expr(
+          "regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+', 0)")))
+        .withColumn("n_nums", size(expr(
+          "regexp_extract_all(text, '[0-9]{3,}', 0)")))
+        .withColumn("scrubbed", regexp_replace(
+          regexp_replace(col("text"), "[a-z0-9._%+-]+@[a-z0-9.-]+", "<EMAIL>"),
+          "[0-9]{3,}", "<NUM>"))
+        .select(col("doc_id"), col("n_emails"), col("n_nums"),
+                length(col("scrubbed")).as("clean_len"),
+                substring(col("scrubbed"), 1, 60).as("preview"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                     len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS n_emails,
+                     len(regexp_extract_all(text, '[0-9]{3,}')) AS n_nums,
+                     length(scrubbed) AS clean_len,
+                     substr(scrubbed, 1, 60) AS preview
+              FROM (SELECT doc_id, text,
+                      regexp_replace(
+                        regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+',
+                                       '<EMAIL>', 'g'),
+                        '[0-9]{3,}', '<NUM>', 'g') AS scrubbed
+                    FROM documents)
+              ORDER BY doc_id""")),
+
+    // Duplicate-cluster resolution: connected components over the
+    // near-dup pair graph (llm_dedup_near's edges), via iterative
+    // min-label propagation — each step is one join+agg over the SPARSE
+    // edge list; lineage is cut per step (localCheckpoint; at real scale
+    // a checkpoint dir). Converges in O(component diameter) steps. The
+    // oracle computes the same components with a recursive CTE over the
+    // dense pair SQL.
+    "llm_dedup_cluster" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.nearPairs(s, dir).select(col("id_a"), col("id_b"))
+        val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+          .toDF("src", "dst").localCheckpoint()
+        var lbl = edges.select(col("src").as("id")).distinct()
+          .withColumn("lbl", col("id")).localCheckpoint()
+        var changed = 1L
+        var steps = 0
+        while (changed > 0 && steps < 20) {
+          val nb = edges.join(lbl.select(col("id").as("dst"), col("lbl")), "dst")
+            .select(col("src").as("id"), col("lbl"))
+          val next = lbl.select(col("id"), col("lbl")).union(nb)
+            .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+            .localCheckpoint()
+          changed = next.join(lbl.select(col("id"), col("lbl").as("old")), "id")
+            .filter(col("lbl") =!= col("old")).count()
+          lbl = next
+          steps += 1
+        }
+        val size_w = Window.partitionBy(col("cluster_id"))
+        lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+          .withColumn("cluster_size", count(lit(1)).over(size_w))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.duckNearPairsCtes},
+               edges AS (SELECT id_a AS src, id_b AS dst FROM near_pairs
+                         UNION SELECT id_b, id_a FROM near_pairs),
+               reach(id, r) AS (
+                 SELECT DISTINCT src AS id, src AS r FROM edges
+                 UNION
+                 SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id)
+               SELECT doc_id, cluster_id,
+                      COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+               FROM (SELECT id AS doc_id, MIN(r) AS cluster_id
+                     FROM reach GROUP BY id)
+               ORDER BY doc_id""")),
+
+    // Int8 symmetric quantization of the embedding column + reconstruction
+    // error — the storage/serving compression step. floor(x/s + 0.5)
+    // instead of round(): both engines floor identically, while their
+    // round() tie modes differ. Zero-vector guard keeps the division
+    // total.
+    "llm_embed_quantize" -> Q(
+      (s, dir) => Tables.embeddings(s, dir)
+        .withColumn("scale", greatest(
+          expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"),
+          lit(1e-12)))
+        .withColumn("qs", expr(
+          """transform(embedding,
+             x -> CAST(greatest(least(floor(CAST(x AS DOUBLE) / scale + 0.5),
+                                      127.0), -127.0) AS BIGINT))"""))
+        .withColumn("max_err", expr(
+          "array_max(zip_with(embedding, qs, (x, q) -> abs(CAST(x AS DOUBLE) - q * scale)))"))
+        .select(col("vec_id"), col("label"),
+                round(col("scale"), 6).as("scale6"),
+                size(expr("filter(qs, q -> q != 0)")).as("n_nonzero"),
+                round(col("max_err"), 6).as("max_err6"))
+        .orderBy(col("vec_id")),
+      Some("""SELECT vec_id, label,
+                     round(scale, 6) AS scale6,
+                     len(list_filter(qs, q -> q != 0)) AS n_nonzero,
+                     round(list_max(list_transform(list_zip(embedding, qs),
+                       p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale))), 6) AS max_err6
+              FROM (SELECT vec_id, label, embedding, scale,
+                      list_transform(embedding,
+                        x -> CAST(greatest(least(floor(CAST(x AS DOUBLE) / scale + 0.5),
+                                                 127.0), -127.0) AS BIGINT)) AS qs
+                    FROM (SELECT vec_id, label, embedding,
+                            greatest(list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS scale
+                          FROM embeddings))
+              ORDER BY vec_id"""))
+  )
+}

@@ -151,6 +151,41 @@ object Aggs {
               GROUP BY c_mktsegment, n_custs
               ORDER BY c_mktsegment""")),
 
+    // Exact distribution moments: mean/variance/stddev from decimal power
+    // sums — the shape that distributes (two partial sums + a count per
+    // group, map-side combined; never Spark's order-dependent double
+    // stddev). DECIMAL(18,4) × DECIMAL(18,4) = DECIMAL(37,8) is exact in
+    // both engines (a (38,4)² product would hit precision-cap rounding
+    // rules that differ); the final arithmetic runs in DOUBLE with an
+    // identical expression tree on both sides.
+    "q_agg_stats" -> Q(
+      (s, dir) => {
+        val d = col("l_quantity").cast("decimal(18,4)")
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+               sum(d).cast("double").as("s1"),
+               sum(d * d).cast("double").as("s2"))
+          .select(col("l_returnflag"), col("n"),
+                  round(col("s1") / col("n"), 6).as("mean_qty"),
+                  round((col("s2") - col("s1") * col("s1") / col("n")) / col("n"), 6)
+                    .as("var_qty"),
+                  round(sqrt(greatest(
+                    (col("s2") - col("s1") * col("s1") / col("n")) / col("n"),
+                    lit(0.0))), 6).as("std_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, n,
+                     round(s1 / n, 6) AS mean_qty,
+                     round((s2 - s1 * s1 / n) / n, 6) AS var_qty,
+                     round(sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)), 6) AS std_qty
+              FROM (SELECT l_returnflag, COUNT(*) AS n,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                               * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2
+                    FROM lineitem GROUP BY l_returnflag)
+              ORDER BY l_returnflag""")),
+
     // Wide validation matrix: day × event_type counts.
     "q_agg_pivot" -> Q(
       (s, dir) => {

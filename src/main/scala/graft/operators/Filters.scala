@@ -72,6 +72,56 @@ object Filters {
               WHERE c_custkey IS NOT NULL
               ORDER BY c_custkey""")),
 
+    // Subquery surface: uncorrelated IN + scalar subquery. Catalyst
+    // rewrites IN to a left-semi join and the scalar to a one-row
+    // broadcast — declared here as SQL because subqueries ARE the user
+    // surface being exercised. The scalar is the exact-decimal average
+    // (a raw AVG(double) is partial-sum-order-dependent in Spark and
+    // would make the predicate boundary nondeterministic).
+    "q_subquery_in" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_sq_orders")
+        Tables.customer(s, dir).createOrReplaceTempView("graft_sq_customer")
+        s.sql("""SELECT o_orderkey, o_custkey, o_totalprice
+                 FROM graft_sq_orders
+                 WHERE o_custkey IN (SELECT c_custkey FROM graft_sq_customer
+                                     WHERE c_acctbal > 9000.0)
+                   AND o_totalprice >
+                       (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                                         / COUNT(*) AS DECIMAL(38,4)) AS DOUBLE)
+                        FROM graft_sq_orders)
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders
+              WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                  WHERE c_acctbal > 9000.0)
+                AND o_totalprice >
+                    (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                                      / COUNT(*) AS DECIMAL(38,4)) AS DOUBLE)
+                     FROM orders)
+              ORDER BY o_orderkey""")),
+
+    // Correlated NOT EXISTS — planned as a left-anti join (same result as
+    // q_join_anti by construction; this declares the subquery SPELLING).
+    "q_subquery_exists" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_sq_orders")
+        Tables.customer(s, dir).createOrReplaceTempView("graft_sq_customer")
+        s.sql("""SELECT c_custkey, c_name
+                 FROM graft_sq_customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM graft_sq_orders o
+                                   WHERE o.o_custkey = c.c_custkey
+                                     AND o.o_orderstatus = 'P')
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name
+              FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c.c_custkey
+                                  AND o.o_orderstatus = 'P')
+              ORDER BY c_custkey""")),
+
     "q_conditional" -> Q(
       (s, dir) => Tables.orders(s, dir)
         .select(

@@ -116,6 +116,41 @@ object Windows {
                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
 
+    // Navigation + distribution functions over the full partition frame:
+    // first/last/nth order per priority class plus each order's
+    // cumulative-distribution position. cume_dist is an exact small
+    // rational (peers≤ / total) — the same double in both engines.
+    "q_win_nav" -> Q(
+      (s, dir) => {
+        val ord = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+                  first(col("o_orderkey")).over(full).as("top_key"),
+                  last(col("o_orderkey")).over(full).as("bottom_key"),
+                  nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
+                  round(cume_dist().over(ord), 6).as("cd"))
+          .filter(col("o_orderkey") <= 500)
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     top_key, bottom_key, second_key, cd FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       FIRST_VALUE(o_orderkey) OVER wf AS top_key,
+                       LAST_VALUE(o_orderkey) OVER wf AS bottom_key,
+                       NTH_VALUE(o_orderkey, 2) OVER wf AS second_key,
+                       round(CUME_DIST() OVER wo, 6) AS cd
+                FROM orders
+                WINDOW wo AS (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey),
+                       wf AS (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING))
+              WHERE o_orderkey <= 500
+              ORDER BY o_orderpriority, o_orderkey""")),
+
     // RANGE frame: CURRENT ROW in RANGE mode = all order-date peers →
     // same-day order total per customer.
     "q_win_range_frame" -> Q(

@@ -169,6 +169,26 @@ object Streams {
       TimeMode.None(), OutputMode.Update())
   }
 
+  /** st_stream_stream_join: purchases joined to the same user's clicks in
+    * the preceding hour — a genuine stream×stream inner join. BOTH sides
+    * carry watermarks and the join predicate carries the event-time band;
+    * together they bound each side's join state to the watermark horizon
+    * (without them Spark must buffer both streams forever — the 100 TB
+    * non-starter). Clicks keep a wider watermark: a click may be joined
+    * by a purchase up to 1 h later, so its state must outlive the
+    * purchase watermark by the band width. */
+  def streamStreamJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("buy_id"), col("user_id"), col("ts").as("buy_ts"))
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+              col("ts").as("click_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+              col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+              col("click_ts") <= col("buy_ts"))
+      .select(col("buy_id"), col("click_id"), col("user_id"))
+  }
+
   /** src_stream_file: replay a parquet directory as a micro-batched file
     * stream (schema must be declared — streaming reads never infer). */
   def fileStream(spark: SparkSession, dir: String, schema: StructType,

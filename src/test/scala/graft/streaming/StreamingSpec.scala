@@ -186,6 +186,35 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("st_stream_stream_join: interval join streaming == batch twin") {
+    val evs = fixtureEvs.take(600)
+    val purchases = evs.filter(_.event_type == "purchase")
+    val clicks = evs.filter(_.event_type == "click")
+    val maxTs = evs.map(_.ts.getTime).max
+    // Sentinels on BOTH streams advance both watermarks so every joinable
+    // pair inside the horizon is emitted before the query stops.
+    def sentinel(id: Long) =
+      Ev(id, new java.sql.Timestamp(maxTs + 4 * 3600 * 1000), -1L, "sentinel", 0.0)
+    val msP = MemoryStream[Ev]
+    val msC = MemoryStream[Ev]
+    val q = Streams.streamStreamJoin(msP.toDF(), msC.toDF())
+      .writeStream.format("memory").queryName("t_ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      purchases.grouped(math.max(1, purchases.size / 3))
+        .zipAll(clicks.grouped(math.max(1, clicks.size / 3)), Nil, Nil)
+        .foreach { case (pc, cc) =>
+          msP.addData(pc); msC.addData(cc); q.processAllAvailable()
+        }
+      msP.addData(Seq(sentinel(-1))); msC.addData(Seq(sentinel(-2)))
+      q.processAllAvailable()
+      msP.addData(Nil); msC.addData(Nil); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("t_ssj").filter(col("user_id") =!= -1L)
+    val expected = Streams.streamStreamJoin(evDf(purchases), evDf(clicks))
+    assertSameRows(out, expected)
+  }
+
   test("src_stream_file + st_foreachbatch_sink: file replay → exactly-once parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
