@@ -27,6 +27,46 @@ object Pipeline {
   private def duckU(x: String) =
     s"('0x' || substr(md5($x), 1, 15))::BIGINT % 1000000"
 
+  /** Connected-component labels over the near-dup pair graph: (doc_id →
+    * min doc_id of its component), via iterative min-label propagation.
+    * Shared by llm_dedup_cluster and llm_dedup_survivors. The edge list —
+    * not the corpus — is the loop's working set, so it is repartitioned
+    * to its own size class and lineage is cut per step (localCheckpoint;
+    * a checkpoint dir at real scale). Converges in O(component diameter)
+    * steps; near-dup components are shallow in practice. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearPairs(s, dir).select(col("id_a"), col("id_b"))
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").repartition(4).localCheckpoint()
+    var lbl = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var steps = 0
+    while (changed > 0 && steps < 20) {
+      val nb = edges.join(lbl.select(col("id").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("id"), col("lbl"))
+      val next = lbl.select(col("id"), col("lbl")).union(nb)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(lbl.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      lbl = next
+      steps += 1
+    }
+    lbl
+  }
+
+  /** DuckDB CTE fragment computing the same component labels (appended
+    * after [[Dedup.duckNearPairsCtes]] under WITH RECURSIVE). */
+  private val duckClusterCtes: String =
+    """edges AS (SELECT id_a AS src, id_b AS dst FROM near_pairs
+                 UNION SELECT id_b, id_a FROM near_pairs),
+       reach(id, r) AS (
+         SELECT DISTINCT src AS id, src AS r FROM edges
+         UNION
+         SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id),
+       labels AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)"""
+
   val qs: Seq[(String, Q)] = Seq(
 
     // Stratified Bernoulli sampling: per-stratum rates (downsample the
@@ -131,41 +171,41 @@ object Pipeline {
     // dense pair SQL.
     "llm_dedup_cluster" -> Q(
       (s, dir) => {
-        val pairs = Dedup.nearPairs(s, dir).select(col("id_a"), col("id_b"))
-        val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-          .toDF("src", "dst").localCheckpoint()
-        var lbl = edges.select(col("src").as("id")).distinct()
-          .withColumn("lbl", col("id")).localCheckpoint()
-        var changed = 1L
-        var steps = 0
-        while (changed > 0 && steps < 20) {
-          val nb = edges.join(lbl.select(col("id").as("dst"), col("lbl")), "dst")
-            .select(col("src").as("id"), col("lbl"))
-          val next = lbl.select(col("id"), col("lbl")).union(nb)
-            .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-            .localCheckpoint()
-          changed = next.join(lbl.select(col("id"), col("lbl").as("old")), "id")
-            .filter(col("lbl") =!= col("old")).count()
-          lbl = next
-          steps += 1
-        }
         val size_w = Window.partitionBy(col("cluster_id"))
-        lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        clusterLabels(s, dir)
+          .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
           .withColumn("cluster_size", count(lit(1)).over(size_w))
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH RECURSIVE ${Dedup.duckNearPairsCtes},
-               edges AS (SELECT id_a AS src, id_b AS dst FROM near_pairs
-                         UNION SELECT id_b, id_a FROM near_pairs),
-               reach(id, r) AS (
-                 SELECT DISTINCT src AS id, src AS r FROM edges
-                 UNION
-                 SELECT e.src, reach.r FROM reach JOIN edges e ON e.dst = reach.id)
-               SELECT doc_id, cluster_id,
+               $duckClusterCtes
+               SELECT id AS doc_id, cluster_id,
                       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-               FROM (SELECT id AS doc_id, MIN(r) AS cluster_id
-                     FROM reach GROUP BY id)
+               FROM labels
                ORDER BY doc_id""")),
+
+    // Dedup survivor materialization — the operator a pipeline actually
+    // ships: per lang, how much of the corpus survives one-doc-per-cluster
+    // dedup (survivor = the component's min doc_id; docs in no near-dup
+    // pair all survive). Completes the dedup story: pairs → clusters →
+    // the kept corpus.
+    "llm_dedup_survivors" -> Q(
+      (s, dir) => {
+        val dropped = clusterLabels(s, dir).filter(col("id") =!= col("lbl"))
+          .select(col("id").as("drop_id"))
+        Tables.documents(s, dir)
+          .join(dropped, col("doc_id") === col("drop_id"), "left_anti")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.duckNearPairsCtes},
+               $duckClusterCtes
+               SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc
+               FROM documents
+               WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)
+               GROUP BY lang
+               ORDER BY lang""")),
 
     // Int8 symmetric quantization of the embedding column + reconstruction
     // error — the storage/serving compression step. floor(x/s + 0.5)

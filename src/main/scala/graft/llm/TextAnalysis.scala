@@ -197,6 +197,43 @@ object TextAnalysis {
               FROM documents
               ORDER BY doc_id""")),
 
+    // N-gram LM corpus prep: top-3 bigrams per lang by frequency. The
+    // bigram array is built with zip_with over two slices — the array
+    // arguments evaluate once per ROW (never per element), dodging the
+    // element_at-in-lambda O(tokens²) re-split trap documented on
+    // graft.functions.Sketches.
+    "llm_bigrams" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("bigram"))
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .select(col("lang"), explode(expr(
+            """zip_with(slice(toks, 1, size(toks) - 1),
+                        slice(toks, 2, size(toks) - 1),
+                        (a, b) -> concat(a, ' ', b))""")).as("bigram"))
+          .groupBy(col("lang"), col("bigram"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("lang"), col("rn"), col("bigram"), col("n"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some(s"""WITH t AS (SELECT lang, $duckToks AS toks FROM documents),
+               bg AS (SELECT lang,
+                        unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                      FROM t),
+               cnt AS (SELECT lang, bigram, COUNT(*) AS n
+                       FROM bg GROUP BY lang, bigram)
+               SELECT lang, rn, bigram, n FROM (
+                 SELECT lang, bigram, n,
+                        ROW_NUMBER() OVER (PARTITION BY lang
+                                           ORDER BY n DESC, bigram) AS rn
+                 FROM cnt)
+               WHERE rn <= 3
+               ORDER BY lang, rn""")),
+
     // Document fingerprint: position-weighted rolling hash over
     // md5-derived token ids — deterministic across engines/runs, the
     // cheap near-identity key for incremental dedup.

@@ -186,6 +186,27 @@ object Aggs {
                     FROM lineitem GROUP BY l_returnflag)
               ORDER BY l_returnflag""")),
 
+    // Exact linear-interpolation percentiles (Spark `percentile`, not the
+    // t-digest approximation) — both engines use the same
+    // (1−g)·x[k] + g·x[k+1] formula; results round to 6 before compare.
+    // At 100 TB the approx path (percentile_approx / t-digest) replaces
+    // this; the exact form is the correctness anchor it is judged against.
+    "q_agg_percentile" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("round(percentile(o_totalprice, 0.5), 6)").as("p50"),
+             expr("round(percentile(o_totalprice, 0.9), 6)").as("p90"),
+             min(col("o_totalprice")).as("lo"),
+             max(col("o_totalprice")).as("hi"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+                     round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                     round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+                     MIN(o_totalprice) AS lo,
+                     MAX(o_totalprice) AS hi
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
     // Wide validation matrix: day × event_type counts.
     "q_agg_pivot" -> Q(
       (s, dir) => {

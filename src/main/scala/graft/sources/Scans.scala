@@ -85,6 +85,31 @@ object Scans {
                                        'o_totalprice': 'DOUBLE'})
                ORDER BY o_orderkey""")),
 
+    // CSV sink round-trip: aggregate → single-file CSV with header →
+    // schema-declared read-back (the "export for the curator spreadsheet"
+    // sink `[PK]`-shape). Doubles survive the text round-trip exactly
+    // (shortest-repr Double.toString parses back to the same bits).
+    "snk_csv_roundtrip" -> Q(
+      (s, dir) => {
+        val out = s"$fixDir/priority_rollup_csv"
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+               graft.H.dsum(col("o_totalprice")).as("total"))
+          .coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(out)
+        val st = StructType(Seq(
+          StructField("o_orderpriority", StringType),
+          StructField("n_orders", LongType),
+          StructField("total", DoubleType)))
+        s.read.option("header", "true").schema(st).csv(out)
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+                      ${graft.H.oSum("o_totalprice")} AS total
+               FROM orders GROUP BY o_orderpriority
+               ORDER BY o_orderpriority""")),
+
     // Partitioned lake write (the 100 TB layout) + partition-pruned read
     // back. Oracle checks the round-trip against the original table.
     "snk_partitioned" -> Q(
