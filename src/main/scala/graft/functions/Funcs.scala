@@ -104,6 +104,30 @@ object Funcs {
               FROM orders
               ORDER BY o_orderkey""")),
 
+    // Bitwise kernel over integer keys (mask/shift/xor/popcount — the id
+    // packing/unpacking and bloom/bitset primitives). DuckDB's `^` is
+    // POWER, so the oracle spells xor(); everything is exact int64 math.
+    "fn_bitwise" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          expr("o_orderkey & 255").as("low_byte"),
+          expr("o_orderkey | 1024").as("with_flag"),
+          expr("o_orderkey ^ o_custkey").as("mixed"),
+          expr("shiftleft(o_orderkey, 3)").as("shl3"),
+          expr("shiftright(o_orderkey, 2)").as("shr2"),
+          expr("CAST(bit_count(o_orderkey) AS INT)").as("popcount"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+                     o_orderkey & 255 AS low_byte,
+                     o_orderkey | 1024 AS with_flag,
+                     xor(o_orderkey, o_custkey) AS mixed,
+                     o_orderkey << 3 AS shl3,
+                     o_orderkey >> 2 AS shr2,
+                     CAST(bit_count(o_orderkey) AS INT) AS popcount
+              FROM orders
+              ORDER BY o_orderkey""")),
+
     // Price arithmetic; ln/pow rounded to 4 decimals (libm ulp hazard).
     "fn_math" -> Q(
       (s, dir) => Tables.lineitem(s, dir)

@@ -173,6 +173,89 @@ object Joins {
               WHERE rn = 1
               ORDER BY buy_id""")),
 
+    // CDC MERGE/upsert shape without a table format: base FULL OUTER
+    // JOIN delta on the key; update rows overwrite, insert rows append,
+    // untouched rows pass through (the coalesce-per-column pattern Delta/
+    // Iceberg MERGE INTO compiles to). The delta is derived
+    // deterministically from the fixtures (every 97th key updated, every
+    // 997th key inserted under a shifted id).
+    "q_merge_upsert" -> Q(
+      (s, dir) => {
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val updates = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("u_key"), lit("X").as("u_status"),
+                  (col("o_totalprice") * 1.1).as("u_price"))
+        val inserts = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 997 === 0)
+          .select((col("o_orderkey") + 10000000L).as("u_key"),
+                  lit("NEW").as("u_status"), lit(1000.0).as("u_price"))
+        base.join(updates.unionAll(inserts), col("o_orderkey") === col("u_key"), "full")
+          .select(coalesce(col("u_key"), col("o_orderkey")).as("merge_key"),
+                  coalesce(col("u_status"), col("o_orderstatus")).as("status"),
+                  coalesce(col("u_price"), col("o_totalprice")).as("price"))
+          .orderBy(col("merge_key"))
+      },
+      Some("""WITH delta AS (
+                SELECT o_orderkey AS u_key, 'X' AS u_status,
+                       o_totalprice * 1.1 AS u_price
+                FROM orders WHERE o_orderkey % 97 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000 AS u_key, 'NEW' AS u_status,
+                       1000.0 AS u_price
+                FROM orders WHERE o_orderkey % 997 = 0)
+              SELECT COALESCE(u_key, o_orderkey) AS merge_key,
+                     COALESCE(u_status, o_orderstatus) AS status,
+                     COALESCE(u_price, o_totalprice) AS price
+              FROM orders FULL JOIN delta ON o_orderkey = u_key
+              ORDER BY merge_key""")),
+
+    // Bucketed co-located join — the shuffle-free 100 TB join layout:
+    // both sides pre-bucketed (8 buckets) and sorted on the join key, so
+    // the SortMergeJoin reads co-located buckets with NO Exchange on
+    // either input (PlanAuditSpec pins this). At real scale the bucketed
+    // write is the one-time layout cost that every subsequent join
+    // amortizes.
+    "q_join_bucketed" -> Q(
+      (s, dir) => {
+        // DROP only reaches tables of THIS session's in-memory catalog; a
+        // previous JVM's managed-table location must be cleared physically
+        // or CTAS fails with LOCATION_ALREADY_EXISTS.
+        Seq("graft_b_orders", "graft_b_lineitem").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val loc = new java.io.File(
+            new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+          if (loc.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(); ()
+            }
+            rm(loc)
+          }
+        }
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .format("parquet").mode("overwrite").saveAsTable("graft_b_orders")
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .format("parquet").mode("overwrite").saveAsTable("graft_b_lineitem")
+        // merge hint: the tiny fixture dim would otherwise broadcast and
+        // never exercise the bucketed-SMJ path this key exists to declare
+        s.table("graft_b_lineitem").hint("merge")
+          .join(s.table("graft_b_orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_items"), H.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+                      ${H.oSum("l_quantity")} AS sum_qty
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               GROUP BY o_orderstatus
+               ORDER BY o_orderstatus""")),
+
     // Blocked self-join: dedup candidate pairs, same lang, near-equal
     // length. Block key (lang) bounds the pair explosion; at 100 TB the
     // block key would widen to (lang, n_chars DIV 20) to cap skew.

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** SURVEY §4 — the EXPLAIN audit, durable: asserts each free Catalyst
   * optimization actually fires on our plans, so a refactor that silently
   * defeats pushdown / broadcast / partial agg / top-k fails the build
@@ -80,6 +82,47 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("band"), s"banded join missing from plan:\n$p")
     // the probe side explodes 3 band candidates per vector
     assert(p.contains("Generate explode"), s"band probes not generated:\n$p")
+  }
+
+  test("q_join_bucketed: co-located SMJ, no shuffle on either join input") {
+    val df = Registry.byName("q_join_bucketed").fn(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ on bucketed tables:\n$p")
+    // bucketed scans feed the SMJ directly: the agg/sort above may
+    // shuffle, the join KEYS must not
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+           !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join shuffled its inputs:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"bucketed scan missing:\n$p")
+  }
+
+  test("AQE splits a skewed join partition (skew=true in final plan)") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = saved.map { case (k, _) => k -> conf.getOption(k) }
+    saved.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      // 200k-row fact where 95% of rows share key 0 → one hot partition.
+      val fact = spark.range(0, 200000)
+        .select(when($"id" % 20 =!= 0, 0L).otherwise($"id").as("k"),
+                concat(lit("payload_payload_payload_"), $"id").as("pad"))
+      val dim = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      // materialize THIS df's own QueryExecution (a count() would plan a
+      // new query and leave this one isFinalPlan=false)
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally old.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("q_filter_pred: compound predicate pushed to parquet") {
