@@ -53,6 +53,28 @@ object SetOps {
                 WHERE o_orderdate >= TIMESTAMP '2000-01-01')
               ORDER BY o_orderkey""")),
 
+    // Schema-evolution union: a v2 slice carries an extra column the v1
+    // slice lacks — unionByName(allowMissingColumns) null-fills v1, the
+    // ingest-era "new spreadsheet gained a column" case.
+    "q_union_evolved" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val v1 = o.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val v2 = o.filter(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey"), col("o_totalprice"),
+                  col("o_orderpriority").as("priority"))
+        v1.unionByName(v2, allowMissingColumns = true)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT * FROM (
+                SELECT o_orderkey, o_totalprice, NULL AS priority FROM orders
+                WHERE o_orderkey % 3 = 0
+                UNION ALL
+                SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+                WHERE o_orderkey % 3 = 1)
+              ORDER BY o_orderkey""")),
+
     // Customers active in both halves of the data (INTERSECT dedups —
     // same semantics both engines).
     "q_intersect" -> Q(

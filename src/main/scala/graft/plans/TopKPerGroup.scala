@@ -1,0 +1,182 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator extension (SURVEY §7.3(c)): native bounded top-k per
+  * group replacing the `row_number().over(...) <= k` rank-and-filter
+  * pattern.
+  *
+  * Why: the window spelling shuffles EVERY row to its group's partition
+  * and sorts the whole partition, then throws away all but k rows — at
+  * 100 TB that is a full-corpus shuffle + sort for a k·groups-row answer.
+  * This operator runs in two phases like a hash aggregate: a PARTIAL pass
+  * keeps a ≤k bounded buffer per group per input partition (map-side
+  * pruning — the shuffle then carries at most k·groups·partitions rows,
+  * independent of input size), and a FINAL pass after the exchange merges
+  * survivors and emits ranks. No full sort ever happens; per-group cost is
+  * O(n·log k) against the window's O(n·log n).
+  *
+  * Users keep writing the DECLARATIVE window form; [[TopKRewrite]] swaps
+  * the plan when the filter bounds a bare `row_number()` by a literal —
+  * the same declarative-in/kernel-out contract as [[KernelSubstitution]].
+  * Determinism contract unchanged: the window's ORDER BY must carry a
+  * unique tiebreaker (true of every declared query, SURVEY §7.4). */
+case class TopKPerGroupNode(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rnAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
+    copy(child = newChild)
+}
+
+/** Two-phase physical top-k. `partial = true` runs before the exchange
+  * (no required distribution, output = child schema); the final phase
+  * requires clustering on the group keys — EnsureRequirements inserts the
+  * one hash exchange between the phases, exactly as it does for partial/
+  * final hash aggregation. */
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rnAttr: Attribute,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rnAttr
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (groupExprs.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val g = groupExprs
+    val ord = order
+    val limit = k
+    val isPartial = partial
+    val outAttrs = output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(g, childOutput)
+      val rowOrd = RowOrdering.create(ord, childOutput)
+      val groups = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
+      while (it.hasNext) {
+        val row = it.next()
+        val buf = groups.getOrElseUpdate(keyProj(row).copy(),
+          new mutable.ArrayBuffer[InternalRow](limit + 1))
+        if (buf.size < limit || rowOrd.compare(row, buf.last) < 0) {
+          val copy = row.copy()
+          // bounded insertion keeps the buffer sorted; k is small by the
+          // rewrite's cap, so linear insert beats heap constant factors
+          var i = buf.size
+          buf += copy
+          while (i > 0 && rowOrd.compare(copy, buf(i - 1)) < 0) {
+            buf(i) = buf(i - 1); i -= 1
+          }
+          buf(i) = copy
+          if (buf.size > limit) buf.remove(limit)
+        }
+      }
+      if (isPartial) groups.valuesIterator.flatMap(_.iterator)
+      else {
+        val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        groups.valuesIterator.flatMap { buf =>
+          buf.iterator.zipWithIndex.map { case (r, i) =>
+            outProj(joined(r, InternalRow(i + 1)))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Optimizer rule: `Filter(rn ≤ lit, Window[rn := row_number() over
+  * (partition by … order by …)])` → [[TopKPerGroupNode]]. Fires only on
+  * the exact safe shape: a single bare row_number window expression, the
+  * default running row frame, a literal bound ≤ 1000 (the bounded-buffer
+  * sweet spot — past that the generic window path is the right plan).
+  *
+  * Relationship to Spark's own `InferWindowGroupLimit` (3.5+): the
+  * built-in inserts a WindowGroupLimit that PRUNES each side of the
+  * exchange to k rows per group but still SORTS every input partition and
+  * still runs the full WindowExec to compute the rank afterwards. This
+  * operator subsumes both: bounded buffers instead of sorts, rank emitted
+  * directly. The rule therefore strips the inferred WindowGroupLimit
+  * (same partition/order keys) from below the matched Window. */
+object TopKRewrite extends Rule[LogicalPlan] {
+
+  private def boundOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v - 1)
+    case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v)
+    case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v - 1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, w: Window) if w.windowExpressions.size == 1 =>
+      w.windowExpressions.head match {
+        case a @ Alias(WindowExpression(_: RowNumber,
+            WindowSpecDefinition(_, _,
+              SpecifiedWindowFrame(org.apache.spark.sql.catalyst.expressions.RowFrame,
+                                   UnboundedPreceding, CurrentRow))), _) =>
+          boundOf(cond, a.toAttribute) match {
+            case Some(k) if k > 0 && k <= 1000 =>
+              val child = w.child match {
+                case wgl: WindowGroupLimit
+                    if wgl.partitionSpec == w.partitionSpec &&
+                       wgl.orderSpec == w.orderSpec => wgl.child
+                case other => other
+              }
+              TopKPerGroupNode(w.partitionSpec, w.orderSpec, k, a.toAttribute, child)
+            case _ => f
+          }
+        case _ => f
+      }
+  }
+}
+
+/** Planning strategy for the rewritten node — emits the partial/final
+  * pair; EnsureRequirements supplies the exchange between them. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(g, o, k, rn, child) =>
+      val partial = TopKPerGroupExec(g, o, k, rn, partial = true, planLater(child))
+      TopKPerGroupExec(g, o, k, rn, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** Idempotently attach rule + strategy to a live session. */
+  def install(spark: SparkSession): SparkSession = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraOptimizations.contains(TopKRewrite))
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ TopKRewrite
+    if (!classic.experimental.extraStrategies.contains(TopKStrategy))
+      classic.experimental.extraStrategies =
+        classic.experimental.extraStrategies :+ TopKStrategy
+    spark
+  }
+}

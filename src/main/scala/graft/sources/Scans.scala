@@ -85,6 +85,28 @@ object Scans {
                                        'o_totalprice': 'DOUBLE'})
                ORDER BY o_orderkey""")),
 
+    // Schema-evolution parquet lake: two drops with different schemas in
+    // one directory, read back with mergeSchema (the lake-format column-
+    // add without a rewrite; missing columns null-fill).
+    "src_parquet_evolved" -> Q(
+      (s, dir) => {
+        val out = s"$fixDir/nation_evolved"
+        val n = Tables.nation(s, dir)
+        n.select(col("n_nationkey"), col("n_name"))
+          .write.mode("overwrite").parquet(s"$out/drop=1")
+        n.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .write.mode("overwrite").parquet(s"$out/drop=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .select(col("drop"), col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy(col("drop"), col("n_nationkey"))
+      },
+      Some(s"""SELECT * FROM (
+                 SELECT 1 AS drop, n_nationkey, n_name, NULL AS n_regionkey
+                 FROM nation
+                 UNION ALL
+                 SELECT 2 AS drop, n_nationkey, n_name, n_regionkey FROM nation)
+               ORDER BY drop, n_nationkey""")),
+
     // CSV sink round-trip: aggregate → single-file CSV with header →
     // schema-declared read-back (the "export for the curator spreadsheet"
     // sink `[PK]`-shape). Doubles survive the text round-trip exactly

@@ -125,6 +125,20 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q_topn_native: rank-and-filter plans as two-phase TopKPerGroup, no Window") {
+    val df = Registry.byName("q_topn_native").fn(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("TopKPerGroup".r.findAllIn(p).size == 2,
+      s"expected partial+final TopKPerGroupExec:\n$p")
+    assert(!p.contains("Window [") && !p.contains("WindowGroupLimit"),
+      s"window machinery survived the rewrite:\n$p")
+    // the only Sort is the declared output order — never the input
+    assert("Sort \\[".r.findAllIn(p).size == 1, s"input still fully sorted:\n$p")
+    // survivors-only exchange sits between the phases
+    assert(p.contains("Exchange hashpartitioning(o_orderpriority"),
+      s"no exchange between partial and final top-k:\n$p")
+  }
+
   test("q_filter_pred: compound predicate pushed to parquet") {
     val p = planOf("q_filter_pred")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
