@@ -207,6 +207,68 @@ object Aggs {
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority""")),
 
+    // Exact Pearson correlation + population covariance from decimal
+    // cross-moments (same distributable-moments pattern as q_agg_stats;
+    // Spark's corr() folds doubles in partition order and would be
+    // nondeterministic under AQE).
+    "q_agg_corr" -> Q(
+      (s, dir) => {
+        val x = col("l_quantity").cast("decimal(19,4)")
+        val y = col("l_extendedprice").cast("decimal(19,4)")
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+               sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+               sum(x * x).cast("double").as("sxx"),
+               sum(y * y).cast("double").as("syy"),
+               sum(x * y).cast("double").as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+                  round((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"), 6)
+                    .as("covar_pop"),
+                  round((col("n") * col("sxy") - col("sx") * col("sy")) /
+                        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                         sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+                    .as("corr_qty_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, n,
+                     round((sxy - sx * sy / n) / n, 6) AS covar_pop,
+                     round((n * sxy - sx * sy) /
+                           (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                       AS corr_qty_price
+              FROM (SELECT l_returnflag, COUNT(*) AS n,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sx,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                               * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                               * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                               * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+                    FROM lineitem GROUP BY l_returnflag)
+              ORDER BY l_returnflag""")),
+
+    // t-digest-style approximate percentile beside its exact anchor, in
+    // the same bounded-check form as q_agg_approx_distinct: declared
+    // columns are the exact median plus a Spark-evaluated accuracy bound;
+    // the oracle emits the exact value and literal TRUE.
+    "q_agg_approx_percentile" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("round(percentile(o_totalprice, 0.5), 6)").as("exact_p50"),
+             expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap"),
+             min(col("o_totalprice")).as("lo"),
+             max(col("o_totalprice")).as("hi"))
+        .select(col("o_orderpriority"), col("exact_p50"),
+                (abs(col("ap") - col("exact_p50")) <=
+                 (col("hi") - col("lo")) * 0.05).as("within_bound"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+                     round(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,
+                     TRUE AS within_bound
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
     // Wide validation matrix: day × event_type counts.
     "q_agg_pivot" -> Q(
       (s, dir) => {

@@ -53,6 +53,28 @@ object SetOps {
                 WHERE o_orderdate >= TIMESTAMP '2000-01-01')
               ORDER BY o_orderkey""")),
 
+    // Wide→long reshape (melt/unpivot): four measure columns become
+    // (metric, value) rows — the normalization step feature pipelines run
+    // before per-metric aggregation. Pure row-local projection (each input
+    // row emits 4, no shuffle).
+    "q_unpivot" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("l_quantity"), col("l_extendedprice"),
+                         col("l_discount"), col("l_tax")),
+          variableColumnName = "metric",
+          valueColumnName = "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+      Some("""SELECT l_orderkey, l_linenumber, metric, value
+              FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                           l_extendedprice, l_discount, l_tax FROM lineitem)
+                   UNPIVOT (value FOR metric IN
+                            (l_quantity, l_extendedprice, l_discount, l_tax))
+              ORDER BY l_orderkey, l_linenumber, metric""")),
+
     // Schema-evolution union: a v2 slice carries an extra column the v1
     // slice lacks — unionByName(allowMissingColumns) null-fills v1, the
     // ingest-era "new spreadsheet gained a column" case.

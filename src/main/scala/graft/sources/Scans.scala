@@ -85,6 +85,27 @@ object Scans {
                                        'o_totalprice': 'DOUBLE'})
                ORDER BY o_orderkey""")),
 
+    // ORC round-trip: the second columnar lake format Spark ships native
+    // (vectorized reader, predicate pushdown). DuckDB can't read ORC, so
+    // the oracle recomputes from the parquet source — the round-trip
+    // equality IS the assertion.
+    "src_orc_roundtrip" -> Q(
+      (s, dir) => {
+        val out = s"$fixDir/customer_orc"
+        Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .filter(col("c_acctbal") > 5000.0)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), graft.H.dsum(col("c_acctbal")).as("total_bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+                      ${graft.H.oSum("c_acctbal")} AS total_bal
+               FROM customer WHERE c_acctbal > 5000.0
+               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Schema-evolution parquet lake: two drops with different schemas in
     // one directory, read back with mergeSchema (the lake-format column-
     // add without a rewrite; missing columns null-fill).

@@ -56,6 +56,72 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("pack_sequences: pack ids are contiguous and budget-bounded (sf fixture)") {
+    val df = Registry.byName("llm_pack_sequences").fn(spark, sf)
+    val packs = df.groupBy($"lang", $"pack_id")
+      .agg(sum($"n_toks").as("toks"), count(lit(1)).as("n"))
+      .collect()
+    // a pack may overflow only by its LAST doc (sorted-fill semantics):
+    // the pre-doc cumulative stays under the budget, so pack totals are
+    // < budget + max single doc
+    val maxDoc = df.agg(max($"n_toks")).as[Int].head()
+    packs.foreach { r =>
+      assert(r.getLong(2) < 2048L + maxDoc,
+        s"pack ${r.get(0)}/${r.get(1)} exceeds budget+maxdoc: ${r.getLong(2)}")
+    }
+    // ids are dense per lang: 0..max with no gaps
+    val dense = df.groupBy($"lang")
+      .agg(countDistinct($"pack_id").as("d"), max($"pack_id").as("m"))
+      .filter($"d" =!= $"m" + 1)
+    assert(dense.count() == 0, "pack ids have gaps")
+  }
+
+  test("embed_quantize: error bounded by half a quantization step") {
+    val df = Registry.byName("llm_embed_quantize").fn(spark, sf)
+    val bad = df.filter($"max_err6" > $"scale6" * 0.5 + 1e-6)
+    assert(bad.count() == 0,
+      s"reconstruction error above scale/2: ${bad.collect().mkString(",")}")
+  }
+
+  test("dedup_cluster: labels are component minima and closed under edges") {
+    val labels = Registry.byName("llm_dedup_cluster").fn(spark, sf)
+      .select($"doc_id", $"cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // label never exceeds the member id (min-propagation invariant)
+    labels.foreach { case (id, c) => assert(c <= id, s"label $c > id $id") }
+    // every near-dup edge connects same-cluster nodes (closure)
+    val pairs = Registry.byName("llm_dedup_near").fn(spark, sf)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) crosses clusters")
+    }
+    // each cluster's label is one of its members
+    val members = labels.groupBy(_._2).map { case (c, kv) => c -> kv.keys.toSet }
+    members.foreach { case (c, ms) => assert(ms.contains(c), s"label $c not a member") }
+  }
+
+  test("topn_native == window row_number spelling on random data") {
+    graft.plans.TopK.install(spark)
+    val df = randomKv(99, 500)
+    val w = Window.partitionBy($"k").orderBy($"v".desc, $"s")
+    val viaOp = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 4)
+      .select($"k", $"rn", $"v", $"s")
+    // the operator must actually be in the plan...
+    assert(viaOp.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    // ...and agree with the un-rewritten spelling (rank > limit defeats
+    // the rewrite's literal-bound match? no — use a sort-based recompute)
+    val expected = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).toSeq.flatMap { case (k, rows) =>
+        rows.sortBy { case (_, v, s) => (-v, s) }.take(4).zipWithIndex
+          .map { case ((_, v, s), i) => (k, i + 1, v, s) }
+      }.toSet
+    val got = viaOp.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == expected, s"native top-k diverged: ${got.diff(expected)}")
+  }
+
   test("cosine bounds on random float vectors") {
     graft.functions.Custom.register(spark)
     val rnd = new scala.util.Random(7)
