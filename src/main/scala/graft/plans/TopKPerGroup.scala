@@ -179,4 +179,16 @@ object TopK {
         classic.experimental.extraStrategies :+ TopKStrategy
     spark
   }
+
+  /** Detach again — tests that pin the PLAIN window plan need a session
+    * without the rewrite (install/uninstall pairs keep shared test
+    * sessions order-independent). */
+  def uninstall(spark: SparkSession): SparkSession = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.experimental.extraOptimizations =
+      classic.experimental.extraOptimizations.filterNot(_ == TopKRewrite)
+    classic.experimental.extraStrategies =
+      classic.experimental.extraStrategies.filterNot(_ == TopKStrategy)
+    spark
+  }
 }

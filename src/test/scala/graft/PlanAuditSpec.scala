@@ -126,8 +126,11 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("q_topn_native: rank-and-filter plans as two-phase TopKPerGroup, no Window") {
-    val df = Registry.byName("q_topn_native").fn(spark, sf)
-    val p = df.queryExecution.executedPlan.toString
+    val p = try {
+      val df = Registry.byName("q_topn_native").fn(spark, sf)
+      df.queryExecution.executedPlan.toString
+    } finally graft.plans.TopK.uninstall(spark) // shared session: other
+                                                // audits pin plain plans
     assert("TopKPerGroup".r.findAllIn(p).size == 2,
       s"expected partial+final TopKPerGroupExec:\n$p")
     assert(!p.contains("Window [") && !p.contains("WindowGroupLimit"),

@@ -103,6 +103,14 @@ class PropertySpec extends SparkSuite {
 
   test("topn_native == window row_number spelling on random data") {
     graft.plans.TopK.install(spark)
+    try testTopnNative()
+    finally graft.plans.TopK.uninstall(spark) // shared session — don't
+                                              // leak the rewrite into
+                                              // suites pinning the plain
+                                              // window plan
+  }
+
+  private def testTopnNative(): Unit = {
     val df = randomKv(99, 500)
     val w = Window.partitionBy($"k").orderBy($"v".desc, $"s")
     val viaOp = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 4)
