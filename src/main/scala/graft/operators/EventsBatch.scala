@@ -43,6 +43,62 @@ object EventsBatch {
               GROUP BY wstart
               ORDER BY wstart""")),
 
+    // Batch twin of st_stream_stream_join (same predicate as
+    // streaming.Streams.streamStreamJoin): clicks attributed to a same-
+    // user purchase within the preceding hour. Equi-key first — the
+    // shuffle is on user_id, the time band is a local predicate.
+    "q_events_attribution" -> Q(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val buys = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("buy_id"), col("user_id"),
+                  col("ts").as("buy_ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+        buys.join(clicks,
+            col("user_id") === col("c_user") &&
+            col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+            col("click_ts") <= col("buy_ts"))
+          .groupBy(col("buy_id"))
+          .agg(count(lit(1)).as("n_clicks"), max(col("click_ts")).as("last_click"))
+          .orderBy(col("buy_id"))
+      },
+      Some("""SELECT b.event_id AS buy_id, COUNT(*) AS n_clicks,
+                     MAX(c.ts) AS last_click
+              FROM events b JOIN events c
+                ON b.user_id = c.user_id
+               AND c.event_type = 'click'
+               AND c.ts BETWEEN b.ts - INTERVAL '1 hour' AND b.ts
+              WHERE b.event_type = 'purchase'
+              GROUP BY buy_id
+              ORDER BY buy_id""")),
+
+    // Gap-filling time spine: hourly calendar across the events span LEFT
+    // JOINed to hourly counts, zero-filled — the "no silent missing
+    // hours" report shape. The spine generates from the data's own
+    // min/max (one tiny agg broadcast).
+    "q_date_spine" -> Q(
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val spine = e.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+                          date_trunc("hour", max(col("ts"))).as("hi"))
+          .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+        val counts = e.groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        spine.join(counts, Seq("h"), "left")
+          .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("h"))
+      },
+      Some("""WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                                date_trunc('hour', MAX(ts)) AS hi FROM events),
+              spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS h
+                        FROM b),
+              c AS (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n
+                    FROM events GROUP BY 1)
+              SELECT spine.h AS h, COALESCE(c.n, 0) AS n
+              FROM spine LEFT JOIN c ON spine.h = c.h
+              ORDER BY h""")),
+
     // Session windows, 30 min gap, per user — the classic lag/flag/cumsum
     // pattern, expressed identically in both engines so rows hash-match.
     // (The streaming variant uses session_window; ScalaTest asserts it

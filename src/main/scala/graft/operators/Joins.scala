@@ -173,6 +173,28 @@ object Joins {
               WHERE rn = 1
               ORDER BY buy_id""")),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): nullable
+    // derived keys where NULL must match NULL — the "ungrouped bucket"
+    // join a plain equi-join silently drops.
+    "q_join_nullsafe" -> Q(
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .withColumn("seg_n", expr("NULLIF(c_mktsegment, 'BUILDING')"))
+        val sizes = c.groupBy(col("seg_n").as("g_seg"))
+          .agg(count(lit(1)).as("group_size"))
+        c.join(sizes, col("seg_n") <=> col("g_seg"))
+          .select(col("c_custkey"), coalesce(col("seg_n"), lit("(null)")).as("seg"),
+                  col("group_size"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH c AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg_n
+                         FROM customer),
+              s AS (SELECT seg_n AS g_seg, COUNT(*) AS group_size
+                    FROM c GROUP BY 1)
+              SELECT c_custkey, COALESCE(seg_n, '(null)') AS seg, group_size
+              FROM c JOIN s ON seg_n IS NOT DISTINCT FROM g_seg
+              ORDER BY c_custkey""")),
+
     // CDC MERGE/upsert shape without a table format: base FULL OUTER
     // JOIN delta on the key; update rows overwrite, insert rows append,
     // untouched rows pass through (the coalesce-per-column pattern Delta/

@@ -177,6 +177,24 @@ object Windows {
               WHERE o_orderkey <= 500
               ORDER BY o_orderpriority, o_orderkey""")),
 
+    // Event-time RANGE frame: trailing-1-hour event count per user — the
+    // rate-limiter / rolling-rate shape. RANGE mode keys the frame on the
+    // ORDER BY timestamp VALUE (ties are peers → deterministic even with
+    // duplicate timestamps, no tiebreaker needed in the frame).
+    "q_win_time_range" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+                expr("""COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+                  .as("n_trailing_1h"))
+        .orderBy(col("user_id"), col("event_id")),
+      Some("""SELECT user_id, event_id, ts,
+                     COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+                       AS n_trailing_1h
+              FROM events
+              ORDER BY user_id, event_id""")),
+
     // RANGE frame: CURRENT ROW in RANGE mode = all order-date peers →
     // same-day order total per customer.
     "q_win_range_frame" -> Q(

@@ -85,6 +85,32 @@ object Scans {
                                        'o_totalprice': 'DOUBLE'})
                ORDER BY o_orderkey""")),
 
+    // Range-partitioned, sorted lake write: repartitionByRange +
+    // sortWithinPartitions on the date key gives globally-ordered files
+    // whose parquet min/max statistics make date-range scans prune whole
+    // files — the sorted-lake layout for time-series at 100 TB.
+    "snk_sorted" -> Q(
+      (s, dir) => {
+        val out = s"$fixDir/orders_sorted"
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+          .repartitionByRange(4, col("o_orderdate"), col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderdate"), col("o_orderkey"))
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+                  col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+          .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+          .agg(count(lit(1)).as("n"), graft.H.dsum(col("o_totalprice")).as("total"))
+          .orderBy(col("month"))
+      },
+      Some(s"""SELECT date_trunc('month', o_orderdate) AS month,
+                      COUNT(*) AS n, ${graft.H.oSum("o_totalprice")} AS total
+               FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate < TIMESTAMP '1998-01-01'
+               GROUP BY month ORDER BY month""")),
+
     // ORC round-trip: the second columnar lake format Spark ships native
     // (vectorized reader, predicate pushdown). DuckDB can't read ORC, so
     // the oracle recomputes from the parquet source — the round-trip
