@@ -269,6 +269,30 @@ object Aggs {
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority""")),
 
+    // Boolean aggregates + argmax: validation-report primitives ("did
+    // every row pass", "which order set the max"). max_by's ordering
+    // value is made unique (price·1e9 + key, exact in double up to 9e15)
+    // so ties can't make the arg nondeterministic.
+    "q_agg_bool_argmax" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("bool_and(o_totalprice > 1000.0)").as("all_over_1k"),
+             expr("bool_or(o_orderstatus = 'P')").as("any_pending"),
+             expr("max_by(o_orderkey, o_totalprice * 1e9 + o_orderkey)")
+               .as("max_price_key"),
+             expr("min_by(o_orderkey, o_totalprice * 1e9 + o_orderkey)")
+               .as("min_price_key"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+                     bool_and(o_totalprice > 1000.0) AS all_over_1k,
+                     bool_or(o_orderstatus = 'P') AS any_pending,
+                     arg_max(o_orderkey, o_totalprice * 1e9 + o_orderkey)
+                       AS max_price_key,
+                     arg_min(o_orderkey, o_totalprice * 1e9 + o_orderkey)
+                       AS min_price_key
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
     // Wide validation matrix: day × event_type counts.
     "q_agg_pivot" -> Q(
       (s, dir) => {

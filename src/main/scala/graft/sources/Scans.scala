@@ -62,6 +62,43 @@ object Scans {
                                       'n_regionkey': 'INTEGER'})
                ORDER BY n_nationkey""")),
 
+    // Malformed-row handling — the reference's core ingest problem:
+    // curator spreadsheets with broken lines. PERMISSIVE mode parses what
+    // it can and routes the rest to _corrupt_record; the declared result
+    // is the VALID rows (the engine keeps the corrupt ones inspectable —
+    // asserted in ScalaTest). Oracle: DuckDB's ignore_errors drops the
+    // same unparseable lines.
+    "src_csv_malformed" -> Q(
+      (s, dir) => {
+        val path = s"$fixDir/nation_malformed.tsv"
+        val rows = Tables.nation(s, dir).orderBy(col("n_nationkey"))
+          .collect() // 25 rows, fixed size at every sf — driver-side ok
+          .map(r => s"${r.getInt(0)}\t${r.getString(1)}\t${r.getInt(2)}")
+        // 3 deliberately broken lines: non-numeric key, truncated, garbage
+        val broken = Seq("not_a_number\tBADLAND\t9", "99\tTRUNCATED", "###")
+        writeOnce(path, "n_nationkey\tn_name\tn_regionkey\n" +
+          (rows.take(10) ++ broken ++ rows.drop(10)).mkString("", "\n", "\n"))
+        val st = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType),
+          StructField("_corrupt_record", StringType)))
+        s.read.option("sep", "\t").option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(st).csv(path)
+          .filter(col("_corrupt_record").isNull)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some(s"""SELECT n_nationkey, n_name, n_regionkey
+               FROM read_csv('$fixDir/nation_malformed.tsv', delim='\t',
+                             header=true, ignore_errors=true,
+                             columns={'n_nationkey': 'INTEGER',
+                                      'n_name': 'VARCHAR',
+                                      'n_regionkey': 'INTEGER'})
+               ORDER BY n_nationkey""")),
+
     // JSON-lines metadata documents → typed columns via explicit schema.
     "src_json" -> Q(
       (s, dir) => {

@@ -40,6 +40,28 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("src_csv_malformed: the 3 broken lines are retained as corrupt records") {
+    // run the declared query first so the malformed fixture exists
+    Registry.byName("src_csv_malformed").fn(spark, sf).collect()
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType),
+      StructField("_corrupt_record", StringType)))
+    // Spark disallows queries touching ONLY _corrupt_record — read full
+    // rows (the documented workaround) and extract it afterwards.
+    val corrupt = spark.read.option("sep", "\t").option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(st).csv("/root/repo/target/graft_fixtures/nation_malformed.tsv")
+      .collect()
+      .flatMap(r => Option(r.getAs[String]("_corrupt_record")))
+    assert(corrupt.length == 3, s"expected 3 corrupt rows, got ${corrupt.toSeq}")
+    assert(corrupt.exists(_.startsWith("not_a_number")) &&
+           corrupt.exists(_.startsWith("99\tTRUNCATED")) &&
+           corrupt.exists(_.startsWith("###")))
+  }
+
   test("null semantics: na.drop/fill and null-safe predicates") {
     val df = Seq[(java.lang.Long, String)]((1L, "a"), (null, "b"), (3L, null))
       .toDF("k", "v")
