@@ -38,19 +38,28 @@ object Pipeline {
     val pairs = Dedup.nearPairs(s, dir).select(col("id_a"), col("id_b"))
     val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").repartition(4).localCheckpoint()
-    var lbl = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+    // seed with the direct-neighborhood minimum — one propagation step
+    // fused into initialization
+    var lbl = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("lbl"))
+      .select(col("src").as("id"), col("lbl"))
+      .localCheckpoint()
     var changed = 1L
     var steps = 0
     while (changed > 0 && steps < 20) {
+      // one pass computes BOTH the new label and whether it moved: the
+      // own-label row carries `old`, neighbor rows don't, so the agg can
+      // compare min(cand) against max(old) without a second join
+      val own = lbl.select(col("id"), col("lbl").as("cand"), col("lbl").as("old"))
       val nb = edges.join(lbl.select(col("id").as("dst"), col("lbl")), "dst")
-        .select(col("src").as("id"), col("lbl"))
-      val next = lbl.select(col("id"), col("lbl")).union(nb)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .select(col("src").as("id"), col("lbl").as("cand"),
+                lit(null).cast("long").as("old"))
+      val next = own.union(nb)
+        .groupBy(col("id"))
+        .agg(min(col("cand")).as("lbl"), max(col("old")).as("old"))
         .localCheckpoint()
-      changed = next.join(lbl.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      lbl = next
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      lbl = next.select(col("id"), col("lbl"))
       steps += 1
     }
     lbl

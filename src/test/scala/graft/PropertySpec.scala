@@ -130,6 +130,27 @@ class PropertySpec extends SparkSuite {
     assert(got == expected, s"native top-k diverged: ${got.diff(expected)}")
   }
 
+  test("declared results are invariant to shuffle-partition count (AQE determinism)") {
+    // The hash gate demands bit-identical results run-to-run; the easiest
+    // way to break that silently is a partial-agg-order-dependent double.
+    // Re-run representative aggregate/window/dedup keys under a different
+    // parallelism and demand identical rows.
+    val keys = Seq("q_agg_group", "q_agg_stats", "q_win_running",
+                   "llm_text_stats", "llm_dedup_near")
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.shuffle.partitions")
+    def rows(key: String) =
+      Registry.byName(key).fn(spark, sf).collect().map(_.toString).toSeq
+    keys.foreach { k =>
+      val base = rows(k)
+      conf.set("spark.sql.shuffle.partitions", "7")
+      try {
+        val alt = rows(k)
+        assert(alt == base, s"$k diverged under 7 shuffle partitions")
+      } finally conf.set("spark.sql.shuffle.partitions", saved)
+    }
+  }
+
   test("cosine bounds on random float vectors") {
     graft.functions.Custom.register(spark)
     val rnd = new scala.util.Random(7)
