@@ -5,9 +5,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * Queries live in graft.operators / graft.sources / graft.functions and
   * are assembled by [[Registry]]. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q_pipeline_e2e = the reference's whole ingest workflow (validate →
+    * null-clean → registry lookup → unregistered check → report) in one
+    * declarative plan. */
   def entry(spark: SparkSession): DataFrame =
-    Registry.byName("q_join_broadcast").fn(spark, "/root/testdata/sf0.001")
+    Registry.byName("q_pipeline_e2e").fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

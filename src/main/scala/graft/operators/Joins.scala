@@ -173,6 +173,55 @@ object Joins {
               WHERE rn = 1
               ORDER BY buy_id""")),
 
+    // The reference's whole ingest workflow as ONE declared query:
+    // validate rows (range + domain predicates), null-clean, look up the
+    // registry (broadcast), flag unregistered entries (the anti-join
+    // check, kept as a left join so the report can COUNT them), roll up
+    // to the per-nation/status validation report. Every stage is the
+    // declarative form of a reference capability; Catalyst fuses them
+    // into scan→broadcast-joins→partial-agg with no extra passes.
+    "q_pipeline_e2e" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .withColumn("valid",
+            col("o_totalprice").between(1.0, 600000.0) &&
+            col("o_orderstatus").isin("F", "O", "P") &&
+            col("o_orderdate").isNotNull)
+        // registry with a deterministic gap so the unregistered path is
+        // exercised (every 37th customer "not yet registered")
+        val reg = Tables.customer(s, dir).filter(col("c_custkey") % 37 =!= 0)
+          .withColumn("seg", coalesce(expr("NULLIF(c_mktsegment, 'BUILDING')"),
+                                      lit("UNKNOWN")))
+          .select(col("c_custkey"), col("seg"), col("c_nationkey"))
+        val n = Tables.nation(s, dir)
+        o.join(broadcast(reg), col("o_custkey") === col("c_custkey"), "left")
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+          .groupBy(coalesce(col("n_name"), lit("(unregistered)")).as("nation"),
+                   col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"),
+               sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_unreg"),
+               H.dsum(when(col("valid") && col("c_custkey").isNotNull,
+                           col("o_totalprice")).otherwise(0.0)).as("total_valid"))
+          .orderBy(col("nation"), col("o_orderstatus"))
+      },
+      Some(s"""SELECT COALESCE(n_name, '(unregistered)') AS nation, o_orderstatus,
+                      COUNT(*) AS n_orders,
+                      CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+                      CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unreg,
+                      ${H.oSum("CASE WHEN valid AND c_custkey IS NOT NULL THEN o_totalprice ELSE 0.0 END")} AS total_valid
+               FROM (SELECT o_custkey, o_orderstatus, o_totalprice,
+                            o_totalprice BETWEEN 1.0 AND 600000.0
+                              AND o_orderstatus IN ('F','O','P')
+                              AND o_orderdate IS NOT NULL AS valid
+                     FROM orders) o
+               LEFT JOIN (SELECT c_custkey, c_nationkey FROM customer
+                          WHERE c_custkey % 37 <> 0) c
+                 ON o.o_custkey = c.c_custkey
+               LEFT JOIN nation ON c.c_nationkey = n_nationkey
+               GROUP BY COALESCE(n_name, '(unregistered)'), o_orderstatus
+               ORDER BY nation, o_orderstatus""")),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): nullable
     // derived keys where NULL must match NULL — the "ungrouped bucket"
     // join a plain equi-join silently drops.

@@ -216,6 +216,30 @@ object Scans {
                FROM orders GROUP BY o_orderpriority
                ORDER BY o_orderpriority""")),
 
+    // JSON metadata emission + read-back — the reference's output format
+    // for registered metadata documents. Doubles survive the JSON text
+    // round-trip exactly (shortest-repr serialization).
+    "snk_json_roundtrip" -> Q(
+      (s, dir) => {
+        val out = s"$fixDir/segment_report_json"
+        Tables.customer(s, dir)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_custs"),
+               graft.H.dsum(col("c_acctbal")).as("total_bal"))
+          .coalesce(1)
+          .write.mode("overwrite").json(out)
+        val st = StructType(Seq(
+          StructField("c_mktsegment", StringType),
+          StructField("n_custs", LongType),
+          StructField("total_bal", DoubleType)))
+        s.read.schema(st).json(out)
+          .orderBy(col("c_mktsegment"))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n_custs,
+                      ${graft.H.oSum("c_acctbal")} AS total_bal
+               FROM customer GROUP BY c_mktsegment
+               ORDER BY c_mktsegment""")),
+
     // Partitioned lake write (the 100 TB layout) + partition-pruned read
     // back. Oracle checks the round-trip against the original table.
     "snk_partitioned" -> Q(
