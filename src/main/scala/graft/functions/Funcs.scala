@@ -104,6 +104,34 @@ object Funcs {
               FROM orders
               ORDER BY o_orderkey""")),
 
+    // Lenient casting: try_cast yields NULL where CAST would throw under
+    // ANSI semantics — the malformed-value cell-level companion to
+    // src_csv_malformed's row-level handling.
+    "fn_trycast" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("first_tok", expr("element_at(split(trim(text), ' '), 1)"))
+        .select(
+          col("doc_id"),
+          expr("try_cast(first_tok AS INT)").as("tok_as_int"),
+          expr("try_cast(substr(text, 1, 10) AS DOUBLE)").as("prefix_as_dbl"),
+          expr("try_cast(CAST(n_chars AS STRING) AS INT)").as("roundtrip_int"),
+          // null dates/timestamps must never reach a declared output (the
+          // two read paths spell them NULL vs NaT) — sentinel-fill them
+          expr("""coalesce(try_cast(CASE WHEN doc_id % 3 = 0 THEN '2024-01-15'
+                                         ELSE first_tok END AS DATE),
+                           DATE'1900-01-01')""").as("date_or_default"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+                     TRY_CAST(string_split(trim(text), ' ')[1] AS INT) AS tok_as_int,
+                     TRY_CAST(substr(text, 1, 10) AS DOUBLE) AS prefix_as_dbl,
+                     TRY_CAST(CAST(n_chars AS VARCHAR) AS INT) AS roundtrip_int,
+                     COALESCE(TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN '2024-01-15'
+                                            ELSE string_split(trim(text), ' ')[1]
+                                       END AS DATE),
+                              DATE '1900-01-01') AS date_or_default
+              FROM documents
+              ORDER BY doc_id""")),
+
     // Bitwise kernel over integer keys (mask/shift/xor/popcount — the id
     // packing/unpacking and bloom/bitset primitives). DuckDB's `^` is
     // POWER, so the oracle spells xor(); everything is exact int64 math.

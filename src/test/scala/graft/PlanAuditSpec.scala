@@ -142,6 +142,29 @@ class PlanAuditSpec extends SparkSuite {
       s"no exchange between partial and final top-k:\n$p")
   }
 
+  test("snk_partitioned read-back: partition value reaches PartitionFilters") {
+    // run the declared query to materialize the partitioned layout, then
+    // audit that the filter prunes partitions instead of scanning them
+    Registry.byName("snk_partitioned").fn(spark, sf).collect()
+    val read = spark.read
+      .parquet("/root/repo/target/graft_fixtures/lineitem_by_flag")
+      .filter(col("l_returnflag") === "R")
+    val p = read.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"partition filter not applied:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(l_returnflag)"),
+      s"partition column leaked into data filters:\n$p")
+  }
+
+  test("q_pipeline_e2e: registry and nation lookups broadcast, one agg shuffle") {
+    val df = Registry.byName("q_pipeline_e2e").fn(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"lookups did not broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"more than the one agg shuffle:\n$p")
+  }
+
   test("q_filter_pred: compound predicate pushed to parquet") {
     val p = planOf("q_filter_pred")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
