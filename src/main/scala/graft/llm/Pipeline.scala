@@ -216,6 +216,77 @@ object Pipeline {
                GROUP BY lang
                ORDER BY lang""")),
 
+    // Count-min sketch beside its exact anchor — the bounded-memory
+    // frequency estimator for corpus token stats at 100 TB (the sketch is
+    // mergeable across partitions; memory is eps/confidence-bound, not
+    // cardinality-bound). CMS never underestimates, and overestimate is
+    // ≤ eps·N with the declared confidence — both declared as booleans
+    // next to the exact count; the sketch bytes stay internal.
+    "llm_topk_cms" -> Q(
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(explode(expr("split(lower(trim(text)), ' ')")).as("tok"))
+        val exact = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok")).limit(5)
+        val n_total = tok.count()
+        val sketchBytes = tok
+          .agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99), lit(42)))
+          .head().getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sketchBytes))
+        val s2 = s
+        import s2.implicits._
+        val est = exact.collect().toSeq // 5 rows — driver-side by design
+          .map { r =>
+            val t = r.getString(0); val n = r.getLong(1)
+            val e = cms.estimateCount(t)
+            (t, n, e >= n, e - n <= math.ceil(0.001 * n_total).toLong)
+          }
+        est.toDF("tok", "n_exact", "no_underestimate", "overest_in_eps")
+          .orderBy(col("n_exact").desc, col("tok"))
+      },
+      Some("""SELECT tok, n_exact, TRUE AS no_underestimate, TRUE AS overest_in_eps
+              FROM (SELECT tok, COUNT(*) AS n_exact
+                    FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+                          FROM documents)
+                    GROUP BY tok
+                    ORDER BY n_exact DESC, tok
+                    LIMIT 5)
+              ORDER BY n_exact DESC, tok""")),
+
+    // The dataset card: the per-corpus summary report every shipped
+    // training set carries — composition by lang/source with size,
+    // length, and dedup-rate columns in one pass over `documents`.
+    "llm_dataset_card" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("h", sha2(expr("substr(lower(trim(text)), 1, 40)"), 256))
+        d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               sum(col("n_chars")).as("total_chars"),
+               min(col("n_chars")).as("min_chars"),
+               max(col("n_chars")).as("max_chars"),
+               graft.H.davg(col("n_chars")).as("avg_chars"),
+               countDistinct(col("h")).as("n_unique"))
+          .withColumn("dup_rate",
+            ((col("n_docs") - col("n_unique")).cast("decimal(18,6)") /
+             col("n_docs")).cast("decimal(18,6)").cast("double"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some(s"""SELECT lang, source, COUNT(*) AS n_docs,
+                      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                      MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                      ${graft.H.oAvg("n_chars")} AS avg_chars,
+                      COUNT(DISTINCT sha256(substr(lower(trim(text)), 1, 40)))
+                        AS n_unique,
+                      CAST(CAST(CAST(COUNT(*) - COUNT(DISTINCT
+                             sha256(substr(lower(trim(text)), 1, 40)))
+                           AS DECIMAL(18,6)) / COUNT(*) AS DECIMAL(18,6))
+                           AS DOUBLE) AS dup_rate
+               FROM documents
+               GROUP BY lang, source
+               ORDER BY lang, source""")),
+
     // Int8 symmetric quantization of the embedding column + reconstruction
     // error — the storage/serving compression step. floor(x/s + 0.5)
     // instead of round(): both engines floor identically, while their

@@ -165,6 +165,32 @@ class PlanAuditSpec extends SparkSuite {
       s"more than the one agg shuffle:\n$p")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = saved.map { case (k, _) => k -> conf.getOption(k) }
+    saved.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      // selective build side (2% of orders) SMJ-joined to lineitem: the
+      // optimizer should inject bloom_filter_might_contain on the probe
+      val sel = Tables.orders(spark, sf).filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey"))
+      val joined = Tables.lineitem(spark, sf)
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally old.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("q_filter_pred: compound predicate pushed to parquet") {
     val p = planOf("q_filter_pred")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),

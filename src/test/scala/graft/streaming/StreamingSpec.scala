@@ -215,6 +215,38 @@ class StreamingSpec extends SparkSuite {
     assertSameRows(out, expected)
   }
 
+  test("checkpoint recovery: restart resumes from committed offsets, no double-count") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_recover").toString
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"
+    val first = fixtureEvs.take(200)
+    val second = fixtureEvs.slice(200, 400)
+    evDf(first).repartition(2).write.mode("append").parquet(inDir)
+    def totals(): Map[Long, Long] = {
+      // complete-mode per-user counts into a fresh memory table each run
+      val q = Streams.fileStream(spark, inDir, Streams.eventSchema)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("t_recover")
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.table("t_recover").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val run1 = totals()
+    // new data lands, stream restarts from the SAME checkpoint: committed
+    // files must not replay, new files must be picked up exactly once
+    evDf(second).repartition(2).write.mode("append").parquet(inDir)
+    val run2 = totals()
+    val expected = evDf(first ++ second).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run2 == expected,
+      s"restart diverged: ${run2.toSeq.sorted} vs ${expected.toSeq.sorted}")
+    assert(run1 != expected || second.isEmpty) // run1 saw only the first half
+  }
+
   test("src_stream_file + st_foreachbatch_sink: file replay → exactly-once parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
