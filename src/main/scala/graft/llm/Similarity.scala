@@ -175,6 +175,53 @@ object Similarity {
                WHERE cos >= 0.2
                ORDER BY label, id_a, id_b""")),
 
+    // RAG context assembly: the retrieval-side operator — top-4 neighbors
+    // of the query vector, joined back to their documents, packed into
+    // ONE ordered context string with per-doc character budgets. Composes
+    // the ANN probe with the packing/truncation step serving stacks run
+    // per request; here it's the batch shape (one query, k docs, one
+    // string out).
+    "llm_rag_context" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val e = Tables.embeddings(s, dir).withColumn("nrm", expr(normE))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val top = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos", round(
+            expr(dotE("embedding", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+          .select(col("vec_id"), col("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(4)
+        top.join(Tables.documents(s, dir), col("vec_id") === col("doc_id"))
+          .withColumn("snippet",
+            concat(lit("["), col("doc_id"), lit("] "),
+                   expr("substr(text, 1, 80)")))
+          // Spark has no within-group ORDER BY: sort a (−cos, id) struct
+          // array instead — total order, so collect_list's arrival
+          // nondeterminism never reaches the output
+          .agg(concat_ws(" | ", expr(
+            """transform(array_sort(collect_list(struct(-cos AS negcos,
+                                                        vec_id, snippet))),
+                         x -> x.snippet)""")).as("context"),
+               count(lit(1)).as("n_docs"),
+               round(min(col("cos")), 6).as("min_cos"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding, $duckNorm AS nrm
+                          FROM embeddings),
+               q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n WHERE vec_id = 0),
+               top AS (SELECT vec_id,
+                              round(${duckDot("n.embedding", "q.q_emb")}
+                                    / (n.nrm * q.q_nrm), 6) AS cos
+                       FROM n, q WHERE vec_id <> 0
+                       ORDER BY cos DESC, vec_id LIMIT 4)
+               SELECT string_agg('[' || doc_id || '] ' || substr(text, 1, 80),
+                                 ' | ' ORDER BY cos DESC, vec_id) AS context,
+                      COUNT(*) AS n_docs,
+                      round(MIN(cos), 6) AS min_cos
+               FROM top JOIN documents ON vec_id = doc_id""")),
+
     // Embedding-cosine near-dup dedup: canonical vectors = those that are
     // never the higher-id member of a >= 0.2 pair (keep-min-id clustering,
     // same survivor rule as llm_dedup_exact). Pair generation shares the

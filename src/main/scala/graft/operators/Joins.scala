@@ -327,6 +327,40 @@ object Joins {
                GROUP BY o_orderstatus
                ORDER BY o_orderstatus""")),
 
+    // Explicit skew salting — the named 100 TB technique as a real query,
+    // not a comment: the fact's join key collapses to 3 hot values, so a
+    // plain shuffle join puts a third of the corpus in one task. Salting
+    // splits each hot key into 8 shards (fact side: deterministic salt
+    // from the row id; dim side: replicated ×8) and joins on (key, salt)
+    // — same result, 8× the parallelism on the hot keys. AQE's skew-join
+    // handles sort-merge cases adaptively (PlanAuditSpec proves it);
+    // salting is the layout-level fix that also covers aggregations.
+    "q_join_salted" -> Q(
+      (s, dir) => {
+        val S = 8
+        val fact = Tables.events(s, dir)
+          .withColumn("hot_key", col("user_id") % 3)
+          .withColumn("salt", pmod(col("event_id"), lit(S)))
+        val dim = Tables.events(s, dir)
+          .groupBy((col("user_id") % 3).as("d_key"))
+          .agg(count(lit(1)).as("key_total"))
+          .withColumn("salt_d", explode(expr(s"sequence(0, ${S - 1})")))
+        fact.join(dim, col("hot_key") === col("d_key") &&
+                       col("salt") === col("salt_d"))
+          .groupBy(col("hot_key"), col("key_total"))
+          .agg(count(lit(1)).as("n_events"),
+               H.dsum(col("value")).as("sum_value"))
+          .orderBy(col("hot_key"))
+      },
+      Some(s"""SELECT hot_key, key_total, COUNT(*) AS n_events,
+                      ${H.oSum("value")} AS sum_value
+               FROM (SELECT user_id % 3 AS hot_key, value FROM events) f
+               JOIN (SELECT user_id % 3 AS d_key, COUNT(*) AS key_total
+                     FROM events GROUP BY 1) d
+                 ON hot_key = d_key
+               GROUP BY hot_key, key_total
+               ORDER BY hot_key""")),
+
     // Blocked self-join: dedup candidate pairs, same lang, near-equal
     // length. Block key (lang) bounds the pair explosion; at 100 TB the
     // block key would widen to (lang, n_chars DIV 20) to cap skew.

@@ -191,6 +191,21 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("self-joined aggregate reuses the exchange (no duplicate subplan)") {
+    // the same agg referenced twice (share-of-total pattern) must compute
+    // once: Spark plans the second reference as ReusedExchange
+    val byStatus = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    val total = byStatus.agg(max(col("n")).as("max_n"))
+    val joined = byStatus.crossJoin(total)
+      .select(col("o_orderstatus"), col("n"), col("max_n"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("ReusedSubquery") ||
+           p.contains("TableCacheQueryStage"),
+      s"aggregate subplan computed twice:\n$p")
+  }
+
   test("q_filter_pred: compound predicate pushed to parquet") {
     val p = planOf("q_filter_pred")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
