@@ -234,6 +234,42 @@ object TextAnalysis {
                WHERE rn <= 3
                ORDER BY lang, rn""")),
 
+    // Perplexity-proxy quality scoring (CCNet shape): score each doc by
+    // its mean unigram log-probability under the corpus's own LM — the
+    // standard "does this look like the reference distribution" filter.
+    // Two passes: token counts (the LM), then explode + join + per-doc
+    // mean. At 100 TB the LM is the small side (vocab, not corpus) and
+    // broadcasts. ln is rounded at 6 per term (libm ulp hazard) and the
+    // mean runs through the exact-decimal path.
+    "llm_perplexity_proxy" -> Q(
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(toksE)).as("tok"))
+        val lm = tok.groupBy(col("tok"))
+          .agg(count(lit(1)).as("tf"))
+          .crossJoin(broadcast(tok.agg(count(lit(1)).as("n_total"))))
+          .select(col("tok"),
+                  round(log(col("tf").cast("double") / col("n_total")), 6)
+                    .as("logp"))
+        tok.join(broadcast(lm), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"),
+               (sum(col("logp").cast("decimal(38,6)")) / count(lit(1)))
+                 .cast("decimal(38,6)").cast("double").as("mean_logp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+               n AS (SELECT COUNT(*) AS n_total FROM tok),
+               lm AS (SELECT tok, round(ln(CAST(COUNT(*) AS DOUBLE) / n_total), 6)
+                               AS logp
+                      FROM tok, n GROUP BY tok, n_total)
+               SELECT doc_id, COUNT(*) AS n_toks,
+                      CAST(CAST(SUM(CAST(logp AS DECIMAL(38,6))) / COUNT(*)
+                           AS DECIMAL(38,6)) AS DOUBLE) AS mean_logp
+               FROM tok JOIN lm USING (tok)
+               GROUP BY doc_id
+               ORDER BY doc_id""")),
+
     // Document fingerprint: position-weighted rolling hash over
     // md5-derived token ids — deterministic across engines/runs, the
     // cheap near-identity key for incremental dedup.

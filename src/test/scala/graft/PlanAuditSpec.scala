@@ -206,6 +206,15 @@ class PlanAuditSpec extends SparkSuite {
       s"aggregate subplan computed twice:\n$p")
   }
 
+  test("AQE coalesces over-provisioned shuffle partitions on small aggs") {
+    val df = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead coalesced") || p.contains("coalesced"),
+      s"AQE did not coalesce the tiny shuffle:\n$p")
+  }
+
   test("q_filter_pred: compound predicate pushed to parquet") {
     val p = planOf("q_filter_pred")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
