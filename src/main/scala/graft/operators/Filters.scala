@@ -122,6 +122,44 @@ object Filters {
                                   AND o.o_orderstatus = 'P')
               ORDER BY c_custkey""")),
 
+    // Constraint validation report — the ingest gate's PK/FK/domain
+    // checks as one single-row result: orphaned foreign keys, duplicate
+    // primary keys, domain violations. Each check is a distributed
+    // aggregate; the report row is their conjunction.
+    "q_check_constraints" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val orphans = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan_fk"))
+        val dupPk = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("k"))
+          .filter(col("k") > 1).agg(count(lit(1)).as("n_dup_pk"))
+        val domain = o.filter(!col("o_orderstatus").isin("F", "O", "P") ||
+                              col("o_totalprice") <= 0.0)
+          .agg(count(lit(1)).as("n_domain_bad"))
+        orphans.crossJoin(dupPk).crossJoin(domain)
+          .withColumn("all_valid",
+            col("n_orphan_fk") === 0 && col("n_dup_pk") === 0 &&
+            col("n_domain_bad") === 0)
+      },
+      Some("""SELECT
+                (SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS n_orphan_fk,
+                (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                                       GROUP BY 1 HAVING COUNT(*) > 1)) AS n_dup_pk,
+                (SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('F','O','P')
+                    OR o_totalprice <= 0.0) AS n_domain_bad,
+                (SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) = 0
+                AND (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                                           GROUP BY 1 HAVING COUNT(*) > 1)) = 0
+                AND (SELECT COUNT(*) FROM orders
+                     WHERE o_orderstatus NOT IN ('F','O','P')
+                        OR o_totalprice <= 0.0) = 0 AS all_valid""")),
+
     "q_conditional" -> Q(
       (s, dir) => Tables.orders(s, dir)
         .select(
