@@ -27,6 +27,10 @@ object Pipeline {
   private def duckU(x: String) =
     s"('0x' || substr(md5($x), 1, 15))::BIGINT % 1000000"
 
+  /** Normalized token array (materialized column — never inline into
+    * higher-order lambdas, see the CSE hazard on Sketches). */
+  private val toksFunnel = "split(lower(trim(text)), ' ')"
+
   /** Connected-component labels over the near-dup pair graph: (doc_id →
     * min doc_id of its component), via iterative min-label propagation.
     * Shared by llm_dedup_cluster and llm_dedup_survivors. The edge list —
@@ -215,6 +219,42 @@ object Pipeline {
                WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> cluster_id)
                GROUP BY lang
                ORDER BY lang""")),
+
+    // Filter-funnel report: how many documents each curation gate would
+    // remove, cumulatively — the triage report run before committing to a
+    // filter stack. One conditional-aggregation pass; each stage is the
+    // conjunction of all gates up to it.
+    "llm_filter_funnel" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("toks", expr(toksFunnel))
+        .withColumn("g_len", col("n_chars").between(60, 2000))
+        .withColumn("g_toks", size(col("toks")) >= 10)
+        .withColumn("g_stop", size(expr(
+          "filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))")) > 0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_raw"),
+             sum(when(col("g_len"), 1L).otherwise(0L)).as("pass_len"),
+             sum(when(col("g_len") && col("g_toks"), 1L).otherwise(0L))
+               .as("pass_len_toks"),
+             sum(when(col("g_len") && col("g_toks") && col("g_stop"), 1L)
+               .otherwise(0L)).as("pass_all"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, COUNT(*) AS n_raw,
+                     CAST(SUM(CASE WHEN g_len THEN 1 ELSE 0 END) AS BIGINT)
+                       AS pass_len,
+                     CAST(SUM(CASE WHEN g_len AND g_toks THEN 1 ELSE 0 END)
+                       AS BIGINT) AS pass_len_toks,
+                     CAST(SUM(CASE WHEN g_len AND g_toks AND g_stop THEN 1
+                              ELSE 0 END) AS BIGINT) AS pass_all
+              FROM (SELECT lang,
+                      n_chars BETWEEN 60 AND 2000 AS g_len,
+                      len(string_split(lower(trim(text)), ' ')) >= 10 AS g_toks,
+                      len(list_filter(string_split(lower(trim(text)), ' '),
+                          t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) > 0
+                        AS g_stop
+                    FROM documents)
+              GROUP BY lang
+              ORDER BY lang""")),
 
     // Count-min sketch beside its exact anchor — the bounded-memory
     // frequency estimator for corpus token stats at 100 TB (the sketch is

@@ -293,6 +293,27 @@ object Aggs {
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority""")),
 
+    // Calendar-hierarchy subtotals: ROLLUP over derived (year, month)
+    // gives monthly rows + yearly subtotals + grand total in one pass —
+    // the time-series twin of the dimensional q_agg_rollup.
+    "q_rollup_time" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("yr", year(col("o_orderdate")))
+        .withColumn("mo", month(col("o_orderdate")))
+        .rollup(col("yr"), col("mo"))
+        .agg(count(lit(1)).as("n"), H.dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("yr"), lit(-1)).as("yr"),
+                coalesce(col("mo"), lit(-1)).as("mo"), col("n"), col("total"))
+        .orderBy(col("yr"), col("mo")),
+      Some(s"""SELECT COALESCE(yr, -1) AS yr, COALESCE(mo, -1) AS mo,
+                      COUNT(*) AS n, ${H.oSum("o_totalprice")} AS total
+               FROM (SELECT EXTRACT(year FROM o_orderdate) AS yr,
+                            EXTRACT(month FROM o_orderdate) AS mo,
+                            o_totalprice
+                     FROM orders)
+               GROUP BY ROLLUP(yr, mo)
+               ORDER BY yr, mo""")),
+
     // Wide validation matrix: day × event_type counts.
     "q_agg_pivot" -> Q(
       (s, dir) => {
