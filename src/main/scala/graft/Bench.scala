@@ -24,6 +24,15 @@ object Bench {
         "lineitem", "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
+    // Representative untimed warmup: a broadcast join, a window, and an
+    // HOF/codegen-heavy query, so whole-stage-codegen compilation, the
+    // broadcast machinery, and WindowExec don't all land on whichever key
+    // sorts first alphabetically (r2: llm_dedup_simhash absorbed them and
+    // read 2-5x its steady-state time in first-slot runs).
+    Seq("q_join_broadcast", "q_win_topn_group", "fn_array")
+      .flatMap(SparkEntry.queries.get)
+      .foreach { fn => try fn(spark, sfDir).count()
+                       catch { case _: Throwable => () } }
     // Optional local-iteration filter (driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])

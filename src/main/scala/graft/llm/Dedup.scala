@@ -251,12 +251,17 @@ object Dedup {
         val b = banded.select(col("lang").as("lang_b"), col("band").as("band_b"),
                               col("bval").as("bval_b"),
                               col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+        // hd <= 4 lives INSIDE the join condition: Spark evaluates non-equi
+        // predicates during the hash-join probe, so the Σ bucket² candidate
+        // rows die in the join operator instead of being materialized and
+        // shuffled through distinct(). r2 shape (distinct-then-filter)
+        // shuffled every candidate; this shuffles only true near-dups.
         a.join(b, col("lang") === col("lang_b") && col("band") === col("band_b") &&
-                  col("bval") === col("bval_b") && col("id_a") < col("id_b"))
+                  col("bval") === col("bval_b") && col("id_a") < col("id_b") &&
+                  bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 4)
           .select(col("lang"), col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-          .distinct() // a pair may share several bands
+          .distinct() // a surviving pair may share several bands
           .withColumn("hd", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-          .filter(col("hd") <= 4)
           .orderBy(col("lang"), col("id_a"), col("id_b"))
       },
       Some(s"""WITH t AS (SELECT doc_id, lang,

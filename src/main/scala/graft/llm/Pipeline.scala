@@ -39,15 +39,29 @@ object Pipeline {
     * a checkpoint dir at real scale). Converges in O(component diameter)
     * steps; near-dup components are shallow in practice. */
   private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    // Lineage cut per step: reliable checkpoint when the session has a
+    // checkpoint dir (the real-cluster setting — survives executor loss),
+    // localCheckpoint otherwise (local mode / tests).
+    def cut(df: DataFrame): DataFrame =
+      if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
     val pairs = Dedup.nearPairs(s, dir).select(col("id_a"), col("id_b"))
-    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").repartition(4).localCheckpoint()
+    val raw = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+    val first = cut(raw)
+    // Size the loop's working partitioning by the EDGE count (the corpus
+    // partitioning is irrelevant here): ~1M edges per task, capped at the
+    // session's parallelism — 1 task at fixture scale, hundreds at 100 TB.
+    val nEdges = first.count()
+    val parts = math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+                                      nEdges / 1000000L + 1L)).toInt
+    val edges = if (first.rdd.getNumPartitions == parts) first
+                else cut(first.repartition(parts))
     // seed with the direct-neighborhood minimum — one propagation step
     // fused into initialization
-    var lbl = edges.groupBy(col("src"))
+    var lbl = cut(edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("lbl"))
-      .select(col("src").as("id"), col("lbl"))
-      .localCheckpoint()
+      .select(col("src").as("id"), col("lbl")))
     var changed = 1L
     var steps = 0
     while (changed > 0 && steps < 20) {
@@ -58,10 +72,9 @@ object Pipeline {
       val nb = edges.join(lbl.select(col("id").as("dst"), col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl").as("cand"),
                 lit(null).cast("long").as("old"))
-      val next = own.union(nb)
+      val next = cut(own.union(nb)
         .groupBy(col("id"))
-        .agg(min(col("cand")).as("lbl"), max(col("old")).as("old"))
-        .localCheckpoint()
+        .agg(min(col("cand")).as("lbl"), max(col("old")).as("old")))
       changed = next.filter(col("lbl") =!= col("old")).count()
       lbl = next.select(col("id"), col("lbl"))
       steps += 1
@@ -268,12 +281,15 @@ object Pipeline {
           .select(explode(expr("split(lower(trim(text)), ' ')")).as("tok"))
         val exact = tok.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
           .orderBy(col("n_exact").desc, col("tok")).limit(5)
-        val n_total = tok.count()
         val sketchBytes = tok
           .agg(count_min_sketch(col("tok"), lit(0.001), lit(0.99), lit(42)))
           .head().getAs[Array[Byte]](0)
         val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(sketchBytes))
+        // N for the eps·N bound comes from the sketch itself (CMS tracks
+        // its own totalCount), so no separate full count() pass — the
+        // corpus is scanned once for the sketch, once for the exact anchor.
+        val n_total = cms.totalCount()
         val s2 = s
         import s2.implicits._
         val est = exact.collect().toSeq // 5 rows — driver-side by design
