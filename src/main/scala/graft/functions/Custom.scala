@@ -95,6 +95,8 @@ object Custom {
       es => Sketches.MinHash16(es(0)), "built-in")
     reg.createOrReplaceTempFunction("shingles3",
       es => Sketches.Shingles3(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("hll_distinct",
+      es => HyperLogLogAgg(es(0)).toAggregateExpression(), "built-in")
     spark
   }
 
@@ -195,6 +197,27 @@ object Custom {
               FROM documents WHERE doc_id < 20
               ORDER BY doc_id, pos""")),
 
+    // TypedImperativeAggregate surface: the from-scratch HLL sketch
+    // ([[HyperLogLogAgg]]) beside its exact anchor, oracled like
+    // q_agg_approx_distinct — the estimate itself is algorithm-internal,
+    // so the DECLARED columns are the exact count plus a within-3·rsd
+    // boolean (deterministic: xxhash64 seed 42, max-merge registers).
+    "udaf_hll" -> Q(
+      (s, dir) => {
+        register(s)
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("n_exact"),
+               expr("hll_distinct(o_custkey)").as("est"))
+          .select(col("o_orderpriority"), col("n_exact"),
+                  (abs(col("est") - col("n_exact")).cast("double") / col("n_exact")
+                     <= 3 * HyperLogLogAgg.Rsd).as("within_bound"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact,
+                     TRUE AS within_bound
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // Native-Expression surface: per-vector cosine against the vec_id=0
     // query via the codegen kernel — full-scan shape (every ANN variant's
     // inner loop), numerically bit-identical to the built-in fold.
@@ -250,5 +273,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash16"),
       new ExpressionInfo(Sketches.MinHash16.getClass.getCanonicalName, "minhash16"),
       (es: Seq[Expression]) => Sketches.MinHash16(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(HyperLogLogAgg.getClass.getCanonicalName, "hll_distinct"),
+      (es: Seq[Expression]) => HyperLogLogAgg(es(0)).toAggregateExpression()))
   }
 }

@@ -40,6 +40,24 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("udaf_hll: sketch estimate within 3*rsd, invariant to partitioning") {
+    graft.functions.Custom.register(spark)
+    // known-cardinality input: 10k distinct longs, each duplicated 3x
+    val n = 10000L
+    val base = spark.range(n * 3).select((col("id") % n).as("v"))
+    Seq(1, 7, 32).foreach { parts =>
+      val est = base.repartition(parts).agg(expr("hll_distinct(v)")).head().getLong(0)
+      assert(math.abs(est - n).toDouble / n <= 3 * functions.HyperLogLogAgg.Rsd,
+        s"parts=$parts: est $est vs exact $n past 3*rsd")
+      // determinism across partitionings (max-merge is order-free)
+      val est1 = base.repartition(1).agg(expr("hll_distinct(v)")).head().getLong(0)
+      assert(est == est1, s"estimate varies with partitioning: $est vs $est1")
+    }
+    // declared query's bound holds
+    val rows = Registry.byName("udaf_hll").fn(spark, sf).collect()
+    rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)}: out of bound"))
+  }
+
   test("src_csv_malformed: the 3 broken lines are retained as corrupt records") {
     // run the declared query first so the malformed fixture exists
     Registry.byName("src_csv_malformed").fn(spark, sf).collect()
