@@ -17,7 +17,8 @@ object Registry {
     llm.Similarity.qs ++
     llm.TextAnalysis.qs ++
     llm.Multimodal.qs ++
-    llm.Pipeline.qs
+    llm.Pipeline.qs ++
+    llm.Curation.qs
 
   lazy val byName: Map[String, Q] = all.toMap
 

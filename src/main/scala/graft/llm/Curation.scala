@@ -1,0 +1,154 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-3 corpus-curation additions — the bookkeeping operators a
+  * training-data pipeline runs between dedup and packing: eval-set
+  * decontamination, RAG chunking, source-mixture planning, and the
+  * token-length census. All stateless projections / two-level aggs over
+  * `documents`; each carries a full DuckDB oracle.
+  *
+  * Scale notes: decontamination is the only join here, and its build side
+  * is the EVAL gram set — tiny by construction (the eval corpus is
+  * curated, not crawled), so it broadcasts and the 100 TB train side
+  * streams through map-side; chunking/mixing/census are scan-pipelined
+  * with at most one agg shuffle. */
+object Curation {
+
+  private val toksE = "split(lower(trim(text)), ' ')"
+  private val duckToks = "string_split(lower(trim(text)), ' ')"
+
+  /** Distinct 4-token grams — the decontamination grain. Real pipelines
+    * use 8-13-gram overlap; the fixture texts are short synthetic strings
+    * whose 8-grams never collide (verified: zero hits corpus-wide), so
+    * the demo grain is 4 — the operator shape (distinct-gram explode +
+    * broadcast semi-ish join) is grain-independent. Guarded for short
+    * docs: Spark's sequence(1, n) REVERSES when n < 1. */
+  private val grams4 =
+    """CASE WHEN size(toks) >= 4
+       THEN array_distinct(transform(sequence(1, size(toks) - 3),
+              i -> concat_ws(' ', slice(toks, i, 4))))
+       ELSE array() END"""
+  private val duckGrams4 =
+    """list_distinct(list_transform(generate_series(1, len(toks) - 3),
+         i -> array_to_string(toks[i:i+3], ' ')))"""
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Eval-set decontamination: flag train docs sharing any 4-token gram
+    // with the (tiny, curated) eval split — here eval = doc_id % 101 = 0.
+    // The eval gram set broadcasts; train grams stream through the
+    // broadcast hash join without shuffling the corpus. Output is the
+    // contamination report: per flagged train doc, how many distinct
+    // eval grams it contains.
+    "llm_decontaminate" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .select(col("doc_id"), expr(grams4).as("grams"))
+        val ev = d.filter(col("doc_id") % 101 === 0)
+          .select(explode(col("grams")).as("g")).distinct()
+        val train = d.filter(col("doc_id") % 101 =!= 0)
+          .select(col("doc_id"), explode(col("grams")).as("g"))
+        train.join(broadcast(ev), Seq("g"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("g")).as("n_shared_grams"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $duckGrams4 AS grams
+                          FROM (SELECT doc_id, $duckToks AS toks FROM documents)),
+                    e AS (SELECT DISTINCT unnest(grams) AS g FROM d
+                          WHERE doc_id % 101 = 0),
+                    t AS (SELECT doc_id, unnest(grams) AS g FROM d
+                          WHERE doc_id % 101 <> 0)
+               SELECT t.doc_id AS doc_id, COUNT(DISTINCT t.g) AS n_shared_grams
+               FROM t JOIN e ON t.g = e.g
+               GROUP BY t.doc_id
+               ORDER BY doc_id""")),
+
+    // RAG/window chunking: 50-token chunks, stride 40 (10-token overlap),
+    // with per-chunk offsets — one generate-explode per doc, no shuffle
+    // until the declared global order. Both engines clamp the tail slice.
+    "llm_chunking" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("toks", expr(toksE))
+        .select(col("doc_id"), col("toks"),
+                explode(expr("sequence(1, size(toks), 40)")).as("start"))
+        .select(col("doc_id"),
+                (((col("start") - 1) / 40) + 1).cast("bigint").as("chunk_idx"),
+                col("start").cast("bigint").as("start"),
+                expr("slice(toks, start, 50)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("start"),
+                size(col("chunk")).cast("bigint").as("chunk_toks"),
+                concat_ws(" ", col("chunk")).as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+      Some(s"""SELECT doc_id, ((start - 1) // 40) + 1 AS chunk_idx, start,
+                      len(toks[start:start+49]) AS chunk_toks,
+                      array_to_string(toks[start:start+49], ' ') AS chunk_text
+               FROM (SELECT doc_id, $duckToks AS toks FROM documents) d,
+                    LATERAL (SELECT unnest(generate_series(1, len(d.toks), 40))
+                             AS start) u
+               ORDER BY doc_id, chunk_idx""")),
+
+    // Source-mixture planning: the per-source sampling plan that hits a
+    // target mixture. Target weights are a deterministic function of the
+    // source id (src<i> gets relative weight i%4+1); the plan computes
+    // each source's target fraction, the Bernoulli rate that achieves it
+    // (capped at 1 — can't upsample without repetition), and the expected
+    // sampled count. One agg + a broadcast-size window over 20 rows.
+    "llm_mix_weights" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val perSrc = Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", (expr("CAST(substr(source, 4) AS INT)") % 4 + 1)
+                             .cast("double"))
+        val all = Window.partitionBy()
+        perSrc
+          .withColumn("target_frac",
+            round(col("w") / sum(col("w")).over(all), 6))
+          .withColumn("rate",
+            round(least(lit(1.0),
+              col("target_frac") * sum(col("n_docs")).over(all) / col("n_docs")), 6))
+          .withColumn("n_sampled",
+            floor(col("rate") * col("n_docs")).cast("bigint"))
+          .select(col("source"), col("n_docs"), col("w"), col("target_frac"),
+                  col("rate"), col("n_sampled"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, n_docs, w,
+                     round(w / SUM(w) OVER (), 6) AS target_frac,
+                     round(LEAST(1.0, round(w / SUM(w) OVER (), 6)
+                                      * SUM(n_docs) OVER () / n_docs), 6) AS rate,
+                     CAST(FLOOR(round(LEAST(1.0, round(w / SUM(w) OVER (), 6)
+                                      * SUM(n_docs) OVER () / n_docs), 6) * n_docs)
+                          AS BIGINT) AS n_sampled
+              FROM (SELECT source, COUNT(*) AS n_docs,
+                           CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS w
+                    FROM documents GROUP BY source)
+              ORDER BY source""")),
+
+    // Token-length census: the histogram every curation report opens
+    // with — docs bucketed by token count (width 50), with per-bucket
+    // char totals. Pure two-level agg, map-side combined.
+    "llm_token_hist" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("n_toks", size(expr(toksE)))
+        .groupBy((floor(col("n_toks") / 50) * 50).cast("bigint").as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"),
+             min(col("n_toks")).cast("bigint").as("min_toks"),
+             max(col("n_toks")).cast("bigint").as("max_toks"),
+             sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("bucket_lo")),
+      Some(s"""SELECT CAST(FLOOR(len($duckToks) / 50) * 50 AS BIGINT) AS bucket_lo,
+                      COUNT(*) AS n_docs,
+                      MIN(len($duckToks)) AS min_toks,
+                      MAX(len($duckToks)) AS max_toks,
+                      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+               FROM documents
+               GROUP BY bucket_lo
+               ORDER BY bucket_lo"""))
+  )
+}
