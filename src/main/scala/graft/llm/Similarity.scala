@@ -242,6 +242,89 @@ object Similarity {
                                    / (a.nrm * b.nrm), 6) >= 0.2)
                SELECT vec_id, label FROM embeddings
                WHERE vec_id NOT IN (SELECT dup_id FROM dup)
-               ORDER BY vec_id"""))
+               ORDER BY vec_id""")),
+
+    // kNN classification over the embedding space: every vec_id % 10 = 0
+    // vector is a query, its label is predicted by majority vote of its
+    // 3 nearest (cosine) corpus neighbors. The query batch broadcasts and
+    // the corpus streams through one scan — at 100 TB the per-query top-3
+    // is a bounded heap (TopKPerGroup shape), never a corpus sort. Votes
+    // tiebreak by (count desc, best cos desc, label asc) — deterministic
+    // on the rounded cosine both engines share.
+    "llm_knn_classify" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, dir).withColumn("nrm", expr(normE))
+        val q = e.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                  col("nrm").as("q_nrm"), col("label").as("true_label"))
+        val scored = e.filter(col("vec_id") % 10 =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("cos", round(
+            expr(dotE("embedding", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+        val wTop = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val votes = scored
+          .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 3)
+          .groupBy(col("q_id"), col("true_label"), col("label"))
+          .agg(count(lit(1)).as("votes"), max(col("cos")).as("best_cos"))
+        val wVote = Window.partitionBy(col("q_id"))
+          .orderBy(col("votes").desc, col("best_cos").desc, col("label"))
+        votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
+          .select(col("q_id"), col("true_label"), col("label").as("pred_label"),
+                  col("votes"), (col("label") === col("true_label")).as("correct"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm
+                          FROM embeddings),
+                    q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                                 nrm AS q_nrm, label AS true_label
+                          FROM n WHERE vec_id % 10 = 0),
+                    scored AS (
+                      SELECT q.q_id, q.true_label, n.vec_id, n.label,
+                             round(${duckDot("n.embedding", "q.q_emb")}
+                                   / (n.nrm * q.q_nrm), 6) AS cos
+                      FROM n, q WHERE n.vec_id % 10 <> 0),
+                    top3 AS (
+                      SELECT * FROM scored
+                      QUALIFY row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) <= 3),
+                    votes AS (
+                      SELECT q_id, true_label, label,
+                             COUNT(*) AS votes, MAX(cos) AS best_cos
+                      FROM top3 GROUP BY q_id, true_label, label)
+               SELECT q_id, true_label, label AS pred_label, votes,
+                      (label = true_label) AS correct
+               FROM votes
+               QUALIFY row_number() OVER (PARTITION BY q_id
+                         ORDER BY votes DESC, best_cos DESC, label) = 1
+               ORDER BY q_id""")),
+
+    // Per-label centroids — the k-means/IVF coarse-quantizer training
+    // step: per (label, dimension) mean over the corpus. posexplode +
+    // two-level agg (map-side combined, shuffle carries labels×64 partial
+    // rows, never vectors). Elements are rounded to 6 then summed as
+    // exact DECIMAL so the distributed sum is order-free; one cast to
+    // DOUBLE at the end on both sides (the engine's standard hash-gate
+    // discipline for float aggregation).
+    "llm_centroids" -> Q(
+      (s, dir) => Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("bigint").as("pos"))
+        .agg(count(lit(1)).as("n"),
+             sum(expr("CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(38,6))")).as("sd"))
+        .select(col("label"), col("pos"), col("n"),
+                (col("sd") / col("n")).cast("decimal(38,6)").cast("double")
+                  .as("centroid_v"))
+        .orderBy(col("label"), col("pos")),
+      Some("""SELECT label, i - 1 AS pos, COUNT(*) AS n,
+                     CAST(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                                        AS DECIMAL(38,6))) / COUNT(*)
+                               AS DECIMAL(38,6)) AS DOUBLE) AS centroid_v
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+              GROUP BY label, i
+              ORDER BY label, pos"""))
   )
 }

@@ -186,6 +186,45 @@ object Aggs {
                     FROM lineitem GROUP BY l_returnflag)
               ORDER BY l_returnflag""")),
 
+    // Z-score anomaly gate — the data-quality filter run before a corpus
+    // ships: per-group moments from exact decimal power sums (one agg,
+    // map-side combined), broadcast back onto the stream, rows past 3σ
+    // flagged. The broadcast of the tiny stats table is what makes this a
+    // single-shuffle plan at 100 TB — the fact table is never re-keyed.
+    // mean/sd/z are IDENTICAL double expression trees on both sides
+    // (never each engine's own stddev — parallel double sums are
+    // order-dependent), so the >3σ cut is deterministic.
+    "q_outliers" -> Q(
+      (s, dir) => {
+        val d = col("value").cast("decimal(18,4)")
+        val stats = Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               sum(d).cast("double").as("s1"),
+               sum(d * d).cast("double").as("s2"))
+        val mean = col("s1") / col("n")
+        val sd = sqrt(greatest(
+          (col("s2") - col("s1") * col("s1") / col("n")) / col("n"), lit(0.0)))
+        Tables.events(s, dir)
+          .join(broadcast(stats), Seq("event_type"))
+          .filter(abs(col("value") - mean) > lit(3.0) * sd)
+          .select(col("event_id"), col("event_type"), col("value"),
+                  round((col("value") - mean) / sd, 6).as("z"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH st AS (SELECT event_type, COUNT(*) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))
+                              * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s2
+                   FROM events GROUP BY event_type)
+              SELECT event_id, e.event_type AS event_type, value,
+                     round((value - s1 / n)
+                           / sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0)), 6) AS z
+              FROM events e JOIN st ON e.event_type = st.event_type
+              WHERE abs(value - s1 / n)
+                    > 3.0 * sqrt(greatest((s2 - s1 * s1 / n) / n, 0.0))
+              ORDER BY event_id""")),
+
     // Exact linear-interpolation percentiles (Spark `percentile`, not the
     // t-digest approximation) — both engines use the same
     // (1−g)·x[k] + g·x[k+1] formula; results round to 6 before compare.
