@@ -220,4 +220,36 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
       s"nothing pushed:\n$p")
   }
+
+  test("q_join_self_pairs: banded self-join is a hash/merge join, never n²") {
+    val p = planOf("q_join_self_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"self-pair join fell back to a product:\n$p")
+  }
+
+  test("q_outliers: stats broadcast back onto the stream, single agg shuffle") {
+    val p = planOf("q_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"moments not map-side combined:\n$p")
+  }
+
+  test("llm_decontaminate: eval gram set broadcasts; train side streams") {
+    val p = planOf("llm_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
+  }
+
+  test("q_join_bucketed: second invocation reuses the written layout") {
+    // first call materializes (or re-registers) the bucketed tables …
+    Registry.byName("q_join_bucketed").fn(spark, sf).collect()
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+      s"graft_b_orders_$tag")
+    assert(loc.exists(), "bucketed layout missing after first run")
+    val before = loc.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    // … the second call must NOT rewrite them (the one-time-layout claim)
+    Registry.byName("q_join_bucketed").fn(spark, sf).collect()
+    val after = loc.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "bucketed layout was rewritten on reuse path")
+  }
 }
