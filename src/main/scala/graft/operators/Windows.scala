@@ -213,6 +213,42 @@ object Windows {
                              RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
                        AS DOUBLE) AS same_day_total
               FROM orders
-              ORDER BY o_custkey, o_orderkey"""))
+              ORDER BY o_custkey, o_orderkey""")),
+
+    // SCD type-2 build from a change stream: collapse consecutive equal
+    // statuses per user (change-point filter between two window passes),
+    // then stitch validity ranges with lead(). Both windows key on
+    // user_id, so the second pass reuses the first's shuffle — one
+    // exchange total, which is what makes the dimension build linear at
+    // 100 TB. Open intervals keep valid_to NULL (is_current flags them).
+    "q_scd2" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val ch = Tables.events(s, dir)
+          .withColumn("prev_status", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_status").isNull ||
+                  col("prev_status") =!= col("event_type"))
+          .select(col("user_id"), col("event_id"),
+                  col("event_type").as("status"), col("ts").as("valid_from"))
+        val w2 = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from"), col("event_id"))
+        ch.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_id, ts, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_status
+                   FROM events),
+                   ch AS (SELECT user_id, event_id, event_type AS status,
+                                 ts AS valid_from
+                          FROM o
+                          WHERE prev_status IS NULL OR prev_status <> event_type)
+              SELECT user_id, event_id, status, valid_from,
+                     LEAD(valid_from) OVER w2 AS valid_to,
+                     (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+              FROM ch
+              WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+              ORDER BY user_id, valid_from, event_id"""))
   )
 }

@@ -238,6 +238,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
   }
 
+  test("q_scd2: second window pass reuses the first's user_id shuffle") {
+    val p = planOf("q_scd2")
+    // one exchange for the two user_id windows + the final declared
+    // global sort's rangepartitioning — nothing else
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected a single hash exchange for both windows, got $n:\n$p")
+  }
+
   test("q_join_bucketed: second invocation reuses the written layout") {
     // first call materializes (or re-registers) the bucketed tables …
     Registry.byName("q_join_bucketed").fn(spark, sf).collect()
