@@ -62,6 +62,26 @@ object Scans {
                                       'n_regionkey': 'INTEGER'})
                ORDER BY n_nationkey""")),
 
+    // Unstructured line source — raw text ingest (log shipping, crawl
+    // dumps): schema-less lines in, one string column out. The engine
+    // side is spark.read.text (splittable, scan-parallel at any size);
+    // the declared order is by content because a line source has no
+    // inherent row identity.
+    "src_text" -> Q(
+      (s, dir) => {
+        val path = s"$fixDir/nation_lines.txt"
+        val rows = Tables.nation(s, dir).orderBy(col("n_nationkey"))
+          .collect() // 25 rows, fixed size at every sf — driver-side ok
+          .map(r => s"${r.getInt(0)}|${r.getString(1)}|${r.getInt(2)}")
+        writeOnce(path, rows.mkString("", "\n", "\n"))
+        s.read.text(path).orderBy(col("value"))
+      },
+      Some(s"""SELECT line AS value FROM (
+                 SELECT unnest(string_split(content, chr(10))) AS line
+                 FROM read_text('$fixDir/nation_lines.txt'))
+               WHERE line <> ''
+               ORDER BY value""")),
+
     // Malformed-row handling — the reference's core ingest problem:
     // curator spreadsheets with broken lines. PERMISSIVE mode parses what
     // it can and routes the rest to _corrupt_record; the declared result
