@@ -102,6 +102,26 @@ object Filters {
                      FROM orders)
               ORDER BY o_orderkey""")),
 
+    // Correlated SCALAR subquery — one value per outer row; Catalyst
+    // de-correlates it into an aggregate + left outer join (never a
+    // per-row re-execution, which is what makes the spelling safe at
+    // 100 TB). MAX is order-free so the double is hash-stable.
+    "q_subquery_scalar" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_sq_orders")
+        Tables.customer(s, dir).createOrReplaceTempView("graft_sq_customer")
+        s.sql("""SELECT c_custkey, c_name,
+                        (SELECT MAX(o_totalprice) FROM graft_sq_orders o
+                         WHERE o.o_custkey = c.c_custkey) AS max_order
+                 FROM graft_sq_customer c
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name,
+                     (SELECT MAX(o_totalprice) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey) AS max_order
+              FROM customer c
+              ORDER BY c_custkey""")),
+
     // Correlated NOT EXISTS — planned as a left-anti join (same result as
     // q_join_anti by construction; this declares the subquery SPELLING).
     "q_subquery_exists" -> Q(
