@@ -97,6 +97,8 @@ object Custom {
       es => Sketches.Shingles3(es(0)), "built-in")
     reg.createOrReplaceTempFunction("hll_distinct",
       es => HyperLogLogAgg(es(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("tid60",
+      es => Sketches.Tid60(es(0)), "built-in")
     spark
   }
 
@@ -277,5 +279,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(HyperLogLogAgg.getClass.getCanonicalName, "hll_distinct"),
       (es: Seq[Expression]) => HyperLogLogAgg(es(0)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("tid60"),
+      new ExpressionInfo(Sketches.Tid60.getClass.getCanonicalName, "tid60"),
+      (es: Seq[Expression]) => Sketches.Tid60(es(0))))
   }
 }

@@ -186,4 +186,45 @@ object Sketches {
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
+
+  /** Thread-local MD5 so per-token hashing never re-does provider lookup
+    * (MessageDigest.getInstance walks the provider list on every call). */
+  private val tlMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Value of the first 15 hex chars of md5(b) — i.e. the top 60 bits of
+    * the digest — read straight off the digest bytes. Bit-identical to
+    * `CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)` (and DuckDB's
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT`) without materializing the
+    * 32-char hex string or re-parsing it (one digest + bit math vs three
+    * string allocations per token). */
+  def md5Long60(b: Array[Byte]): Long = {
+    val md = tlMd5.get(); md.reset()
+    val d = md.digest(b)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** tid60(string) → long: the engine's deterministic 60-bit token id
+    * (see [[md5Long60]]). Hot inside `transform(...)` lambdas, which
+    * Spark evaluates interpreted per element — exactly where collapsing
+    * the md5→hex→substr→conv chain to one digest pays most. */
+  case class Tid60(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "tid60"
+
+    override def nullSafeEval(s: Any): Any =
+      md5Long60(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.Sketches.md5Long60($c.getBytes())")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
 }

@@ -34,9 +34,12 @@ object Dedup {
         i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
                        element_at(toks, i + 2))))"""
   /** Deterministic 60-bit token id from md5 — reproducible across engines
-    * and runs (never JVM hashCode / xxhash64 whose seeds don't travel). */
-  private def tidE(tok: String) =
-    s"CAST(conv(substr(md5($tok), 1, 15), 16, 10) AS BIGINT)"
+    * and runs (never JVM hashCode / xxhash64 whose seeds don't travel).
+    * Spark side rides the [[graft.functions.Sketches.Tid60]] kernel
+    * (digest-byte bit math; bit-identical to the SQL spelling
+    * `CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT)` the oracle
+    * keeps) — callers must have run `Custom.register(s)`. */
+  private def tidE(tok: String) = s"tid60($tok)"
 
   private val duckToks = "string_split(lower(trim(text)), ' ')"
   private val duckShingles =

@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /** Deterministic uniform in [0, 1e6): md5-derived 60-bit id mod 1e6.
-    * Identical arithmetic on the DuckDB side. */
+    * Identical arithmetic on the DuckDB side; Spark rides the
+    * [[graft.functions.Sketches.Tid60]] kernel (callers register it). */
   private def uE(x: String) =
-    s"CAST(conv(substr(md5($x), 1, 15), 16, 10) AS BIGINT) % 1000000"
+    s"(tid60($x) % 1000000)"
   private def duckU(x: String) =
     s"('0x' || substr(md5($x), 1, 15))::BIGINT % 1000000"
 
@@ -100,11 +101,14 @@ object Pipeline {
     // md5 uniform so the sample is a pure function of (lang, doc_id) —
     // re-runs, retries, and engine swaps all draw the same rows.
     "llm_sample_stratified" -> Q(
-      (s, dir) => Tables.documents(s, dir)
+      (s, dir) => {
+        graft.functions.Custom.register(s) // tid60 kernel
+        Tables.documents(s, dir)
         .withColumn("u", expr(uE("concat('sample:', lang, ':', CAST(doc_id AS STRING))")))
         .filter(col("u") < when(col("lang") === "en", 200000).otherwise(500000))
         .select(col("doc_id"), col("lang"), col("source"), col("u"))
-        .orderBy(col("doc_id")),
+        .orderBy(col("doc_id"))
+      },
       Some(s"""SELECT doc_id, lang, source, u FROM (
                  SELECT doc_id, lang, source,
                         ${duckU("'sample:' || lang || ':' || CAST(doc_id AS VARCHAR)")} AS u
@@ -116,13 +120,16 @@ object Pipeline {
     // per-(lang, split) counts — the split is a pure function of doc_id,
     // so adding data never reassigns existing documents.
     "llm_split_train" -> Q(
-      (s, dir) => Tables.documents(s, dir)
+      (s, dir) => {
+        graft.functions.Custom.register(s) // tid60 kernel
+        Tables.documents(s, dir)
         .withColumn("b", expr(uE("concat('split:', CAST(doc_id AS STRING))")) % 10)
         .withColumn("split",
           when(col("b") < 8, "train").when(col("b") === 8, "val").otherwise("test"))
         .groupBy(col("lang"), col("split"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
-        .orderBy(col("lang"), col("split")),
+        .orderBy(col("lang"), col("split"))
+      },
       Some(s"""SELECT lang, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
                FROM (SELECT lang, doc_id,
                        CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'

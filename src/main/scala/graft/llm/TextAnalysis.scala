@@ -274,14 +274,18 @@ object TextAnalysis {
     // md5-derived token ids — deterministic across engines/runs, the
     // cheap near-identity key for incremental dedup.
     "llm_fingerprint" -> Q(
-      (s, dir) => Tables.documents(s, dir)
+      (s, dir) => {
+        graft.functions.Custom.register(s) // tid60 kernel (oracle keeps
+        // the conv(substr(md5(...))) spelling — bit-identical)
+        Tables.documents(s, dir)
         .withColumn("tids", expr(
-          s"transform($toksE, tok -> CAST(conv(substr(md5(tok), 1, 15), 16, 10) AS BIGINT) % 1000003)"))
+          s"transform($toksE, tok -> tid60(tok) % 1000003)"))
         .withColumn("fp", expr(
           """aggregate(sequence(1, size(tids)), 0L,
                        (acc, i) -> acc + i * element_at(tids, i)) % 2147483647"""))
         .select(col("doc_id"), col("fp"))
-        .orderBy(col("doc_id")),
+        .orderBy(col("doc_id"))
+      },
       Some(s"""SELECT doc_id,
                       CAST(list_sum(list_transform(generate_series(1, len(tids)),
                              i -> i * tids[i])) % 2147483647 AS BIGINT) AS fp

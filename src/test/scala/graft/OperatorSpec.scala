@@ -58,6 +58,20 @@ class OperatorSpec extends SparkSuite {
     rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)}: out of bound"))
   }
 
+  test("tid60 kernel: bit-identical to the conv(substr(md5)) spelling") {
+    graft.functions.Custom.register(spark)
+    val bad = spark.range(2000)
+      .selectExpr("CAST(id AS STRING) AS t",
+                  "concat(repeat(CAST(id AS STRING), 7), 'é☃') AS t2",
+                  "'' AS t3")
+      .selectExpr(
+        "tid60(t) = CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT) AS ok1",
+        "tid60(t2) = CAST(conv(substr(md5(t2), 1, 15), 16, 10) AS BIGINT) AS ok2",
+        "tid60(t3) = CAST(conv(substr(md5(t3), 1, 15), 16, 10) AS BIGINT) AS ok3")
+      .where("NOT (ok1 AND ok2 AND ok3)").count()
+    assert(bad == 0, "tid60 diverged from the SQL md5 spelling")
+  }
+
   test("src_csv_malformed: the 3 broken lines are retained as corrupt records") {
     // run the declared query first so the malformed fixture exists
     Registry.byName("src_csv_malformed").fn(spark, sf).collect()
