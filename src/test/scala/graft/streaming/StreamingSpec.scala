@@ -264,4 +264,29 @@ class StreamingSpec extends SparkSuite {
     val expected = evDf(fixtureEvs).filter(col("event_type") === "purchase")
     assertSameRows(written, expected)
   }
+
+  test("st_available_now: backfill trigger drains the backlog then stops") {
+    // Trigger.AvailableNow is the operational backfill mode: process
+    // everything present, respect per-batch limits, terminate — a
+    // scheduled catch-up job, not a resident stream.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val inDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+      .repartition(3).write.parquet(inDir)
+    val q = Streams.fileStream(spark, inDir, Streams.eventSchema)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("avnow")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // the trigger terminates the query by itself once the backlog drains
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-stop")
+    val got = spark.table("avnow").as[(String, Long)].collect().toMap
+    val want = evDf(fixtureEvs).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(got == want, s"backfill drained $got, batch says $want")
+  }
 }
