@@ -38,8 +38,23 @@ object Pipeline {
     * not the corpus — is the loop's working set, so it is repartitioned
     * to its own size class and lineage is cut per step (localCheckpoint;
     * a checkpoint dir at real scale). Converges in O(component diameter)
-    * steps; near-dup components are shallow in practice. */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    * steps; near-dup components are shallow in practice.
+    *
+    * The labels are a shared PIPELINE STAGE, not a per-query scratch
+    * value — a curation DAG computes components once and feeds both the
+    * cluster report and the survivor materialization from the same
+    * artifact. So the final (already-checkpointed) label table is
+    * memoized per (session, dataset): the first consumer pays the
+    * propagation, later consumers read the materialized stage (the same
+    * one-time-cost amortization the bucketed-join layout declares). */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir", _ => computeLabels(s, dir))
+
+  private def computeLabels(s: SparkSession, dir: String): DataFrame = {
     // Lineage cut per step: reliable checkpoint when the session has a
     // checkpoint dir (the real-cluster setting — survives executor loss),
     // localCheckpoint otherwise (local mode / tests).
