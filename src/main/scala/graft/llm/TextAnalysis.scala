@@ -234,6 +234,55 @@ object TextAnalysis {
                WHERE rn <= 3
                ORDER BY lang, rn""")),
 
+    // Bigram-LM lookup table: for the 5 most frequent contexts w1, the
+    // argmax next token and its conditional probability P(w2|w1) — the
+    // n-gram-LM training step proper (llm_bigrams counts; this
+    // normalizes). Probability is an exact integer ratio in DECIMAL, cast
+    // to DOUBLE last (hash-gate discipline). One explode + one agg; both
+    // windows ride the same w1 partitioning.
+    "llm_next_token" -> Q(
+      (s, dir) => {
+        val cnt = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .select(explode(expr(
+            """zip_with(slice(toks, 1, size(toks) - 1),
+                        slice(toks, 2, size(toks) - 1),
+                        (a, b) -> struct(a AS w1, b AS w2))""")).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("c2"))
+        val wTot = Window.partitionBy(col("w1"))
+        val wPick = Window.partitionBy(col("w1"))
+          .orderBy(col("c2").desc, col("w2"))
+        cnt.withColumn("c1", sum(col("c2")).over(wTot))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .withColumn("cr", row_number().over(
+            Window.partitionBy().orderBy(col("c1").desc, col("w1"))))
+          .filter(col("cr") <= 5)
+          .withColumn("p", (col("c2").cast("decimal(18,6)") / col("c1"))
+                             .cast("decimal(18,6)").cast("double"))
+          .select(col("w1"), col("c1"), col("w2").as("next_tok"),
+                  col("c2"), col("p"))
+          .orderBy(col("w1"))
+      },
+      Some(s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+               bg AS (SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+                             unnest(toks[2:len(toks)]) AS w2 FROM t),
+               cnt AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+               j AS (SELECT w1, w2, c2,
+                            CAST(SUM(c2) OVER (PARTITION BY w1) AS BIGINT) AS c1
+                     FROM cnt),
+               pick AS (SELECT * FROM j
+                        QUALIFY ROW_NUMBER() OVER (PARTITION BY w1
+                                  ORDER BY c2 DESC, w2) = 1),
+               top AS (SELECT * FROM pick
+                       QUALIFY ROW_NUMBER() OVER (ORDER BY c1 DESC, w1) <= 5)
+               SELECT w1, c1, w2 AS next_tok, c2,
+                      CAST(CAST(CAST(c2 AS DECIMAL(18,6)) / c1
+                                AS DECIMAL(18,6)) AS DOUBLE) AS p
+               FROM top ORDER BY w1""")),
+
     // Perplexity-proxy quality scoring (CCNet shape): score each doc by
     // its mean unigram log-probability under the corpus's own LM — the
     // standard "does this look like the reference distribution" filter.

@@ -186,6 +186,31 @@ object Aggs {
                     FROM lineitem GROUP BY l_returnflag)
               ORDER BY l_returnflag""")),
 
+    // Deterministic statistical mode per group — spelled as count + pick
+    // (never an engine's own mode(), whose tie behavior differs): modal
+    // value tiebreaks ascending, so the result is stable across engines,
+    // runs, and partitionings.
+    "q_agg_mode" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("n").desc, col("o_orderstatus"))
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderpriority"),
+                  col("o_orderstatus").as("modal_status"), col("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus AS modal_status, n FROM (
+                SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+                FROM orders GROUP BY o_orderpriority, o_orderstatus)
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                        ORDER BY n DESC, o_orderstatus) = 1
+              ORDER BY o_orderpriority""")),
+
     // Z-score anomaly gate — the data-quality filter run before a corpus
     // ships: per-group moments from exact decimal power sums (one agg,
     // map-side combined), broadcast back onto the stream, rows past 3σ

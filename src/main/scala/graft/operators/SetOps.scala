@@ -137,6 +137,49 @@ object SetOps {
         .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_shipdate")),
       Some("""SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
               FROM lineitem
-              ORDER BY l_returnflag, l_linestatus, l_shipdate"""))
+              ORDER BY l_returnflag, l_linestatus, l_shipdate""")),
+
+    // Snapshot diff — the DETECT side of CDC (q_merge_upsert is the
+    // APPLY side): full-outer join two table versions on the key, emit
+    // only added/removed/changed rows. Version B is derived
+    // deterministically from A (every 13th key deleted, every 7th price
+    // doubled) so the report is oracle-checkable. One shuffle on the key;
+    // at 100 TB both snapshots would be bucketed on it and the join is
+    // co-located.
+    "q_snapshot_diff" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        val a = o.select(col("o_orderkey").as("k"), col("o_totalprice").as("price_a"))
+        val b = o.filter(col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey").as("kb"),
+                  when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+                    .otherwise(col("o_totalprice")).as("price_b"))
+        a.join(b, col("k") === col("kb"), "full")
+          .withColumn("status",
+            when(col("kb").isNull, "removed")
+              .when(col("k").isNull, "added")
+              .when(col("price_a") =!= col("price_b"), "changed")
+              .otherwise("unchanged"))
+          .filter(col("status") =!= "unchanged")
+          .select(coalesce(col("k"), col("kb")).as("o_orderkey"),
+                  col("status"), col("price_a"), col("price_b"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, status, price_a, price_b FROM (
+                SELECT COALESCE(k, kb) AS o_orderkey,
+                       CASE WHEN kb IS NULL THEN 'removed'
+                            WHEN k IS NULL THEN 'added'
+                            WHEN price_a <> price_b THEN 'changed'
+                            ELSE 'unchanged' END AS status,
+                       price_a, price_b
+                FROM (SELECT o_orderkey AS k, o_totalprice AS price_a
+                      FROM orders) a
+                FULL JOIN (SELECT o_orderkey AS kb,
+                             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+                                  ELSE o_totalprice END AS price_b
+                           FROM orders WHERE o_orderkey % 13 <> 0) b
+                  ON k = kb)
+              WHERE status <> 'unchanged'
+              ORDER BY o_orderkey"""))
   )
 }
