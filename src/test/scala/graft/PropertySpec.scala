@@ -151,6 +151,20 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("md5Long60 equals the BigInteger hex-prefix reference on random strings") {
+    val rnd = new scala.util.Random(11)
+    (0 until 500).foreach { _ =>
+      val s = rnd.alphanumeric.take(rnd.nextInt(40)).mkString +
+        (if (rnd.nextBoolean()) "é☃" else "")
+      val bytes = s.getBytes("UTF-8")
+      val hex = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        .map("%02x".format(_)).mkString
+      val ref = new java.math.BigInteger(hex.substring(0, 15), 16).longValueExact()
+      assert(graft.functions.Sketches.md5Long60(bytes) == ref,
+        s"tid60 mismatch for '$s'")
+    }
+  }
+
   test("cosine bounds on random float vectors") {
     graft.functions.Custom.register(spark)
     val rnd = new scala.util.Random(7)
