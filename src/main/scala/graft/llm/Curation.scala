@@ -25,10 +25,24 @@ object Curation {
     * the demo grain is 4 — the operator shape (distinct-gram explode +
     * broadcast semi-ish join) is grain-independent. Guarded for short
     * docs: Spark's sequence(1, n) REVERSES when n < 1. */
+  // Built from zip_with over FOUR top-level slices, never
+  // `transform(sequence(...), i -> slice(toks, i, 4))`: slice-inside-a-
+  // lambda re-evaluates its array argument per element, and after
+  // CollapseProject inlines the split() that is O(tokens²) re-tokenization
+  // per doc (the trap documented on graft.functions.Sketches; measured
+  // ~5 s → ~1 s on this operator). zip_with's array arguments evaluate
+  // once per row. Not array_distinct'ed: both consumers dedup downstream
+  // (eval explodes into .distinct(), train counts with countDistinct).
   private val grams4 =
     """CASE WHEN size(toks) >= 4
-       THEN array_distinct(transform(sequence(1, size(toks) - 3),
-              i -> concat_ws(' ', slice(toks, i, 4))))
+       THEN zip_with(
+              zip_with(slice(toks, 1, size(toks) - 3),
+                       slice(toks, 2, size(toks) - 3),
+                       (a, b) -> concat(a, ' ', b)),
+              zip_with(slice(toks, 3, size(toks) - 3),
+                       slice(toks, 4, size(toks) - 3),
+                       (a, b) -> concat(a, ' ', b)),
+              (x, y) -> concat(x, ' ', y))
        ELSE array() END"""
   private val duckGrams4 =
     """list_distinct(list_transform(generate_series(1, len(toks) - 3),
