@@ -29,7 +29,7 @@ object Bench {
     // broadcast machinery, and WindowExec don't all land on whichever key
     // sorts first alphabetically (r2: llm_dedup_simhash absorbed them and
     // read 2-5x its steady-state time in first-slot runs).
-    Seq("q_join_broadcast", "q_win_topn_group", "fn_array")
+    Seq("q_join_broadcast", "q_win_topn_group", "fn_array", "llm_text_stats")
       .flatMap(SparkEntry.queries.get)
       .foreach { fn => try fn(spark, sfDir).count()
                        catch { case _: Throwable => () } }
