@@ -215,6 +215,74 @@ object Windows {
               FROM orders
               ORDER BY o_custkey, o_orderkey""")),
 
+    // Linear interpolation of missing readings — the sensor-repair
+    // operator: values at event_id % 5 = 0 are treated as missing and
+    // reconstructed from the nearest non-missing neighbors on the same
+    // user's timeline, weighted by event-time distance. Two window passes
+    // (last-ignoring-nulls backward, first-ignoring-nulls forward) on ONE
+    // user_id shuffle; edges without both neighbors stay NULL-filled via
+    // coalesce to the available side. Arithmetic is the same double
+    // expression tree in both engines, rounded once at 6.
+    "q_interpolate" -> Q(
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .withColumn("v", when(col("event_id") % 5 === 0, lit(null).cast("double"))
+                             .otherwise(col("value")))
+          .withColumn("tsec", unix_micros(col("ts").cast("timestamp")))
+        val wB = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wF = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(1, Window.unboundedFollowing)
+        val filled = base
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(wB))
+          .withColumn("pt", last(when(col("v").isNotNull, col("tsec")),
+                                 ignoreNulls = true).over(wB))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(wF))
+          .withColumn("nt", first(when(col("v").isNotNull, col("tsec")),
+                                  ignoreNulls = true).over(wF))
+        filled
+          .withColumn("v_filled", round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("pv").isNotNull && col("nv").isNotNull,
+                col("pv") + (col("nv") - col("pv"))
+                  * (col("tsec") - col("pt")).cast("double")
+                  / (col("nt") - col("pt")).cast("double"))
+              .otherwise(coalesce(col("pv"), col("nv"))), 6))
+          .withColumn("was_missing", col("v").isNull)
+          .select(col("user_id"), col("event_id"), col("ts"),
+                  col("v_filled"), col("was_missing"))
+          .orderBy(col("user_id"), col("ts"), col("event_id"))
+      },
+      Some("""WITH base AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v,
+                       date_diff('microsecond', TIMESTAMP '1970-01-01', ts) AS tsec
+                FROM events),
+              n AS (
+                SELECT user_id, event_id, ts, v, tsec,
+                       LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+                       LAST_VALUE(CASE WHEN v IS NOT NULL THEN tsec END
+                                  IGNORE NULLS) OVER wb AS pt,
+                       FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+                       FIRST_VALUE(CASE WHEN v IS NOT NULL THEN tsec END
+                                   IGNORE NULLS) OVER wf AS nt
+                FROM base
+                WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+              SELECT user_id, event_id, ts,
+                     round(CASE WHEN v IS NOT NULL THEN v
+                                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                                  pv + (nv - pv) * CAST(tsec - pt AS DOUBLE)
+                                               / CAST(nt - pt AS DOUBLE)
+                                ELSE COALESCE(pv, nv) END, 6) AS v_filled,
+                     (v IS NULL) AS was_missing
+              FROM n
+              ORDER BY user_id, ts, event_id""")),
+
     // SCD type-2 build from a change stream: collapse consecutive equal
     // statuses per user (change-point filter between two window passes),
     // then stitch validity ranges with lead(). Both windows key on
