@@ -246,6 +246,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(n == 1, s"expected a single hash exchange for both windows, got $n:\n$p")
   }
 
+  test("q_interpolate: backward+forward windows share one user_id shuffle") {
+    val p = planOf("q_interpolate")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected one hash exchange for both directions, got $n:\n$p")
+  }
+
   test("q_join_bucketed: second invocation reuses the written layout") {
     // first call materializes (or re-registers) the bucketed tables …
     Registry.byName("q_join_bucketed").fn(spark, sf).collect()
