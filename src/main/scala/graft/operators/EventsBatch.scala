@@ -137,6 +137,112 @@ object EventsBatch {
                      COUNT(*) AS n_events
               FROM sessions
               GROUP BY user_id, sess_id
-              ORDER BY user_id, sess_id"""))
+              ORDER BY user_id, sess_id""")),
+
+    // Gaps-and-islands: per-user runs of consecutive active calendar days.
+    // The classic day - row_number() anchor groups a run into one key; all
+    // the work rides a single user_id-partitioned sort (distinct + window
+    // + groupBy share the exchange). Dates leave as strings — DATE columns
+    // hash-compare unreliably across pandas/duckdb readers (FIXTURES.md).
+    "q_gaps_islands" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .withColumn("rn", row_number().over(w))
+          .withColumn("anchor", date_sub(col("day"), col("rn")))
+          .groupBy(col("user_id"), col("anchor"))
+          .agg(min(col("day")).cast("string").as("streak_start"),
+               max(col("day")).cast("string").as("streak_end"),
+               count(lit(1)).as("n_days"))
+          .drop("anchor")
+          .orderBy(col("user_id"), col("streak_start"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                            FROM events),
+              seq AS (SELECT user_id, day,
+                             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                                           ORDER BY day) AS INT) AS anchor
+                      FROM days)
+              SELECT user_id, CAST(MIN(day) AS VARCHAR) AS streak_start,
+                     CAST(MAX(day) AS VARCHAR) AS streak_end,
+                     COUNT(*) AS n_days
+              FROM seq
+              GROUP BY user_id, anchor
+              ORDER BY user_id, streak_start""")),
+
+    // Ordered conversion funnel view -> click -> purchase: each stage is
+    // min(ts) strictly after the previous stage's instant. Three
+    // aggregations, all keyed on user_id — one shuffle partitioning reused
+    // end-to-end (the dimension side is ~|users| rows and broadcasts).
+    // Elapsed time emitted as epoch-microsecond difference: engine-neutral
+    // arithmetic, unlike second-granularity datediff (Spark truncates
+    // elapsed time, DuckDB counts boundary crossings).
+    "q_funnel" -> Q(
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val c = e.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("v_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+        val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("c_ts"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .select(col("user_id"),
+            when(col("p_ts").isNotNull, lit(3L))
+              .when(col("c_ts").isNotNull, lit(2L)).otherwise(lit(1L)).as("stage"),
+            coalesce(unix_micros(col("p_ts").cast("timestamp")) -
+                     unix_micros(col("v_ts").cast("timestamp")), lit(-1L))
+              .as("usecs_to_purchase"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+                         WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+                    FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.v_ts
+                    WHERE e.event_type = 'click' GROUP BY 1),
+              p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+                    FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.c_ts
+                    WHERE e.event_type = 'purchase' GROUP BY 1)
+              SELECT v.user_id AS user_id,
+                     CAST(CASE WHEN p.p_ts IS NOT NULL THEN 3
+                               WHEN c.c_ts IS NOT NULL THEN 2
+                               ELSE 1 END AS BIGINT) AS stage,
+                     COALESCE(epoch_us(p.p_ts) - epoch_us(v.v_ts), -1)
+                       AS usecs_to_purchase
+              FROM v LEFT JOIN c ON v.user_id = c.user_id
+                     LEFT JOIN p ON v.user_id = p.user_id
+              ORDER BY v.user_id""")),
+
+    // Weekly cohort retention: cohort = week of first activity, one output
+    // row per (cohort_week, week_offset) with distinct active users. The
+    // distinct (user, week) grid and the per-user min share one user_id
+    // exchange; integer week arithmetic (DIV) is trunc-vs-floor-safe here
+    // because all day offsets are non-negative.
+    "q_retention" -> Q(
+      (s, dir) => {
+        val weeks = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("CAST(datediff(to_date(ts), DATE'2024-01-01') DIV 7 AS BIGINT)").as("week"))
+          .distinct()
+        val cohorts = weeks.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+        weeks.join(cohorts, "user_id")
+          .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH weeks AS (SELECT DISTINCT user_id,
+                                    date_diff('day', DATE '2024-01-01',
+                                              CAST(ts AS DATE)) // 7 AS week
+                             FROM events),
+              coh AS (SELECT user_id, MIN(week) AS cohort_week
+                      FROM weeks GROUP BY 1)
+              SELECT coh.cohort_week, weeks.week - coh.cohort_week AS week_offset,
+                     COUNT(*) AS n_users
+              FROM weeks JOIN coh ON weeks.user_id = coh.user_id
+              GROUP BY 1, 2
+              ORDER BY 1, 2"""))
   )
 }
