@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-3 corpus-curation additions — the bookkeeping operators a
@@ -163,6 +164,51 @@ object Curation {
                       CAST(SUM(n_chars) AS BIGINT) AS total_chars
                FROM documents
                GROUP BY bucket_lo
-               ORDER BY bucket_lo"""))
+               ORDER BY bucket_lo""")),
+
+    // Source-mixture composition report: per source, the language
+    // distribution's Shannon entropy (nats) and dominant language — the
+    // dataset-card diversity row a mixture planner reads. Group sizes are
+    // exact integers; each p·ln p term is rounded at 6 (libm ulp hazard)
+    // and the terms are summed exactly in decimal, so the entropy is
+    // order-independent under any partitioning. Two source-keyed aggs —
+    // scan-sized shuffle only.
+    "llm_domain_mix" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+        val wTop = Window.partitionBy(col("source")).orderBy(col("c").desc, col("lang"))
+        Tables.documents(s, dir)
+          .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+          .withColumn("n", sum(col("c")).over(w))
+          .withColumn("term", round(
+            (col("c").cast("double") / col("n")) *
+              log(col("c").cast("double") / col("n")), 6))
+          .withColumn("rn", row_number().over(wTop))
+          .groupBy(col("source"))
+          .agg(max(col("n")).cast("bigint").as("n_docs"),
+               count(lit(1)).as("n_langs"),
+               max(when(col("rn") === 1, col("lang"))).as("top_lang"),
+               (-sum(col("term").cast("decimal(38,6)")))
+                 .cast("decimal(38,6)").cast("double").as("entropy"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH cnt AS (SELECT source, lang, COUNT(*) AS c
+                           FROM documents GROUP BY 1, 2),
+              j AS (SELECT source, lang, c,
+                           CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                                              ORDER BY c DESC, lang) AS rn
+                    FROM cnt),
+              t AS (SELECT source, lang, c, n, rn,
+                           round((CAST(c AS DOUBLE) / n) *
+                                 ln(CAST(c AS DOUBLE) / n), 6) AS term
+                    FROM j)
+              SELECT source, MAX(n) AS n_docs, COUNT(*) AS n_langs,
+                     MAX(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+                     CAST(CAST(-SUM(CAST(term AS DECIMAL(38,6)))
+                          AS DECIMAL(38,6)) AS DOUBLE) AS entropy
+              FROM t
+              GROUP BY source
+              ORDER BY source"""))
   )
 }

@@ -342,6 +342,58 @@ object TextAnalysis {
                        list_transform($duckToks,
                          tok -> ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000003) AS tids
                      FROM documents)
-               ORDER BY doc_id"""))
+               ORDER BY doc_id""")),
+
+    // Pointwise mutual information of adjacent token pairs — the standard
+    // collocation detector over a corpus. Exact integer counts feed ONE
+    // log call on an identically-associated double ratio (bit-identical
+    // across engines), rounded at 6 (libm ulp hazard). The unigram LM and
+    // both scalar totals broadcast; the only corpus-sized shuffle is the
+    // bigram count — at 100 TB this is two token-keyed aggs plus
+    // vocab-sized build sides.
+    "llm_pmi" -> Q(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir).withColumn("toks", expr(toksE))
+        val uni = toks.select(explode(col("toks")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        val bg = toks.select(explode(expr(
+            """zip_with(slice(toks, 1, size(toks) - 1),
+                        slice(toks, 2, size(toks) - 1),
+                        (a, b) -> struct(a AS w1, b AS w2))""")).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val nTok = uni.agg(sum(col("c1")).cast("bigint").as("n_tok"))
+        val nBg = bg.agg(sum(col("c2")).cast("bigint").as("n_bg"))
+        bg.join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1a"))), Seq("w1"))
+          .join(broadcast(uni.select(col("w").as("w2"), col("c1").as("c1b"))), Seq("w2"))
+          .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+          .withColumn("pmi", round(log(
+            (col("c2").cast("double") * col("n_tok") * col("n_tok")) /
+            (col("n_bg").cast("double") * col("c1a") * col("c1b"))), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy().orderBy(col("c2").desc, col("w1"), col("w2"))))
+          .filter(col("rn") <= 20)
+          .select(col("rn"), col("w1"), col("w2"), col("c2"), col("pmi"))
+          .orderBy(col("rn"))
+      },
+      Some(s"""WITH t AS (SELECT $duckToks AS toks FROM documents),
+               uc AS (SELECT w, COUNT(*) AS c1
+                      FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+               bgr AS (SELECT unnest(toks[1:len(toks) - 1]) AS w1,
+                              unnest(toks[2:len(toks)]) AS w2 FROM t),
+               cnt AS (SELECT w1, w2, COUNT(*) AS c2 FROM bgr GROUP BY w1, w2),
+               tots AS (SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM uc) AS n_tok,
+                               (SELECT CAST(SUM(c2) AS BIGINT) FROM cnt) AS n_bg),
+               j AS (SELECT c.w1, c.w2, c.c2, ua.c1 AS c1a, ub.c1 AS c1b,
+                            n_tok, n_bg
+                     FROM cnt c JOIN uc ua ON c.w1 = ua.w
+                                JOIN uc ub ON c.w2 = ub.w, tots)
+               SELECT rn, w1, w2, c2,
+                      round(ln((CAST(c2 AS DOUBLE) * n_tok * n_tok) /
+                               (CAST(n_bg AS DOUBLE) * c1a * c1b)), 6) AS pmi
+               FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY c2 DESC, w1, w2) AS rn
+                     FROM j)
+               WHERE rn <= 20
+               ORDER BY rn"""))
   )
 }

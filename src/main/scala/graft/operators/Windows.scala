@@ -317,6 +317,44 @@ object Windows {
                      (LEAD(valid_from) OVER w2 IS NULL) AS is_current
               FROM ch
               WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
-              ORDER BY user_id, valid_from, event_id"""))
+              ORDER BY user_id, valid_from, event_id""")),
+
+    // Skyline / Pareto frontier over part: maximize p_size, minimize
+    // p_retailprice; a part survives iff nothing strictly larger is as
+    // cheap and nothing as large is strictly cheaper. 100 TB shape: the
+    // per-size MIN first shrinks the corpus to |distinct sizes| rows
+    // (map-side combinable), the global window runs on that tiny reduced
+    // set, and the frontier broadcasts back onto the scan — the single
+    // global sort never sees corpus-sized data. Equality join on the raw
+    // double is exact: MIN preserves the stored bit pattern.
+    "q_skyline" -> Q(
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+        val w = Window.orderBy(col("p_size").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = p.groupBy(col("p_size"))
+          .agg(min(col("p_retailprice")).as("best_price"))
+          .withColumn("mp_gt", min(col("best_price")).over(w))
+          .filter(col("mp_gt").isNull || col("mp_gt") > col("best_price"))
+          .select(col("p_size").as("f_size"), col("best_price"))
+        p.join(broadcast(frontier),
+            col("p_size") === col("f_size") &&
+            col("p_retailprice") === col("best_price"))
+          .select(col("p_partkey"), col("p_name"), col("p_size"),
+                  col("p_retailprice"))
+          .orderBy(col("p_size"), col("p_partkey"))
+      },
+      Some("""WITH best AS (SELECT p_size, MIN(p_retailprice) AS best_price
+                            FROM part GROUP BY 1),
+              f AS (SELECT p_size, best_price,
+                           MIN(best_price) OVER (ORDER BY p_size DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS mp_gt
+                    FROM best)
+              SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice
+              FROM part p JOIN f ON p.p_size = f.p_size
+                              AND p.p_retailprice = f.best_price
+              WHERE f.mp_gt IS NULL OR f.mp_gt > f.best_price
+              ORDER BY p.p_size, p.p_partkey"""))
   )
 }
