@@ -52,6 +52,9 @@ def main():
     runs = load_runs(args)
     if not runs:
         sys.exit("no bench JSON lines found in inputs")
+    sfs = {r.get("sf", "?") for r in runs}
+    if len(sfs) > 1:
+        sys.exit(f"refusing to merge runs at different scale factors: {sorted(map(str, sfs))}")
 
     minima, counts = {}, {}
     for r in runs:

@@ -204,6 +204,12 @@ object Custom {
     // q_agg_approx_distinct — the estimate itself is algorithm-internal,
     // so the DECLARED columns are the exact count plus a within-3·rsd
     // boolean (deterministic: xxhash64 seed 42, max-merge registers).
+    // NOTE the oracle's TRUE is an EMPIRICAL constant for the current
+    // fixtures, not a guarantee: 3·rsd (~4.9% at p=12) is a probabilistic
+    // bound, and the measured error on every fixture group is <1.5% —
+    // >3x headroom. If a fixture regeneration ever flips this key red,
+    // suspect the data changed, then the estimator; the deterministic
+    // seed means the estimate for a GIVEN group never varies run-to-run.
     "udaf_hll" -> Q(
       (s, dir) => {
         register(s)

@@ -50,9 +50,36 @@ object Pipeline {
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    labelCache.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir", _ => computeLabels(s, dir))
+  /** Unique per-session token (identityHashCode is NOT unique — a GC'd
+    * session's slot can be reused): a UUID minted once and stored in the
+    * session's own conf, so the cache key dies with the session. */
+  private def sessionToken(s: SparkSession): String = synchronized {
+    val key = "spark.graft.session.token"
+    s.conf.getOption(key).getOrElse {
+      val t = java.util.UUID.randomUUID().toString
+      s.conf.set(key, t); t
+    }
+  }
+
+  /** Max mtime of the dataset's documents parquet — regenerated fixtures
+    * get a new cache key, and the stale entry (plus its pinned checkpoint
+    * blocks) is evicted below. */
+  private def dataVersion(dir: String): Long = {
+    val f = new java.io.File(dir, "documents.parquet")
+    val files = if (f.isDirectory) f.listFiles() else Array(f)
+    if (files == null || files.isEmpty) 0L else files.map(_.lastModified).max
+  }
+
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val prefix = s"${sessionToken(s)}:$dir:"
+    val key = s"$prefix${dataVersion(dir)}"
+    labelCache.computeIfAbsent(key, _ => {
+      // evict superseded versions of the same (session, dataset) so their
+      // localCheckpoint blocks don't pin executor memory for the JVM's life
+      labelCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+      computeLabels(s, dir)
+    })
+  }
 
   private def computeLabels(s: SparkSession, dir: String): DataFrame = {
     // Lineage cut per step: reliable checkpoint when the session has a

@@ -298,42 +298,62 @@ object Joins {
         //   2. a previous JVM wrote the files        -> re-register DDL over
         //      the existing location (in-memory catalog forgets across
         //      JVMs; the bucket-encoded filenames carry the layout)
-        //   3. nothing on disk / row count mismatch  -> CTAS fresh
+        //   3. nothing on disk / stale fingerprint   -> CTAS fresh
         // The table name is keyed by the data dir so sf0.01 (Verify) and
-        // sf0.1 (Bench) layouts never cross-contaminate, and a footer-only
-        // count() guards against stale layouts over regenerated testdata.
+        // sf0.1 (Bench) layouts never cross-contaminate. Staleness is
+        // detected by a SOURCE fingerprint (name:size:mtime of the source
+        // parquet files, written as a marker beside the layout) — a row
+        // count can't see regenerated fixtures whose counts are fixed
+        // per scale factor; the files' identity can.
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        def srcFp(path: String): String = {
+          val f = new java.io.File(path)
+          val files = if (f.isDirectory)
+            f.listFiles().filter(_.isFile).sortBy(_.getName) else Array(f)
+          files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+            .mkString("|")
+        }
         def ensure(name: String, src: org.apache.spark.sql.DataFrame,
-                   key: String): String = {
+                   key: String, srcPath: String): String = {
           val tbl = s"${name}_$tag"
           val loc = new java.io.File(
             new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, tbl)
-          if (!s.catalog.tableExists(tbl) && loc.exists()) {
+          // underscore-prefixed → invisible to Spark's file listing
+          val marker = new java.io.File(loc, "_graft_src_fp")
+          val fp = srcFp(srcPath)
+          def markerMatches: Boolean = marker.exists() && {
+            val srcIn = scala.io.Source.fromFile(marker)
+            try srcIn.mkString.trim == fp finally srcIn.close()
+          }
+          if (!s.catalog.tableExists(tbl) && loc.exists() && markerMatches) {
             s.sql(s"""CREATE TABLE $tbl (${src.schema.toDDL}) USING parquet
                       CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
                       LOCATION '${loc.toURI}'""")
           }
-          val fresh = !s.catalog.tableExists(tbl) ||
-            (s.table(tbl).count() != src.count() && {
-              s.sql(s"DROP TABLE $tbl")
-              def rm(f: java.io.File): Unit = {
-                if (f.isDirectory) f.listFiles().foreach(rm)
-                f.delete(); ()
-              }
-              if (loc.exists()) rm(loc)
-              true
-            })
-          if (fresh)
+          val stale = (s.catalog.tableExists(tbl) || loc.exists()) &&
+            !markerMatches
+          if (stale) {
+            if (s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE $tbl")
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(); ()
+            }
+            if (loc.exists()) rm(loc)
+          }
+          if (!s.catalog.tableExists(tbl)) {
             src.write.bucketBy(8, key).sortBy(key)
               .format("parquet").mode("overwrite").saveAsTable(tbl)
+            val w = new java.io.PrintWriter(marker)
+            try w.print(fp) finally w.close()
+          }
           tbl
         }
         val tOrders = ensure("graft_b_orders",
           Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus")),
-          "o_orderkey")
+          "o_orderkey", s"$dir/orders.parquet")
         val tLineitem = ensure("graft_b_lineitem",
           Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity")),
-          "l_orderkey")
+          "l_orderkey", s"$dir/lineitem.parquet")
         // merge hint: the tiny fixture dim would otherwise broadcast and
         // never exercise the bucketed-SMJ path this key exists to declare
         s.table(tLineitem).hint("merge")

@@ -221,8 +221,12 @@ object Windows {
     // user's timeline, weighted by event-time distance. Two window passes
     // (last-ignoring-nulls backward, first-ignoring-nulls forward) on ONE
     // user_id shuffle; edges without both neighbors stay NULL-filled via
-    // coalesce to the available side. Arithmetic is the same double
-    // expression tree in both engines, rounded once at 6.
+    // coalesce to the available side, and so do equal-timestamp neighbors
+    // (nt = pt would divide by zero: Spark non-ANSI yields NULL, DuckDB
+    // IEEE yields ±inf — the explicit guard keeps both engines on the
+    // coalesce branch instead of relying on fixture timestamps being
+    // unique). Arithmetic is the same double expression tree in both
+    // engines, rounded once at 6.
     "q_interpolate" -> Q(
       (s, dir) => {
         val base = Tables.events(s, dir)
@@ -245,7 +249,8 @@ object Windows {
         filled
           .withColumn("v_filled", round(
             when(col("v").isNotNull, col("v"))
-              .when(col("pv").isNotNull && col("nv").isNotNull,
+              .when(col("pv").isNotNull && col("nv").isNotNull &&
+                    col("nt") =!= col("pt"),
                 col("pv") + (col("nv") - col("pv"))
                   * (col("tsec") - col("pt")).cast("double")
                   / (col("nt") - col("pt")).cast("double"))
@@ -275,7 +280,8 @@ object Windows {
                               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
               SELECT user_id, event_id, ts,
                      round(CASE WHEN v IS NOT NULL THEN v
-                                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                                     AND nt <> pt THEN
                                   pv + (nv - pv) * CAST(tsec - pt AS DOUBLE)
                                                / CAST(nt - pt AS DOUBLE)
                                 ELSE COALESCE(pv, nv) END, 6) AS v_filled,
