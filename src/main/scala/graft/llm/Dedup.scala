@@ -282,6 +282,52 @@ object Dedup {
                       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hd
                FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
                WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
-               ORDER BY lang, id_a, id_b"""))
+               ORDER BY lang, id_a, id_b""")),
+
+    // Exact duplicated-substring report (the Lee et al. "Deduplicating
+    // Training Data" signal): every 8-token span (stride 1) that occurs
+    // more than once anywhere in the corpus, top 20 by occurrence count.
+    // Spans come off a materialized token array via slice() — 8-element
+    // copies, never a per-position re-split — and reduce by span string
+    // in one hash agg (map-side combined: a doc's repeated spans collapse
+    // locally before the shuffle). At 100 TB the published approach is a
+    // distributed suffix array; this explode→agg shape is the Spark-
+    // native equivalent for fixed span length, and its shuffle carries
+    // only (span, count) partials, not documents. The HAVING > 1 filter
+    // drops the unique-span long tail before the final top-k, which runs
+    // as TakeOrderedAndProject over the surviving aggregates.
+    "llm_dup_spans" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val spans = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 7),
+                         i -> concat_ws(' ', slice(toks, i, 8)))""")).as("span"))
+          .groupBy(col("span"))
+          .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_occ") > 1)
+        spans.withColumn("rn", row_number().over(
+            Window.orderBy(col("n_occ").desc, col("span"))))
+          .filter(col("rn") <= 20)
+          .select(col("rn"), col("span"), col("n_occ"), col("n_docs"))
+          .orderBy(col("rn"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+               sp AS (SELECT doc_id,
+                        array_to_string(list_slice(toks, i, i + 7), ' ') AS span
+                      FROM (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks) - 7)) AS i
+                            FROM t WHERE len(toks) >= 8)),
+               agg AS (SELECT span, COUNT(*) AS n_occ,
+                              COUNT(DISTINCT doc_id) AS n_docs
+                       FROM sp GROUP BY span HAVING COUNT(*) > 1)
+               SELECT rn, span, n_occ, n_docs FROM (
+                 SELECT span, n_occ, n_docs,
+                        ROW_NUMBER() OVER (ORDER BY n_occ DESC, span) AS rn
+                 FROM agg)
+               WHERE rn <= 20
+               ORDER BY rn"""))
   )
 }

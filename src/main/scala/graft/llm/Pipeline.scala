@@ -426,6 +426,36 @@ object Pipeline {
                             greatest(list_max(list_transform(embedding,
                               x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12) AS scale
                           FROM embeddings))
-              ORDER BY vec_id"""))
+              ORDER BY vec_id""")),
+
+    // Deterministic global training shuffle — the last step before a
+    // corpus ships to a trainer: every doc gets a (shard, position) that
+    // is a pure function of its id (md5-keyed, no RNG — rerunning the
+    // pipeline reproduces the exact batch order). The scale design is
+    // hash-shard THEN sort-within-shard: the shard column is a hash
+    // partition (uniform by construction), and each shard orders its own
+    // rows by the same hash — so there is NO global sort of the corpus
+    // anywhere, just |shards| independent local sorts, which is how a
+    // 100 TB shuffle actually runs (a global orderBy would funnel range
+    // boundaries through a single sampling pass and skew-prone ranges).
+    "llm_global_shuffle" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s) // tid60 kernel
+        val w = Window.partitionBy(col("shard")).orderBy(col("u"), col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("u", expr(uE("concat('shuffle:', CAST(doc_id AS STRING))")))
+          .withColumn("shard", col("u") % 8)
+          .withColumn("pos", row_number().over(w))
+          .select(col("shard"), col("pos"), col("doc_id"), col("lang"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some(s"""SELECT shard, ROW_NUMBER() OVER (PARTITION BY shard
+                                                ORDER BY u, doc_id) AS pos,
+                      doc_id, lang
+               FROM (SELECT doc_id, lang,
+                       ${duckU("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS u,
+                       ${duckU("'shuffle:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+                     FROM documents)
+               ORDER BY shard, pos"""))
   )
 }

@@ -325,6 +325,85 @@ object Similarity {
               FROM embeddings,
                    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
               GROUP BY label, i
-              ORDER BY label, pos"""))
+              ORDER BY label, pos""")),
+
+    // One Lloyd (k-means) iteration — the step llm_centroids trains the
+    // coarse quantizer FOR: score every vector against every centroid by
+    // cosine, reassign to the argmax, report the new cluster sizes and
+    // migration counts. The centroid table is k tiny rows (built by the
+    // same order-free decimal means as llm_centroids, assembled into
+    // arrays via the sort-struct-transform idiom) and BROADCASTS — the
+    // corpus is scanned once, never shuffled; per-vector work is k
+    // codegen-friendly dot products. At 100 TB this scan-vs-broadcast
+    // asymmetry is exactly why Lloyd iterations scale: the only reduce is
+    // the k-row assignment summary. Cosines round at 6 (IEEE-identical
+    // sequential folds both sides); the mean cosine is a decimal sum of
+    // rounded values, cast to DOUBLE last.
+    "llm_kmeans_iter" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, dir)
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(expr("CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(38,6))")).as("sd"),
+               count(lit(1)).as("n"))
+          .withColumn("cv", (col("sd") / col("n")).cast("decimal(38,6)").cast("double"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("a"))
+          .select(col("label").as("c_label"),
+                  expr("transform(a, x -> x.cv)").as("c_emb"))
+          .withColumn("c_nrm", expr(
+            "sqrt(aggregate(zip_with(c_emb, c_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"))
+        val scored = e.withColumn("nrm", expr(normE))
+          .crossJoin(broadcast(cent))
+          .withColumn("cos", round(
+            expr("aggregate(zip_with(embedding, c_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+              / (col("nrm") * col("c_nrm")), 6))
+        scored.withColumn("rk", row_number().over(
+            Window.partitionBy(col("vec_id"))
+              .orderBy(col("cos").desc, col("c_label"))))
+          .filter(col("rk") === 1)
+          .groupBy(col("c_label"))
+          .agg(count(lit(1)).as("n_assigned"),
+               sum(when(col("label") =!= col("c_label"), 1L).otherwise(0L))
+                 .as("n_moved_in"),
+               (sum(col("cos").cast("decimal(38,6)")) / count(lit(1)))
+                 .cast("decimal(38,6)").cast("double").as("mean_cos"))
+          .orderBy(col("c_label"))
+      },
+      Some(s"""WITH cent0 AS (
+                 SELECT label, i - 1 AS pos,
+                        CAST(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                                           AS DECIMAL(38,6))) / COUNT(*)
+                                  AS DECIMAL(38,6)) AS DOUBLE) AS cv
+                 FROM embeddings,
+                      LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+                 GROUP BY label, i),
+               cent AS (
+                 SELECT label AS c_label, list(cv ORDER BY pos) AS c_emb,
+                        sqrt(list_sum(list_transform(
+                          list_zip(list(cv ORDER BY pos), list(cv ORDER BY pos)),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS c_nrm
+                 FROM cent0 GROUP BY label),
+               scored AS (
+                 SELECT e.vec_id, e.label, c.c_label,
+                        round(list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+                                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                              / ($duckNorm * c.c_nrm), 6) AS cos
+                 FROM embeddings e CROSS JOIN cent c),
+               assigned AS (
+                 SELECT * FROM scored
+                 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, c_label) = 1)
+               SELECT c_label, COUNT(*) AS n_assigned,
+                      CAST(SUM(CASE WHEN label <> c_label THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_moved_in,
+                      CAST(CAST(SUM(CAST(cos AS DECIMAL(38,6))) / COUNT(*)
+                                AS DECIMAL(38,6)) AS DOUBLE) AS mean_cos
+               FROM assigned
+               GROUP BY c_label
+               ORDER BY c_label"""))
   )
 }

@@ -394,6 +394,113 @@ object TextAnalysis {
                FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY c2 DESC, w1, w2) AS rn
                      FROM j)
                WHERE rn <= 20
+               ORDER BY rn""")),
+
+    // Gopher-style repetition signals per document — the quality gate that
+    // catches boilerplate/looping text that a length or stopword filter
+    // misses: (a) fraction of 2-gram occurrences taken by the single most
+    // frequent 2-gram, (b) fraction of 3-gram occurrences whose gram
+    // appears more than once in the doc. Both are per-doc aggregates of
+    // exploded n-grams — a map-side-combined hash agg keyed by doc_id, no
+    // cross-doc shuffle of text at all (each doc's grams reduce locally).
+    // n-grams use the zip_with-over-slices idiom (never re-split per
+    // element — the documented CollapseProject/lambda O(tokens²) trap).
+    // Fractions are exact integer ratios in DOUBLE, one IEEE divide +
+    // round(6) on both sides.
+    "llm_repetition_filter" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).withColumn("toks", expr(toksE))
+        val g2 = d.select(col("doc_id"), explode(expr(
+            """zip_with(slice(toks, 1, size(toks) - 1),
+                        slice(toks, 2, size(toks) - 1),
+                        (a, b) -> concat(a, ' ', b))""")).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("m2"), sum(col("c")).as("t2"))
+        val g3 = d.select(col("doc_id"), explode(expr(
+            """zip_with(zip_with(slice(toks, 1, size(toks) - 2),
+                                 slice(toks, 2, size(toks) - 2),
+                                 (a, b) -> concat(a, ' ', b)),
+                        slice(toks, 3, size(toks) - 2),
+                        (ab, c) -> concat(ab, ' ', c))""")).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup3"),
+               sum(col("c")).as("t3"))
+        d.select(col("doc_id"), col("lang")).join(g2, "doc_id").join(g3, "doc_id")
+          .withColumn("top2_frac", round(col("m2").cast("double") / col("t2"), 6))
+          .withColumn("dup3_frac", round(col("dup3").cast("double") / col("t3"), 6))
+          .withColumn("keep", col("top2_frac") <= 0.1 && col("dup3_frac") <= 0.2)
+          .select(col("doc_id"), col("lang"), col("top2_frac"),
+                  col("dup3_frac"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $duckToks AS toks FROM documents),
+               b2 AS (SELECT doc_id,
+                        unnest(list_transform(generate_series(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS g
+                      FROM t),
+               c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM b2 GROUP BY doc_id, g),
+               s2 AS (SELECT doc_id, MAX(c) AS m2, SUM(c) AS t2
+                      FROM c2 GROUP BY doc_id),
+               b3 AS (SELECT doc_id,
+                        unnest(list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+                      FROM t),
+               c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM b3 GROUP BY doc_id, g),
+               s3 AS (SELECT doc_id,
+                             SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3,
+                             SUM(c) AS t3
+                      FROM c3 GROUP BY doc_id)
+               SELECT t.doc_id AS doc_id, lang,
+                      round(CAST(m2 AS DOUBLE) / t2, 6) AS top2_frac,
+                      round(CAST(dup3 AS DOUBLE) / t3, 6) AS dup3_frac,
+                      (round(CAST(m2 AS DOUBLE) / t2, 6) <= 0.1 AND
+                       round(CAST(dup3 AS DOUBLE) / t3, 6) <= 0.2) AS keep
+               FROM t JOIN s2 ON t.doc_id = s2.doc_id
+                      JOIN s3 ON t.doc_id = s3.doc_id
+               ORDER BY t.doc_id""")),
+
+    // First BPE merge iteration — tokenizer training's inner step: count
+    // adjacent character pairs across the corpus, weighted by word
+    // frequency. The two-table shape is the scale design: the corpus
+    // reduces to a (token, count) vocabulary first (map-side combined;
+    // the vocab is orders of magnitude smaller than the corpus), then
+    // character pairs explode off the VOCAB, not the corpus — 100 TB of
+    // text never ships a per-character row. Top 20 pairs by weighted
+    // count, deterministic tiebreak on the pair string.
+    "llm_bpe_pairs" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val vocab = Tables.documents(s, dir)
+          .select(explode(expr(toksE)).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+          .filter(length(col("tok")) >= 2)
+        val pairs = vocab.select(col("wc"), explode(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        pairs.withColumn("rn", row_number().over(
+            Window.orderBy(col("n").desc, col("pair"))))
+          .filter(col("rn") <= 20)
+          .select(col("rn"), col("pair"), col("n"))
+          .orderBy(col("rn"))
+      },
+      Some(s"""WITH vocab AS (
+                 SELECT tok, COUNT(*) AS wc
+                 FROM (SELECT unnest($duckToks) AS tok FROM documents)
+                 GROUP BY tok HAVING len(tok) >= 2),
+               pairs AS (
+                 SELECT substr(tok, i, 2) AS pair, CAST(SUM(wc) AS BIGINT) AS n
+                 FROM (SELECT tok, wc,
+                         unnest(generate_series(1, len(tok) - 1)) AS i
+                       FROM vocab)
+                 GROUP BY pair)
+               SELECT rn, pair, n FROM (
+                 SELECT pair, n,
+                        ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rn
+                 FROM pairs)
+               WHERE rn <= 20
                ORDER BY rn"""))
   )
 }

@@ -397,6 +397,112 @@ object Aggs {
                      COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
               FROM events
               GROUP BY day
-              ORDER BY day"""))
+              ORDER BY day""")),
+
+    // Fixed-width histogram — the profiling primitive behind every data
+    // card: bucket edges are arithmetic on the value, so the whole thing
+    // is one map-side-combined hash agg (no sort, no sampling pass).
+    // floor(x / width) is the same IEEE divide+floor in both engines —
+    // bit-identical bucket assignment; the price range (1 013..499 979 at
+    // every sf) fills buckets 0..19 at width 25 000.
+    "q_histogram" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("bucket", floor(col("o_totalprice") / 25000.0).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), H.dsum(col("o_totalprice")).as("bucket_total"))
+        .withColumn("lo_edge", (col("bucket") * 25000L).cast("double"))
+        .select(col("bucket"), col("lo_edge"), col("n"), col("bucket_total"))
+        .orderBy(col("bucket")),
+      Some(s"""SELECT bucket, CAST(bucket * 25000 AS DOUBLE) AS lo_edge,
+                      COUNT(*) AS n, ${H.oSum("o_totalprice")} AS bucket_total
+               FROM (SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+                            o_totalprice
+                     FROM orders)
+               GROUP BY bucket
+               ORDER BY bucket""")),
+
+    // Ordered string aggregation (LISTAGG) — the report-column shape.
+    // Spark has no within-group ORDER BY, so determinism comes from
+    // array_sort(collect_set(...)) (the engine's standard idiom); DuckDB
+    // mirrors it with list_sort(list(DISTINCT ...)). The distinct set per
+    // group is tiny (order statuses), so the agg buffer stays bounded at
+    // any scale — unordered collect_list of a 100 TB group would not.
+    "q_agg_listagg" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+               .as("statuses"),
+             countDistinct(col("o_orderstatus")).as("n_statuses"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+                     array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+                       AS statuses,
+                     COUNT(DISTINCT o_orderstatus) AS n_statuses,
+                     COUNT(*) AS n_orders
+              FROM orders
+              GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    // Discrete median (PERCENTILE_DISC 0.5): the smallest value with
+    // cdf >= 0.5 — an actual data value, unlike the interpolated
+    // q_agg_percentile. Verified against DuckDB: quantile_disc picks the
+    // 1-indexed element at floor((n-1)*q)+1 of the sorted group, which is
+    // exactly the row_number the window pass selects. Sort-within-group +
+    // rank is the distributed shape (one shuffle on the group key); no
+    // double arithmetic at all, so no rounding discipline needed.
+    "q_median_disc" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("o_orderpriority"))))
+          .filter(col("rn") === floor((col("n") - 1) / 2) + 1)
+          .select(col("o_orderpriority"), col("o_totalprice").as("median_price"),
+                  col("n").as("n_orders"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+                     quantile_disc(o_totalprice, 0.5) AS median_price,
+                     COUNT(*) AS n_orders
+              FROM orders
+              GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    // Ratio-to-report: each group's share of the global total. Two-level
+    // aggregation — per-group exact decimal sums (one shuffle), then the
+    // global total as a window over the GROUP rows (5 rows here; at any
+    // scale the group table is tiny relative to the fact, so the
+    // single-partition window is over an already-reduced input, never the
+    // corpus). Share is an exact decimal ratio rounded once at 6.
+    "q_percent_of_total" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val grp = Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("o_totalprice").cast(H.D)).as("rev_d"),
+               count(lit(1)).as("n_orders"))
+        // both sides derive the same exact decimals, cast each to double,
+        // then do ONE IEEE division rounded at 6 — decimal/decimal result
+        // scales differ between engines, double division does not
+        grp.withColumn("share",
+            round(col("rev_d").cast("double") /
+                  sum(col("rev_d")).over(Window.partitionBy()).cast("double"), 6))
+          .select(col("o_orderpriority"), col("rev_d").cast("double").as("revenue"),
+                  col("n_orders"), col("share"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, CAST(rev_d AS DOUBLE) AS revenue, n_orders,
+                     round(CAST(rev_d AS DOUBLE)
+                           / CAST(SUM(rev_d) OVER () AS DOUBLE), 6) AS share
+              FROM (SELECT o_orderpriority,
+                           SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS rev_d,
+                           COUNT(*) AS n_orders
+                    FROM orders
+                    GROUP BY o_orderpriority)
+              ORDER BY o_orderpriority"""))
   )
 }

@@ -243,6 +243,85 @@ object EventsBatch {
                      COUNT(*) AS n_users
               FROM weeks JOIN coh ON weeks.user_id = coh.user_id
               GROUP BY 1, 2
-              ORDER BY 1, 2"""))
+              ORDER BY 1, 2""")),
+
+    // Peak session concurrency per hour — interval overlap WITHOUT an
+    // interval self-join (which is quadratic in the overlap degree). The
+    // sweep-line shape: each session [start, end] becomes a +1 and a −1
+    // marker, concurrency is the running sum of markers in time order,
+    // and the report takes the max per hour. Distributed as a TWO-LEVEL
+    // prefix scan: (a) running sum WITHIN each hour partition (scales —
+    // ~one hour of markers per task), (b) carry-in offsets from the
+    // per-hour marker totals, a tiny aggregate whose own prefix sum runs
+    // on one partition of |hours| rows and broadcasts back. No global
+    // sort of the markers anywhere. Ties: +1 sorts before −1 at the same
+    // instant (touching sessions count as concurrent); permutations
+    // within equal (ts, delta) can't change the per-hour max, so the
+    // result is deterministic without a unique tiebreaker.
+    "q_concurrent_sessions" -> Q(
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sess = Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+                 unix_micros(col("ts").cast("timestamp")) -
+                 unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+        val markers = sess.select(col("sess_start").as("ts"), lit(1L).as("delta"))
+          .unionAll(sess.select(col("sess_end").as("ts"), lit(-1L).as("delta")))
+          .withColumn("hour", date_trunc("hour", col("ts")))
+        val wIn = Window.partitionBy(col("hour"))
+          .orderBy(col("ts"), col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = markers.groupBy(col("hour")).agg(sum(col("delta")).as("d"))
+          .withColumn("carry_in", coalesce(
+            sum(col("d")).over(Window.orderBy(col("hour"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("hour"), col("carry_in"))
+        markers
+          .withColumn("run", sum(col("delta")).over(wIn))
+          .join(broadcast(offsets), "hour")
+          .groupBy(col("hour"))
+          .agg(max(col("run") + col("carry_in")).as("max_concurrent"),
+               sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"))
+          .orderBy(col("hour"))
+      },
+      Some("""WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              numbered AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS sess_id
+                FROM flagged),
+              sess AS (
+                SELECT user_id, sess_id, MIN(ts) AS sess_start, MAX(ts) AS sess_end
+                FROM numbered GROUP BY user_id, sess_id),
+              markers AS (
+                SELECT sess_start AS ts, CAST(1 AS BIGINT) AS delta FROM sess
+                UNION ALL
+                SELECT sess_end AS ts, CAST(-1 AS BIGINT) AS delta FROM sess),
+              swept AS (
+                SELECT date_trunc('hour', ts) AS hour, delta,
+                       SUM(delta) OVER (ORDER BY ts, delta DESC
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS run
+                FROM markers)
+              SELECT hour, CAST(MAX(run) AS BIGINT) AS max_concurrent,
+                     CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_starts
+              FROM swept
+              GROUP BY hour
+              ORDER BY hour"""))
   )
 }

@@ -283,6 +283,36 @@ object Scans {
       },
       Some("""SELECT l_linestatus, COUNT(*) AS n
               FROM lineitem WHERE l_returnflag = 'R'
-              GROUP BY l_linestatus ORDER BY l_linestatus"""))
+              GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // Partition PRUNING on read — the other half of the partitioned-lake
+    // story (snk_partitioned is the write): a layout partitioned by a
+    // predicate column turns the filter into directory selection, so the
+    // scan never opens the other partitions' files at all. The layout is
+    // written once per data dir (same amortized-layout contract as
+    // q_join_bucketed); the DECLARED query is the pruned read.
+    // PlanAuditSpec pins PartitionFilters in the scan node — at 100 TB
+    // this is the difference between reading one lang's TBs and all of
+    // them. Oracle recomputes from the unpartitioned source.
+    "src_partition_pruning" -> Q(
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val out = s"$fixDir/docs_by_lang_$tag"
+        val done = new java.io.File(s"$out/_SUCCESS")
+        if (!done.exists()) {
+          Tables.documents(s, dir)
+            .repartition(col("lang"))
+            .write.mode("overwrite").partitionBy("lang").parquet(out)
+        }
+        s.read.parquet(out)
+          .filter(col("lang") === "en")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS total_chars
+              FROM documents WHERE lang = 'en'
+              GROUP BY source ORDER BY source"""))
   )
 }
