@@ -361,11 +361,17 @@ object Similarity {
           .withColumn("cos", round(
             expr("aggregate(zip_with(embedding, c_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
               / (col("nrm") * col("c_nrm")), 6))
-        scored.withColumn("rk", row_number().over(
-            Window.partitionBy(col("vec_id"))
-              .orderBy(col("cos").desc, col("c_label"))))
-          .filter(col("rk") === 1)
-          .groupBy(col("c_label"))
+        // argmax via min(struct(-cos, c_label)) — NOT a vec_id window: the
+        // broadcast join emits all k scores for a vector inside one task,
+        // so this groupBy partial-aggregates to one row per vector map-side
+        // and the shuffle carries |corpus| reduced rows, never corpus×k
+        // (a window would shuffle and sort the full scored set).
+        val assigned = scored
+          .groupBy(col("vec_id"), col("label"))
+          .agg(min(struct((-col("cos")).as("nc"), col("c_label"))).as("m"))
+          .select(col("label"), col("m.c_label").as("c_label"),
+                  (-col("m.nc")).as("cos"))
+        assigned.groupBy(col("c_label"))
           .agg(count(lit(1)).as("n_assigned"),
                sum(when(col("label") =!= col("c_label"), 1L).otherwise(0L))
                  .as("n_moved_in"),

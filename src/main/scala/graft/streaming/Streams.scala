@@ -213,4 +213,47 @@ object Streams {
         ()
       }
       .start()
+
+  /** st_upsert_sink: streaming CDC-apply — each micro-batch reduces to
+    * latest-per-user (max(struct(ts, value)): deterministic even on ts
+    * ties) and MERGEs into a keyed serving table, the per-batch run of
+    * q_merge_upsert's plan. State versions are write-audit-publish: a new
+    * directory per batch plus a pointer file, never an in-place overwrite
+    * of the directory being read (Spark reads lazily — overwriting the
+    * input of the running merge would corrupt it). Replayed batches
+    * rewrite their own version dir and re-point — idempotent, so
+    * checkpoint + this sink is effectively exactly-once. */
+  def upsertSink(df: DataFrame, stateDir: String,
+                 checkpointDir: String): StreamingQuery = {
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val latest = batch
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("value"))).as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"), col("m.value").as("value"))
+        val merged = currentState(batch.sparkSession, stateDir) match {
+          case Some(cur) => cur.unionByName(latest)
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("ts"), col("value"))).as("m"))
+            .select(col("user_id"), col("m.ts").as("ts"), col("m.value").as("value"))
+          case None => latest
+        }
+        merged.write.mode("overwrite").parquet(s"$stateDir/v_$batchId")
+        val ptr = java.nio.file.Paths.get(stateDir, "_LATEST")
+        java.nio.file.Files.writeString(ptr, batchId.toString)
+        ()
+      }
+      .start()
+  }
+
+  /** The serving table [[upsertSink]] maintains: the version the pointer
+    * names, or None before the first publish. */
+  def currentState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val ptr = java.nio.file.Paths.get(stateDir, "_LATEST")
+    if (java.nio.file.Files.exists(ptr))
+      Some(spark.read.parquet(s"$stateDir/v_${java.nio.file.Files.readString(ptr).trim}"))
+    else None
+  }
 }

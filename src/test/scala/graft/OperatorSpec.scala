@@ -159,4 +159,107 @@ class OperatorSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
       "partition filter missing from scan")
   }
+
+  test("q_concurrent_sessions: two-level prefix scan equals the global sweep") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Registry.byName("q_concurrent_sessions").fn(spark, sf)
+    // independent reference: identical session build, then ONE global
+    // running sum over all markers (the single-partition formulation the
+    // distributed decomposition must reproduce exactly)
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = Tables.events(spark, sf)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_ts".isNull ||
+             unix_micros($"ts".cast("timestamp")) -
+             unix_micros($"prev_ts".cast("timestamp")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum($"new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sess_id")
+      .agg(min($"ts").as("s"), max($"ts").as("e"))
+    val markers = sess.select($"s".as("ts"), lit(1L).as("delta"))
+      .unionAll(sess.select($"e".as("ts"), lit(-1L).as("delta")))
+    val wG = Window.orderBy($"ts", $"delta".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = markers.withColumn("run", sum($"delta").over(wG))
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(max($"run").as("max_concurrent"),
+           sum(when($"delta" === 1, 1L).otherwise(0L)).as("n_starts"))
+    assertSameRows(out, ref)
+  }
+
+  test("q_median_disc: matches the directly computed discrete median per group") {
+    val got = Registry.byName("q_median_disc").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val grouped = Tables.orders(spark, sf)
+      .select($"o_orderpriority", $"o_totalprice").as[(String, Double)]
+      .collect().groupBy(_._1)
+    assert(got.map(_._1).toSet == grouped.keySet)
+    got.foreach { case (k, med, n) =>
+      val vs = grouped(k).map(_._2).sorted
+      assert(n == vs.length, s"$k: group size")
+      assert(med == vs((vs.length - 1) / 2),
+        s"$k: median $med != sorted element ${(vs.length - 1) / 2}")
+    }
+  }
+
+  test("llm_repetition_filter: fractions match a direct per-doc computation") {
+    val rows = Registry.byName("llm_repetition_filter").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect().take(25).foreach { case (id, text) =>
+        val toks = text.toLowerCase.trim.split(" ").toSeq
+        val g2 = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val g3 = toks.sliding(3).map(_.mkString(" ")).toSeq
+        val top2 = g2.groupBy(identity).values.map(_.size).max.toDouble / g2.size
+        val c3 = g3.groupBy(identity).values.map(_.size).toSeq
+        val dup3 = c3.filter(_ > 1).sum.toDouble / g3.size
+        val (t2, d3) = rows(id)
+        assert(math.abs(t2 - top2) <= 1e-6, s"doc $id top2: $t2 vs $top2")
+        assert(math.abs(d3 - dup3) <= 1e-6, s"doc $id dup3: $d3 vs $dup3")
+      }
+  }
+
+  test("llm_dup_spans: every span duplicated, counts ordered and consistent") {
+    val rows = Registry.byName("llm_dup_spans").fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "fixture near-duplicates should share 8-token spans")
+    rows.foreach { case (rn, span, nOcc, nDocs) =>
+      assert(nOcc > 1, s"rank $rn: span not duplicated")
+      assert(nDocs <= nOcc, s"rank $rn: n_docs $nDocs > n_occ $nOcc")
+      assert(span.split(" ").length == 8, s"rank $rn: span is not 8 tokens")
+    }
+    val occs = rows.map(_._3)
+    assert(occs.zip(occs.tail).forall { case (a, b) => a >= b },
+      "spans not ordered by occurrence count")
+  }
+
+  test("llm_global_shuffle: deterministic across runs, all shards populated") {
+    val a = Registry.byName("llm_global_shuffle").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val b = Registry.byName("llm_global_shuffle").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sameElements(b), "shuffle order changed between runs")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(a.length == nDocs, "shuffle dropped or duplicated docs")
+    assert(a.map(_._1).distinct.length == 8, "expected all 8 shards populated")
+    // positions are contiguous 1..n within each shard
+    a.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+  }
+
+  test("llm_kmeans_iter: assignment is total and cosines are in range") {
+    graft.functions.Custom.register(spark)
+    val rows = Registry.byName("llm_kmeans_iter").fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum == Tables.embeddings(spark, sf).count(),
+      "every vector must be assigned to exactly one centroid")
+    rows.foreach { case (lbl, n, moved, meanCos) =>
+      assert(moved <= n, s"$lbl: moved $moved > assigned $n")
+      assert(meanCos >= -1.0 && meanCos <= 1.0, s"$lbl: mean cosine $meanCos")
+    }
+  }
 }

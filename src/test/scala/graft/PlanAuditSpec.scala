@@ -266,4 +266,46 @@ class PlanAuditSpec extends SparkSuite {
     val after = loc.listFiles().map(f => f.getName -> f.lastModified()).toMap
     assert(after == before, "bucketed layout was rewritten on reuse path")
   }
+
+  test("src_partition_pruning: the lang predicate prunes partitions at the scan") {
+    // first call writes the partitioned layout if absent
+    Registry.byName("src_partition_pruning").fn(spark, sf).collect()
+    val p = planOf("src_partition_pruning")
+    assert(p.contains("PartitionFilters: ["), s"no partition filters in scan:\n$p")
+    assert(p.replaceAll("#\\d+", "").contains("(lang = en)"),
+      s"lang=en not a partition filter:\n$p")
+  }
+
+  test("llm_kmeans_iter: centroids broadcast; argmax is a map-combined agg, not a window") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("llm_kmeans_iter")
+    assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
+    // a vec_id window would shuffle+sort the corpus×k scored rows; the
+    // min(struct(-cos, label)) groupBy partial-aggregates them in-task
+    assert(!p.contains("Window"), s"argmax fell back to a window:\n$p")
+    assert(p.contains("partial_min"), s"no map-side partial for the argmax:\n$p")
+  }
+
+  test("q_concurrent_sessions: only the per-hour offset prefix runs single-partition") {
+    val p = planOf("q_concurrent_sessions")
+    // the corpus-sized windows (session build, in-hour sweep) are all
+    // partitioned; exactly one SinglePartition exchange feeds the tiny
+    // per-hour carry-in prefix scan
+    val n = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 single-partition exchange, got $n:\n$p")
+    assert(p.contains("BroadcastExchange"), s"carry-in offsets not broadcast back:\n$p")
+  }
+
+  test("llm_dup_spans: explode→agg only — no join anywhere in the plan") {
+    val p = planOf("llm_dup_spans")
+    assert(!p.contains("Join"), s"span dedup should not join:\n$p")
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
+
+  test("llm_global_shuffle: in-shard ordering rides one shard exchange") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("llm_global_shuffle")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected one hash exchange (shard window), got $n:\n$p")
+  }
 }

@@ -289,4 +289,32 @@ class StreamingSpec extends SparkSuite {
       .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
     assert(got == want, s"backfill drained $got, batch says $want")
   }
+
+  test("st_upsert_sink: streaming merge converges to the batch latest-per-key") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val inDir = s"$tmp/in"; val stateDir = s"$tmp/state"; val ckpt = s"$tmp/ckpt"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    // 3 input files → 3 micro-batches → 3 state versions, each merging
+    // onto the previous
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+      .repartition(3).write.parquet(inDir)
+    val q = Streams.upsertSink(
+      Streams.fileStream(spark, inDir, Streams.eventSchema)
+        .select(col("user_id"), col("ts"), col("value")),
+      stateDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val state = Streams.currentState(spark, stateDir)
+      .getOrElse(fail("no state version published"))
+    val expected = evDf(fixtureEvs)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts").as("ts"), col("m.value").as("value"))
+    assertSameRows(state, expected)
+    // the pointer names the LAST batch's version (merge ran per batch)
+    val ptr = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(stateDir, "_LATEST")).trim.toLong
+    assert(ptr >= 2, s"expected >= 3 micro-batches, last version was $ptr")
+  }
 }
