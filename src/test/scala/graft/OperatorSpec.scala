@@ -254,7 +254,7 @@ class OperatorSpec extends SparkSuite {
   test("llm_kmeans_iter: assignment is total and cosines are in range") {
     graft.functions.Custom.register(spark)
     val rows = Registry.byName("llm_kmeans_iter").fn(spark, sf).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getInt(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rows.map(_._2).sum == Tables.embeddings(spark, sf).count(),
       "every vector must be assigned to exactly one centroid")
     rows.foreach { case (lbl, n, moved, meanCos) =>
