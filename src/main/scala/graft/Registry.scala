@@ -11,6 +11,7 @@ object Registry {
     operators.Windows.qs ++
     operators.SetOps.qs ++
     operators.EventsBatch.qs ++
+    operators.Analytics.qs ++
     functions.Funcs.qs ++
     functions.Custom.qs ++
     llm.Dedup.qs ++

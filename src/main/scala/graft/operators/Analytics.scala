@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 analytics additions: cumulative-distinct growth, robust
+  * (MAD) outlier detection, a Welch two-sample test computed from one
+  * aggregation pass, and the incremental partial-aggregate merge that
+  * backs warehouse-style "yesterday's state + today's delta" rollups.
+  *
+  * Scale notes are per-operator; the common theme is REDUCE FIRST:
+  * every global window / driver-visible structure here operates on a
+  * group-reduced table (days, event types, priorities), never on the
+  * raw fact table, so the only full-corpus costs are map-side-combined
+  * aggregations and broadcast joins against tiny reduced tables. */
+object Analytics {
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Cumulative distinct users by hour. The naive shape (COUNT(DISTINCT
+    // user) OVER (ORDER BY day)) re-scans the user set per day; the
+    // scalable identity is first-appearance day: a user contributes to
+    // the cumulative count from min(day) onward, so one per-user reduce
+    // (map-side combined) + a day-level running sum over the ~hundreds-
+    // row day table gives the same numbers with one corpus shuffle on
+    // user_id and a single-partition window over days only.
+    "q_running_distinct" -> Q(
+      (s, dir) => {
+        val first = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(min(date_trunc("hour", col("ts"))).as("day"))
+        val daily = first.groupBy(col("day"))
+          .agg(count(lit(1)).as("new_users"))
+        daily
+          .select(col("day"), col("new_users"),
+                  sum(col("new_users")).over(Window.orderBy(col("day")))
+                    .as("cum_users"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH f AS (SELECT user_id, MIN(date_trunc('hour', ts)) AS day
+                         FROM events GROUP BY 1),
+                   d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY 1)
+              SELECT day, new_users,
+                     CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+              FROM d ORDER BY day""")),
+
+    // Robust outlier report: median + MAD (median absolute deviation)
+    // per event_type, flagging |v - med| > 3 * 1.4826 * MAD (the normal-
+    // consistency constant). Exact medians need two passes by nature
+    // (med, then deviations) — both are group-reduced aggregations with
+    // the 5-row med/mad tables broadcast back, so the corpus is scanned
+    // but never shuffled on anything wider than event_type. Medians and
+    // deviations round at 6 so Spark percentile == DuckDB quantile_cont
+    // bit-for-bit (the documented libm-parity grain).
+    "q_anomaly_mad" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        val med = ev.groupBy(col("event_type"))
+          .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+        val dev = ev.join(broadcast(med), Seq("event_type"))
+          .withColumn("dev", round(abs(col("value") - col("med")), 6))
+        val mad = dev.groupBy(col("event_type"))
+          .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"),
+               min(col("med")).as("med"))
+        dev.drop("med").join(broadcast(mad), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               min(col("med")).as("med"),
+               min(col("mad")).as("mad"),
+               sum(when(col("dev") > round(lit(4.4478) * col("mad"), 6), 1L)
+                     .otherwise(0L)).as("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH med AS (SELECT event_type,
+                                  round(quantile_cont(value, 0.5), 6) AS med
+                           FROM events GROUP BY 1),
+                   dev AS (SELECT e.event_type,
+                                  round(abs(e.value - m.med), 6) AS dev, m.med
+                           FROM events e JOIN med m USING (event_type)),
+                   mad AS (SELECT event_type,
+                                  round(quantile_cont(dev, 0.5), 6) AS mad,
+                                  MIN(med) AS med
+                           FROM dev GROUP BY 1)
+              SELECT d.event_type AS event_type, COUNT(*) AS n,
+                     MIN(m.med) AS med, MIN(m.mad) AS mad,
+                     CAST(SUM(CASE WHEN d.dev > round(4.4478 * m.mad, 6)
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              FROM dev d JOIN mad m USING (event_type)
+              GROUP BY 1 ORDER BY 1""")),
+
+    // Welch's unequal-variance t between purchase and signup amounts,
+    // computed from ONE map-side-combined aggregation pass: conditional
+    // exact-decimal power sums (the q_outliers spelling), then mean /
+    // variance / t / Welch-Satterthwaite df derived with identical
+    // double expression trees on both engines. At 100 TB this is the
+    // cheapest possible shape — a single scan reducing to one row.
+    "q_ab_test" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val d = col("value").cast("decimal(18,4)")
+        val isA = col("event_type") === "purchase"
+        val isB = col("event_type") === "signup"
+        val agg = ev.agg(
+          sum(when(isA, 1L).otherwise(0L)).as("na"),
+          sum(when(isB, 1L).otherwise(0L)).as("nb"),
+          sum(when(isA, d)).cast("double").as("sa"),
+          sum(when(isB, d)).cast("double").as("sb"),
+          sum(when(isA, d * d)).cast("double").as("qa"),
+          sum(when(isB, d * d)).cast("double").as("qb"))
+        val ma = col("sa") / col("na"); val mb = col("sb") / col("nb")
+        val va = (col("qa") - col("sa") * col("sa") / col("na")) / (col("na") - 1)
+        val vb = (col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+        val sea = va / col("na"); val seb = vb / col("nb")
+        agg.select(
+          col("na"), col("nb"),
+          round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+          round((ma - mb) / sqrt(sea + seb), 6).as("t_stat"),
+          round((sea + seb) * (sea + seb) /
+                  (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1)),
+                6).as("df_welch"))
+      },
+      Some("""WITH a AS (
+                SELECT CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS na,
+                       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS nb,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS sa,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS sb,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS qa,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS qb
+                FROM events)
+              SELECT na, nb,
+                     round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+                     round((sa / na - sb / nb)
+                           / sqrt(((qa - sa * sa / na) / (na - 1)) / na
+                                  + ((qb - sb * sb / nb) / (nb - 1)) / nb), 6) AS t_stat,
+                     round((((qa - sa * sa / na) / (na - 1)) / na
+                            + ((qb - sb * sb / nb) / (nb - 1)) / nb)
+                           * (((qa - sa * sa / na) / (na - 1)) / na
+                              + ((qb - sb * sb / nb) / (nb - 1)) / nb)
+                           / ((((qa - sa * sa / na) / (na - 1)) / na)
+                              * (((qa - sa * sa / na) / (na - 1)) / na) / (na - 1)
+                              + (((qb - sb * sb / nb) / (nb - 1)) / nb)
+                                * (((qb - sb * sb / nb) / (nb - 1)) / nb) / (nb - 1)),
+                           6) AS df_welch
+              FROM a""")),
+
+    // Incremental aggregation: the partial-aggregate merge that turns a
+    // full-history rollup into O(delta) work. "State" (orders before the
+    // cutoff) and "delta" (after) are each reduced to per-priority
+    // (n, sum) partials — the mergeable form — and the final rollup is
+    // an agg over their union: 2 rows per group, never a re-scan of
+    // history. avg derives from the merged sums. The two partial sums
+    // are exact decimals emitted as doubles; their 2-term re-sum is
+    // order-insensitive (IEEE addition is commutative).
+    "q_incremental_agg" -> Q(
+      (s, dir) => {
+        val cutoff = lit("2001-01-01").cast("timestamp_ntz")
+        val o = Tables.orders(s, dir)
+        def partial(f: org.apache.spark.sql.Column) =
+          o.filter(f).groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n"),
+                 sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sd"))
+        partial(col("o_orderdate") < cutoff)
+          .unionByName(partial(col("o_orderdate") >= cutoff))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(col("n")).as("n_orders"),
+               sum(col("sd")).as("total"))
+          .select(col("o_orderpriority"), col("n_orders"), col("total"),
+                  round(col("total") / col("n_orders"), 6).as("avg_price"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""WITH part AS (
+                SELECT o_orderpriority, o_orderdate < TIMESTAMP '2001-01-01' AS is_state,
+                       COUNT(*) AS n,
+                       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sd
+                FROM orders GROUP BY 1, 2)
+              SELECT o_orderpriority,
+                     CAST(SUM(n) AS BIGINT) AS n_orders,
+                     CAST(SUM(sd) AS DOUBLE) AS total,
+                     round(CAST(SUM(sd) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 6) AS avg_price
+              FROM part GROUP BY 1 ORDER BY 1"""))
+  )
+}
