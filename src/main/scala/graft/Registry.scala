@@ -19,7 +19,8 @@ object Registry {
     llm.TextAnalysis.qs ++
     llm.Multimodal.qs ++
     llm.Pipeline.qs ++
-    llm.Curation.qs
+    llm.Curation.qs ++
+    llm.Signals.qs
 
   lazy val byName: Map[String, Q] = all.toMap
 

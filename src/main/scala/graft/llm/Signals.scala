@@ -1,0 +1,134 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-5 per-document signal operators: winnowing fingerprints (the
+  * MOSS local-sampling scheme — position-robust substring fingerprints
+  * with a guaranteed detection window) and lexical-diversity scoring
+  * (token Shannon entropy + type/token ratio), both standard quality /
+  * dedup signals in corpus curation.
+  *
+  * Both are scan-pipelined per-document array programs: the only
+  * corpus-wide shuffles are the final fingerprint-df aggregation
+  * (winnowing) and the (doc, token) term-frequency aggregation
+  * (entropy). Every gram/hash/window stage rides zip_with over
+  * top-level slices — never element_at(<computed array>, i) inside a
+  * lambda, which Catalyst inlines without CSE into O(tokens²)
+  * re-evaluation (the documented Shingles3 trap). */
+object Signals {
+
+  private val toksE = "split(lower(trim(text)), ' ')"
+  private val duckToks = "string_split(lower(trim(text)), ' ')"
+
+  /** Ordered (non-distinct) 3-token grams — winnowing needs positional
+    * grams, so [[graft.functions.Sketches.Shingles3]] (distinct) does
+    * not apply. zip_with arity is 2, so the 3-way combine nests. */
+  private val grams3 =
+    """CASE WHEN size(toks) >= 3
+       THEN zip_with(
+              zip_with(slice(toks, 1, size(toks) - 2),
+                       slice(toks, 2, size(toks) - 2),
+                       (a, b) -> concat(a, ' ', b)),
+              slice(toks, 3, size(toks) - 2),
+              (x, c) -> concat(x, ' ', c))
+       ELSE array() END"""
+
+  /** Per-window (w=4) minimum of the gram-hash sequence: the winnowing
+    * fingerprint selection. least() nests pairwise over four aligned
+    * slices. */
+  private val winMins =
+    """CASE WHEN size(hs) >= 4
+       THEN zip_with(
+              zip_with(slice(hs, 1, size(hs) - 3), slice(hs, 2, size(hs) - 3),
+                       (a, b) -> least(a, b)),
+              zip_with(slice(hs, 3, size(hs) - 3), slice(hs, 4, size(hs) - 3),
+                       (a, b) -> least(a, b)),
+              (x, y) -> least(x, y))
+       ELSE array() END"""
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Winnowing (k=3 token grams, window w=4): every document keeps the
+    // minimum gram hash of each sliding window — any shared substring of
+    // >= w+k-1 tokens is GUARANTEED to share a fingerprint (the MOSS
+    // detection property), at ~2/(w+1) the density of full shingling.
+    // Output: the cross-document report — fingerprints seen in >= 2 docs,
+    // top 20 by document frequency. At 100 TB the per-doc stage is
+    // scan-pipelined codegen (tid60 kernel); the df agg shuffles only
+    // distinct (doc, fp) pairs — a ~2/(w+1) sample of the gram stream,
+    // the winnowing bandwidth win over llm_dedup_near's full inverted
+    // index.
+    "llm_winnowing" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s) // tid60 kernel
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .withColumn("grams", expr(grams3))
+          .withColumn("hs", expr("transform(grams, g -> tid60(g))"))
+          .select(col("doc_id"), explode(expr(winMins)).as("fp"))
+          .distinct()
+          .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2)
+          .orderBy(col("df").desc, col("fp"))
+          .limit(20)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+                    g AS (SELECT doc_id,
+                            list_transform(generate_series(1, len(toks) - 2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                              AS grams
+                          FROM t WHERE len(toks) >= 3),
+                    h AS (SELECT doc_id,
+                            list_transform(grams,
+                              gr -> ('0x' || substr(md5(gr), 1, 15))::BIGINT) AS hs
+                          FROM g),
+                    w AS (SELECT doc_id,
+                            list_transform(generate_series(1, len(hs) - 3),
+                              i -> least(hs[i], hs[i+1], hs[i+2], hs[i+3])) AS fps
+                          FROM h WHERE len(hs) >= 4),
+                    d AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM w)
+               SELECT fp, COUNT(*) AS df FROM d
+               GROUP BY fp HAVING COUNT(*) >= 2
+               ORDER BY df DESC, fp LIMIT 20""")),
+
+    // Lexical diversity: token Shannon entropy and type/token ratio per
+    // document — the standard gibberish/boilerplate quality signals
+    // (low entropy = repetitive spam, TTR near 1 on short docs = word
+    // salad). Two token-keyed aggs; the tf→doc join is co-partitioned
+    // on doc_id (both sides come out of a doc_id shuffle). Per-term ln
+    // rounds at 6 (libm ulp grain) and terms sum through the exact-
+    // decimal path, the established cross-engine float discipline.
+    "llm_entropy" -> Q(
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(toksE)).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        val nd = tf.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+        tf.join(nd, Seq("doc_id"))
+          .withColumn("term",
+            round((col("c") / col("n")) * round(log(col("c") / col("n")), 6), 6))
+          .groupBy(col("doc_id"))
+          .agg(min(col("n")).as("n_toks"),
+               min(col("n_types")).as("n_types"),
+               (-sum(col("term").cast("decimal(38,6)"))).cast("double").as("entropy"),
+               round(min(col("n_types")) / min(col("n")), 6).as("ttr"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tf AS (SELECT doc_id, tok, COUNT(*) AS c
+                           FROM (SELECT doc_id, unnest($duckToks) AS tok
+                                 FROM documents)
+                           GROUP BY 1, 2),
+                    nd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                                  COUNT(*) AS n_types
+                           FROM tf GROUP BY 1)
+               SELECT tf.doc_id AS doc_id,
+                      MIN(n) AS n_toks, MIN(n_types) AS n_types,
+                      CAST(-SUM(CAST(round((c / n) * round(ln(c / n), 6), 6)
+                                     AS DECIMAL(38,6))) AS DOUBLE) AS entropy,
+                      round(MIN(n_types) / MIN(n), 6) AS ttr
+               FROM tf JOIN nd USING (doc_id)
+               GROUP BY 1 ORDER BY 1"""))
+  )
+}

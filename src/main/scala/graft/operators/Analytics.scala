@@ -178,6 +178,75 @@ object Analytics {
                      CAST(SUM(n) AS BIGINT) AS n_orders,
                      CAST(SUM(sd) AS DOUBLE) AS total,
                      round(CAST(SUM(sd) AS DOUBLE) / CAST(SUM(n) AS BIGINT), 6) AS avg_price
-              FROM part GROUP BY 1 ORDER BY 1"""))
+              FROM part GROUP BY 1 ORDER BY 1""")),
+
+    // Correlated LATERAL subquery join — top-2 customers by balance per
+    // nation, written as the SQL-standard lateral (the shape BI tools
+    // emit). Catalyst decorrelates the ORDER BY/LIMIT subquery into a
+    // ranked window join rather than executing it per outer row, so the
+    // plan is one customer shuffle — per-row re-execution would be the
+    // classic 100 TB killer.
+    "q_join_lateral" -> Q(
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("graft_lat_nation")
+        Tables.customer(s, dir).createOrReplaceTempView("graft_lat_customer")
+        s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+                 FROM graft_lat_nation n
+                 JOIN LATERAL (SELECT c_name, c_acctbal
+                               FROM graft_lat_customer c
+                               WHERE c.c_nationkey = n.n_nationkey
+                               ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+                 ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+      },
+      Some("""SELECT n.n_name AS n_name, t.c_name AS c_name,
+                     t.c_acctbal AS c_acctbal
+              FROM nation n,
+                   LATERAL (SELECT c_name, c_acctbal FROM customer c
+                            WHERE c.c_nationkey = n.n_nationkey
+                            ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+              ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")),
+
+    // Triangle census of the co-supply graph (suppliers linked when they
+    // supply the same part). Edges come from the part-blocked self-join
+    // of the DISTINCT (part, supplier) projection — pair fan-out is
+    // bounded by suppliers-per-part, never corpus². Triangles close
+    // oriented wedges (u<v<w), counting each once. At real scale the
+    // orientation key becomes (degree, id) — capping oriented out-degree
+    // at O(sqrt(|E|)) on skewed graphs — with the id fallback kept as
+    // the tiebreaker; the plan shape (two hash joins on oriented edges)
+    // is unchanged.
+    "q_graph_triangles" -> Q(
+      (s, dir) => {
+        val ps = Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+          .distinct()
+        val e = ps.as("a").join(ps.as("b"),
+            col("a.p") === col("b.p") && col("a.s") < col("b.s"))
+          .select(col("a.s").as("u"), col("b.s").as("v"))
+          .distinct()
+        val nodes = e.select(col("u").as("x"))
+          .unionByName(e.select(col("v").as("x")))
+          .agg(countDistinct(col("x")).as("n_nodes"))
+        val edges = e.agg(count(lit(1)).as("n_edges"))
+        val tris = e.as("e1")
+          .join(e.as("e2"), col("e1.v") === col("e2.u"))
+          .join(e.as("e3"),
+            col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+          .agg(count(lit(1)).as("n_triangles"))
+        nodes.crossJoin(edges).crossJoin(tris)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                          FROM lineitem),
+                   e AS (SELECT DISTINCT a.s AS u, b.s AS v
+                         FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s),
+                   n AS (SELECT COUNT(DISTINCT x) AS n_nodes
+                         FROM (SELECT u AS x FROM e
+                               UNION ALL SELECT v AS x FROM e)),
+                   m AS (SELECT COUNT(*) AS n_edges FROM e),
+                   t AS (SELECT COUNT(*) AS n_triangles
+                         FROM e e1
+                         JOIN e e2 ON e1.v = e2.u
+                         JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+              SELECT n.n_nodes, m.n_edges, t.n_triangles FROM n, m, t"""))
   )
 }
