@@ -97,6 +97,10 @@ object Custom {
       es => Sketches.Shingles3(es(0)), "built-in")
     reg.createOrReplaceTempFunction("hll_distinct",
       es => HyperLogLogAgg(es(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("hll_sketch",
+      es => HllSketchAgg(es(0)).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("hll_merge_est",
+      es => HllMergeAgg(es(0)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("tid60",
       es => Sketches.Tid60(es(0)), "built-in")
     spark
@@ -224,6 +228,36 @@ object Custom {
       },
       Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact,
                      TRUE AS within_bound
+              FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Re-aggregatable sketch rollup: per-(priority, status) HLL cells
+    // (hll_sketch → 4 KB binary), rolled up to priority by register-max
+    // merge (hll_merge_est). The oracle pins BOTH invariants the 100 TB
+    // cube story rests on: the merged estimate equals the direct
+    // hll_distinct over the raw column bit-for-bit (associativity —
+    // merged_eq_direct), and it lands within 3·rsd of exact. At scale
+    // the cells are written once and every coarser rollup reads
+    // O(cells · 4 KB), never the fact table.
+    "udaf_hll_merge" -> Q(
+      (s, dir) => {
+        register(s)
+        val o = Tables.orders(s, dir)
+        val cells = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(expr("hll_sketch(o_custkey)").as("sk"))
+        val merged = cells.groupBy(col("o_orderpriority"))
+          .agg(expr("hll_merge_est(sk)").as("est_merged"))
+        val direct = o.groupBy(col("o_orderpriority"))
+          .agg(countDistinct(col("o_custkey")).as("n_exact"),
+               expr("hll_distinct(o_custkey)").as("est_direct"))
+        merged.join(direct, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("n_exact"),
+                  (col("est_merged") === col("est_direct")).as("merged_eq_direct"),
+                  (abs(col("est_merged") - col("n_exact")).cast("double") / col("n_exact")
+                     <= 3 * HyperLogLogAgg.Rsd).as("within_bound"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact,
+                     TRUE AS merged_eq_direct, TRUE AS within_bound
               FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // Native-Expression surface: per-vector cosine against the vec_id=0

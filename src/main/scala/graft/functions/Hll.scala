@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
 /** SURVEY §2j `udaf_hll` — a from-scratch HyperLogLog distinct-count
   * sketch as a `TypedImperativeAggregate`, the Catalyst-native UDAF
@@ -50,27 +50,10 @@ case class HyperLogLogAgg(
     buf
   }
 
-  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < M) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
-    b1
-  }
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    HyperLogLogAgg.maxMerge(b1, b2)
 
-  override def eval(buf: Array[Byte]): Any = {
-    var invSum = 0.0
-    var zeros = 0
-    var i = 0
-    while (i < M) {
-      invSum += java.lang.Double.longBitsToDouble((1023L - buf(i)) << 52) // 2^-reg
-      if (buf(i) == 0) zeros += 1
-      i += 1
-    }
-    val alpha = 0.7213 / (1.0 + 1.079 / M)
-    val raw = alpha * M.toDouble * M.toDouble / invSum
-    val est =
-      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) else raw
-    math.round(est)
-  }
+  override def eval(buf: Array[Byte]): Any = HyperLogLogAgg.estimate(buf)
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
@@ -89,4 +72,121 @@ object HyperLogLogAgg {
   val M: Int = 1 << P
   /** Relative standard deviation of the estimator at this m. */
   val Rsd: Double = 1.04 / math.sqrt(M.toDouble)
+
+  /** Register-max merge of b2 into b1 (associative + commutative — the
+    * property that makes pre-aggregated sketch cells re-rollupable in
+    * any grouping/order). */
+  def maxMerge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < M) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  /** Estimate from a register array (shared by the one-shot and the
+    * merge-of-sketches aggregates, so merged(cells) == direct(corpus)
+    * EXACTLY whenever the register maxima agree). */
+  def estimate(buf: Array[Byte]): Long = {
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      invSum += java.lang.Double.longBitsToDouble((1023L - buf(i)) << 52)
+      if (buf(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / M)
+    val raw = alpha * M.toDouble * M.toDouble / invSum
+    val est =
+      if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros) else raw
+    math.round(est)
+  }
+}
+
+/** `hll_sketch(col)` — the same HLL update loop but emitting the raw
+  * 4 KB register array (BinaryType) instead of the estimate: the
+  * materialized-cube form. Pre-aggregate once per fine-grained cell
+  * (day × dimension), store the bytes, and every coarser rollup is a
+  * register-max merge of cell sketches — no re-scan of the fact table.
+  * That storable/mergeable split is THE reason sketches beat exact
+  * distinct at 100 TB. */
+case class HllSketchAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  import HyperLogLogAgg.{M, P}
+
+  override def prettyName: String = "hll_sketch"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = XxHash64Function.hash(v, child.dataType, 42L)
+      val idx = (h >>> (64 - P)).toInt
+      val rank = java.lang.Long.numberOfLeadingZeros((h << P) | (1L << (P - 1))) + 1
+      if (rank > buf(idx)) buf(idx) = rank.toByte
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    HyperLogLogAgg.maxMerge(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+}
+
+/** `hll_merge_est(sketch_col)` — rolls stored [[HllSketchAgg]] register
+  * arrays up by register-max and emits the estimate. Because the merge
+  * is associative/commutative and the estimator is shared, a rollup of
+  * cell sketches equals the direct `hll_distinct` over the raw column
+  * bit-for-bit — the invariant udaf_hll_merge's oracle pins. */
+case class HllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  import HyperLogLogAgg.M
+
+  override def prettyName: String = "hll_merge_est"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) HyperLogLogAgg.maxMerge(buf, v.asInstanceOf[Array[Byte]])
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+    HyperLogLogAgg.maxMerge(b1, b2)
+
+  override def eval(buf: Array[Byte]): Any = HyperLogLogAgg.estimate(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllMergeAgg =
+    copy(child = newChild)
 }

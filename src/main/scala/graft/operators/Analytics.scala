@@ -247,6 +247,37 @@ object Analytics {
                          FROM e e1
                          JOIN e e2 ON e1.v = e2.u
                          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
-              SELECT n.n_nodes, m.n_edges, t.n_triangles FROM n, m, t"""))
+              SELECT n.n_nodes, m.n_edges, t.n_triangles FROM n, m, t""")),
+
+    // Exponentially weighted moving average per user (alpha = 0.5, an
+    // exact binary fraction — no accumulation-order float drift): the
+    // inherently sequential per-key recurrence s_i = a·v_i + (1-a)·s_{i-1},
+    // expressed as one shuffle on user_id + an in-row left fold over the
+    // (ts, event_id)-sorted value array. Both engines fold left in the
+    // same order with the same double ops, so results are bit-identical.
+    // The collected array bounds per-user state — fine for session-sized
+    // keys; an unbounded key stream would move this exact fold to
+    // flatMapGroupsWithState (the streaming sessionize path).
+    "q_ewma" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("value")))).as("a"))
+          .select(col("user_id"), size(col("a")).cast("bigint").as("n_events"),
+                  round(expr(
+                    """aggregate(slice(a, 2, size(a) - 1),
+                                 CAST(element_at(a, 1).value AS DOUBLE),
+                                 (acc, x) -> acc * 0.5 + x.value * 0.5)"""),
+                        6).as("ewma"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH u AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+                         FROM events GROUP BY 1)
+              SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+                     round(CASE WHEN len(vals) = 1 THEN vals[1]
+                           ELSE list_reduce(vals, (acc, x) -> acc * 0.5 + x * 0.5)
+                           END, 6) AS ewma
+              FROM u ORDER BY user_id"""))
   )
 }
