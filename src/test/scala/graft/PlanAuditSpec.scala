@@ -308,4 +308,53 @@ class PlanAuditSpec extends SparkSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 1, s"expected one hash exchange (shard window), got $n:\n$p")
   }
+
+  test("q_join_lateral: LIMIT subquery decorrelates to a pre-shuffle group limit") {
+    val p = planOf("q_join_lateral")
+    // per-outer-row re-execution would show as a nested-loop / cartesian;
+    // the decorrelated form is a ranked window with the Partial
+    // WindowGroupLimit pruning to k rows per nation BEFORE the shuffle
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"lateral fell back to cartesian:\n$p")
+  }
+
+  test("q_ewma: one user_id exchange, fold in-row — no window, no second shuffle") {
+    val p = planOf("q_ewma")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected one hash exchange (user collect), got $n:\n$p")
+    assert(!p.contains("Window"), s"sequential fold fell back to a window:\n$p")
+    assert(p.contains("partial_collect_list"), s"no map-side partial collect:\n$p")
+  }
+
+  test("llm_winnowing: scan-pipelined fingerprints — no join, codegen hash, top-k") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("llm_winnowing")
+    assert(!p.contains("Join"), s"winnowing should not join:\n$p")
+    assert(p.contains("tid60"), s"codegen gram-hash kernel missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort instead of top-k:\n$p")
+  }
+
+  test("q_running_distinct: reduce-first — only the day table hits one partition") {
+    val p = planOf("q_running_distinct")
+    assert(p.contains("partial_min"), s"no map-side combine for first-appearance:\n$p")
+    val n = "Exchange SinglePartition".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly 1 single-partition exchange (day window), got $n:\n$p")
+  }
+
+  test("udaf_hll_merge: sketch cells and their rollup both combine map-side") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("udaf_hll_merge")
+    assert(p.contains("partial_hll_sketch"), s"cell build has no partial:\n$p")
+    assert(p.contains("partial_hll_merge_est"),
+      s"sketch rollup shuffles unmerged cells:\n$p")
+  }
+
+  test("q_graph_triangles: wedge joins hash/merge; only scalar combines nest loops") {
+    val p = planOf("q_graph_triangles")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 2, s"edge joins degenerated to nested loops ($bnlj):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), s"no hash/merge wedge join:\n$p")
+  }
 }
