@@ -410,6 +410,53 @@ object Similarity {
                                 AS DECIMAL(38,6)) AS DOUBLE) AS mean_cos
                FROM assigned
                GROUP BY c_label
-               ORDER BY c_label"""))
+               ORDER BY c_label""")),
+
+    // Hard-negative mining: for each of the 10 probe vectors, the top-3
+    // most-similar vectors with a DIFFERENT label — the contrastive-
+    // training staple (negatives that look like positives). The probe
+    // set broadcasts (it is the curated query side, small by
+    // construction); the corpus streams through the codegen cosine
+    // kernel once, and the per-probe top-3 reduces via the ranked
+    // window over probe×corpus scores. At 100 TB the scored stream
+    // map-side-prunes to 3 rows per (probe, partition) before the
+    // window shuffle via WindowGroupLimit.
+    "llm_hard_negatives" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, dir).withColumn("nrm", expr(normE))
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+                  col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        e.crossJoin(broadcast(probes))
+          .filter(col("label") =!= col("q_label"))
+          .withColumn("cos", round(
+            expr(dotE("embedding", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("q_id"), col("rk"), col("vec_id"), col("label"), col("cos"))
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm
+                          FROM embeddings),
+               p AS (SELECT vec_id AS q_id, label AS q_label,
+                            embedding AS q_emb, nrm AS q_nrm
+                     FROM n WHERE vec_id < 10),
+               scored AS (
+                 SELECT p.q_id, n.vec_id, n.label,
+                        round(${duckDot("n.embedding", "p.q_emb")}
+                              / (n.nrm * p.q_nrm), 6) AS cos
+                 FROM n JOIN p ON n.label <> p.q_label),
+               ranked AS (
+                 SELECT q_id, vec_id, label, cos,
+                        ROW_NUMBER() OVER (PARTITION BY q_id
+                                           ORDER BY cos DESC, vec_id) AS rk
+                 FROM scored)
+               SELECT q_id, rk, vec_id, label, cos
+               FROM ranked WHERE rk <= 3
+               ORDER BY q_id, rk"""))
   )
 }

@@ -173,6 +173,65 @@ object Joins {
               WHERE rn = 1
               ORDER BY buy_id""")),
 
+    // Nearest-neighbor as-of: each error event matched to its CLOSEST
+    // purchase by the same user in EITHER time direction (backward asof
+    // takes only <=; nearest takes min |Δt|, ties to the earlier side).
+    // Shape: union the tagged streams, one user_id shuffle + one sort,
+    // and read the latest-preceding / earliest-following reference with
+    // frame-bounded ignore-null window navs — both window passes share
+    // the single exchange+sort. The fixture has no (user, ts) collisions
+    // (verified at sf0.1), so the tie spelling is exercised only on
+    // |Δt| equality. Probes whose user never purchases are dropped (no
+    // null timestamps may reach a declared output). At 100 TB this is
+    // the partition-and-sort-within asof plan — no per-probe scans.
+    "q_join_asof_nearest" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .filter(col("event_type").isin("error", "purchase"))
+          .select(col("event_id"), col("user_id"),
+                  expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+                  when(col("event_type") === "purchase", 0).otherwise(1).as("kind"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("kind"))
+        val refStruct = when(col("kind") === 0, struct(col("us"), col("event_id")))
+        val navd = ev
+          .withColumn("prev",
+            last(refStruct, ignoreNulls = true)
+              .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("next",
+            first(refStruct, ignoreNulls = true)
+              .over(w.rowsBetween(1, Window.unboundedFollowing)))
+          .filter(col("kind") === 1)
+        navd
+          .withColumn("dp", col("us") - col("prev.us"))
+          .withColumn("dn", col("next.us") - col("us"))
+          .withColumn("use_prev",
+            col("prev").isNotNull && (col("next").isNull || col("dp") <= col("dn")))
+          .filter(col("prev").isNotNull || col("next").isNotNull)
+          .select(col("event_id"), col("user_id"),
+                  when(col("use_prev"), col("prev.event_id"))
+                    .otherwise(col("next.event_id")).as("nearest_event_id"),
+                  when(col("use_prev"), col("dp")).otherwise(col("dn")).as("diff_us"),
+                  when(col("use_prev"), "before").otherwise("after").as("direction"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                         FROM events WHERE event_type = 'error'),
+                   r AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                         FROM events WHERE event_type = 'purchase'),
+                   cand AS (
+                     SELECT e.event_id, e.user_id,
+                            r.event_id AS nearest_event_id,
+                            abs(r.us - e.us) AS diff_us,
+                            CASE WHEN r.us <= e.us THEN 'before'
+                                 ELSE 'after' END AS direction,
+                            ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                               ORDER BY abs(r.us - e.us), r.us)
+                              AS rn
+                     FROM e JOIN r USING (user_id))
+              SELECT event_id, user_id, nearest_event_id, diff_us, direction
+              FROM cand WHERE rn = 1 ORDER BY event_id""")),
+
     // The reference's whole ingest workflow as ONE declared query:
     // validate rows (range + domain predicates), null-clean, look up the
     // registry (broadcast), flag unregistered entries (the anti-join
