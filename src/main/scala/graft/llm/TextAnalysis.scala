@@ -501,6 +501,77 @@ object TextAnalysis {
                         ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rn
                  FROM pairs)
                WHERE rn <= 20
+               ORDER BY rn""")),
+
+    // BPE training step 2: APPLY the winning merge and recount — the
+    // loop body that, iterated, yields the merge table. Greedy
+    // left-to-right non-overlapping pair merge over single-char symbols
+    // is exactly string replace() semantics (both engines), with the
+    // merged symbol held as an out-of-alphabet marker (chr(1)) so the
+    // recount's 2-grams treat it as one symbol; display names swap the
+    // marker back. Everything still runs off the (token, count) VOCAB —
+    // the corpus is touched once for the vocab reduce and never again,
+    // which is what makes BPE training feasible at 100 TB (the loop
+    // iterates over the vocabulary, not the text).
+    "llm_bpe_apply" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val vocab = Tables.documents(s, dir)
+          .select(explode(expr(toksE)).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+          .filter(length(col("tok")) >= 2)
+        val pairs = vocab.select(col("wc"), explode(expr(
+            "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+            .as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        val top1 = pairs
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("n").desc, col("pair"))))
+          .filter(col("rn") === 1).select(col("pair").as("merge_pair"))
+        val merged = vocab.crossJoin(broadcast(top1))
+          .withColumn("tok2", expr("replace(tok, merge_pair, char(1))"))
+          .filter(length(col("tok2")) >= 2)
+        merged.select(col("wc"), col("merge_pair"), explode(expr(
+            "transform(sequence(1, length(tok2) - 1), i -> substring(tok2, i, 2))"))
+            .as("p2"))
+          .groupBy(expr("replace(p2, char(1), merge_pair)").as("pair"))
+          .agg(sum(col("wc")).as("n"))
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("n").desc, col("pair"))))
+          .filter(col("rn") <= 10)
+          .select(col("rn"), col("pair"), col("n"))
+          .orderBy(col("rn"))
+      },
+      Some(s"""WITH vocab AS (
+                 SELECT tok, COUNT(*) AS wc
+                 FROM (SELECT unnest($duckToks) AS tok FROM documents)
+                 GROUP BY tok HAVING len(tok) >= 2),
+               pairs AS (
+                 SELECT substr(tok, i, 2) AS pair, CAST(SUM(wc) AS BIGINT) AS n
+                 FROM (SELECT tok, wc,
+                         unnest(generate_series(1, len(tok) - 1)) AS i
+                       FROM vocab)
+                 GROUP BY pair),
+               top1 AS (
+                 SELECT pair AS merge_pair FROM pairs
+                 ORDER BY n DESC, pair LIMIT 1),
+               merged AS (
+                 SELECT v.wc, t.merge_pair,
+                        replace(v.tok, t.merge_pair, chr(1)) AS tok2
+                 FROM vocab v, top1 t
+                 WHERE len(replace(v.tok, t.merge_pair, chr(1))) >= 2),
+               np AS (
+                 SELECT replace(substr(tok2, i, 2), chr(1), merge_pair) AS pair,
+                        CAST(SUM(wc) AS BIGINT) AS n
+                 FROM (SELECT wc, merge_pair, tok2,
+                         unnest(generate_series(1, len(tok2) - 1)) AS i
+                       FROM merged)
+                 GROUP BY 1)
+               SELECT rn, pair, n FROM (
+                 SELECT pair, n,
+                        ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rn
+                 FROM np)
+               WHERE rn <= 10
                ORDER BY rn"""))
   )
 }

@@ -174,4 +174,61 @@ class PropertySpec extends SparkSuite {
     val out = df.select(expr("cosine_sim(a, b)").as("c")).as[Double].collect()
     out.foreach(c => assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, s"out of bounds: $c"))
   }
+
+  for (k <- Seq(2, 7, 32)) {
+    test(s"HLL sketch rollup == direct estimate under any $k-way split") {
+      // Associativity/commutativity of register-max: partitioning the
+      // input arbitrarily, sketching each cell, and merging must give
+      // the direct single-pass estimate bit-for-bit — the invariant
+      // that makes stored sketch cells re-aggregatable in any rollup
+      // order at scale.
+      graft.functions.Custom.register(spark)
+      val o = Tables.orders(spark, sf)
+      val direct = o.select(expr("hll_distinct(o_custkey)").as("est"))
+        .as[Long].head()
+      val merged = o.groupBy((col("o_orderkey") % k).as("cell"))
+        .agg(expr("hll_sketch(o_custkey)").as("sk"))
+        .select(expr("hll_merge_est(sk)").as("est"))
+        .as[Long].head()
+      assert(merged == direct, s"split-$k rollup $merged != direct $direct")
+    }
+  }
+
+  test("winnowing guarantee: docs sharing >= w+k-1 tokens share a fingerprint") {
+    // The MOSS detection property for k=3-gram hashes with window w=4:
+    // any common token run of length >= w+k-1 = 6 forces at least one
+    // common window-minimum. Seeded random docs with a planted shared
+    // run; checked through the same expression pipeline the declared
+    // query uses.
+    graft.functions.Custom.register(spark)
+    val rnd = new scala.util.Random(13)
+    def doc(): Seq[String] = Seq.fill(12)("t" + rnd.nextInt(50))
+    val shared = doc().take(6)
+    val rows = (0 until 20).map { i =>
+      val filler = doc()
+      (i.toLong, (filler.take(i % 6) ++ shared ++ filler.drop(i % 6)).mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "text")
+    val fps = df
+      .withColumn("toks", expr("split(lower(trim(text)), ' ')"))
+      .withColumn("grams", expr(
+        """zip_with(zip_with(slice(toks, 1, size(toks) - 2),
+                             slice(toks, 2, size(toks) - 2),
+                             (a, b) -> concat(a, ' ', b)),
+                    slice(toks, 3, size(toks) - 2),
+                    (x, c) -> concat(x, ' ', c))"""))
+      .withColumn("hs", expr("transform(grams, g -> tid60(g))"))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(zip_with(slice(hs, 1, size(hs) - 3), slice(hs, 2, size(hs) - 3),
+                             (a, b) -> least(a, b)),
+                    zip_with(slice(hs, 3, size(hs) - 3), slice(hs, 4, size(hs) - 3),
+                             (a, b) -> least(a, b)),
+                    (x, y) -> least(x, y))""")).as("fp"))
+      .distinct()
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    for (i <- 0L until 20L; j <- (i + 1) until 20L) {
+      assert(fps(i).intersect(fps(j)).nonEmpty,
+        s"docs $i,$j share a 6-token run but no fingerprint")
+    }
+  }
 }
