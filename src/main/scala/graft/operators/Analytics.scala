@@ -291,6 +291,44 @@ object Analytics {
                      round(CASE WHEN len(vals) = 1 THEN vals[1]
                            ELSE list_reduce(vals, (acc, x) -> acc * 0.5 + x * 0.5)
                            END, 6) AS ewma
-              FROM u ORDER BY user_id"""))
+              FROM u ORDER BY user_id""")),
+
+    // Exact mergeable distinct-count via bitmap words — the bitmap-index
+    // pattern for DENSE bounded id domains: pack presence into 32-bit
+    // words keyed by id DIV 32 (32 not 64: both engines' checked shifts
+    // overflow at bit 63), OR-combine per word (associative/commutative
+    // like the HLL registers, but EXACT), then sum popcounts. The
+    // shuffle carries one word per (group, id-block) — for a 10^9-user
+    // id space that is ~31M words per group vs shipping every raw id to
+    // a distinct; and stored word tables re-roll to any coarser grouping
+    // by the same bit_or. The oracle pins bitmap == COUNT(DISTINCT).
+    "q_bitmap_distinct" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val words = ev.groupBy(col("event_type"), (col("user_id") / 32).cast("bigint").as("blk"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))").as("w"))
+        val viaBitmap = words.groupBy(col("event_type"))
+          .agg(sum(expr("bit_count(w)")).cast("bigint").as("n_bitmap"))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        viaBitmap.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_bitmap"), col("n_exact"),
+                  (col("n_bitmap") === col("n_exact")).as("bitmap_eq_exact"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH words AS (
+                SELECT event_type, user_id // 32 AS blk,
+                       bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS w
+                FROM events GROUP BY 1, 2),
+                   b AS (SELECT event_type,
+                                CAST(SUM(bit_count(w)) AS BIGINT) AS n_bitmap
+                         FROM words GROUP BY 1),
+                   x AS (SELECT event_type,
+                                COUNT(DISTINCT user_id) AS n_exact
+                         FROM events GROUP BY 1)
+              SELECT event_type, n_bitmap, n_exact,
+                     n_bitmap = n_exact AS bitmap_eq_exact
+              FROM b JOIN x USING (event_type)
+              ORDER BY event_type"""))
   )
 }
