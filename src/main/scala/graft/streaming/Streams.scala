@@ -256,4 +256,32 @@ object Streams {
       Some(spark.read.parquet(s"$stateDir/v_${java.nio.file.Files.readString(ptr).trim}"))
     else None
   }
+
+  /** st_ewma_state: the streaming form of q_ewma's sequential per-key
+    * recurrence — constant O(1) state per user (running count + current
+    * ewma), never the event history, which is what replaces the batch
+    * operator's collected array when the key stream is unbounded. Each
+    * update emits the user's current (n, ewma); with in-order feed the
+    * final update per user equals the batch fold bit-for-bit (same
+    * s*0.5 + v*0.5 op order). In-batch arrival is sorted here;
+    * cross-batch order is the replayer's contract (event-time-ordered
+    * chunks), matching the batch twin's (ts, event_id) order. */
+  def ewmaState(events: Dataset[Ev]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Ev], state: GroupState[(Long, Double)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+            s = if (n == 0) e.value else s * 0.5 + e.value * 0.5
+            n += 1
+          }
+          state.update((n, s))
+          (userId, n, s)
+      }
+  }
 }

@@ -121,6 +121,35 @@ class StreamingSpec extends SparkSuite {
     assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.toSeq}")
   }
 
+  test("st_ewma_state: O(1)-state streaming fold converges to the batch EWMA") {
+    val ms = MemoryStream[Ev]
+    val q = Streams.ewmaState(ms.toDS())
+      .toDF("user_id", "n", "ewma")
+      .writeStream.format("memory").queryName("t_ewma")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // event-time-ordered chunks: the replayer's in-order contract
+      val ordered = fixtureEvs.sortBy(e => (e.ts.getTime, e.event_id))
+      ordered.grouped(math.max(1, ordered.size / 3)).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = graft.Registry.byName("q_ewma").fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // the FINAL update per user is the row whose n equals the batch count
+    val streamed = spark.table("t_ewma")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (u, n, _) => batch(u)._1 == n }
+      .map { case (u, _, e) =>  // same HALF_UP scale-6 as the batch round()
+        u -> BigDecimal(e).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    assert(streamed.keySet == batch.keySet,
+      s"users missing a final update: ${batch.keySet -- streamed.keySet}")
+    streamed.foreach { case (u, e) =>
+      assert(e == batch(u)._2, s"user $u: streamed $e != batch ${batch(u)._2}")
+    }
+  }
+
   test("st_stream_static_join: enrichment matches batch join") {
     val dim = Seq(("purchase", "rev"), ("error", "ops"), ("signup", "growth"),
                   ("click", "product"), ("view", "product"))
