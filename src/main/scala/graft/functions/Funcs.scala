@@ -253,6 +253,36 @@ object Funcs {
         .orderBy(col("doc_id")),
       Some("""SELECT doc_id, sha256(text) AS sha, md5(text) AS md5h
               FROM documents
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // URL analysis — the web-corpus curation staple (host-level dedup /
+    // source attribution / per-domain mixing all key on these pieces).
+    // URLs are built deterministically from fixture columns, then parsed
+    // back with Spark's parse_url builtin (HOST / PATH / single QUERY
+    // param); DuckDB has no parse_url, so the oracle pins the same
+    // pieces with anchored regexes. Stateless projection — pipelines
+    // into the scan at any scale.
+    "fn_url" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("url", concat(
+          lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+          lit("/doc/"), col("doc_id"), lit("?id="), col("doc_id"),
+          lit("&lang="), col("lang")))
+        .select(col("doc_id"), col("url"),
+                expr("parse_url(url, 'HOST')").as("host"),
+                expr("parse_url(url, 'PATH')").as("path"),
+                expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"))
+        .orderBy(col("doc_id")),
+      Some("""WITH u AS (
+                SELECT doc_id,
+                       'https://' || source || '.example.com/' || lang
+                         || '/doc/' || doc_id || '?id=' || doc_id
+                         || '&lang=' || lang AS url
+                FROM documents)
+              SELECT doc_id, url,
+                     regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+                     regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+                     regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang
+              FROM u ORDER BY doc_id"""))
   )
 }

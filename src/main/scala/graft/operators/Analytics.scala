@@ -329,6 +329,129 @@ object Analytics {
               SELECT event_type, n_bitmap, n_exact,
                      n_bitmap = n_exact AS bitmap_eq_exact
               FROM b JOIN x USING (event_type)
-              ORDER BY event_type"""))
+              ORDER BY event_type""")),
+
+    // One PageRank power iteration over the (undirected, nation-blocked)
+    // co-supply graph from uniform start: p1(v) = 0.15/N + 0.85/N ·
+    // Σ_{u~v} 1/deg(u). The message-passing shape — join contributions
+    // to the edge list, aggregate per destination — is exactly one
+    // edge-partitioned shuffle per iteration at any scale; degrees and
+    // N are node-table-sized. Per-edge 1/deg rounds at 6 and the
+    // contribution sum runs exact-decimal, so both engines agree
+    // bit-for-bit. Top-20 by rank.
+    "q_pagerank_iter" -> Q(
+      (s, dir) => {
+        val sup = Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nk"))
+        val ps = Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+          .join(broadcast(sup), Seq("sk"))
+          .select(col("nk"), col("p"), col("sk").as("s"))
+          .distinct()
+        val e = ps.as("a").join(ps.as("b"),
+            col("a.nk") === col("b.nk") && col("a.p") === col("b.p") &&
+              col("a.s") < col("b.s"))
+          .select(col("a.s").as("u"), col("b.s").as("v"))
+          .distinct()
+        val dirE = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        val deg = dirE.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        val n = deg.agg(count(lit(1)).as("nn"))
+        val contrib = dirE.join(deg, Seq("u"))
+          .groupBy(col("v"))
+          .agg(sum(round(lit(1.0) / col("deg"), 6).cast("decimal(38,6)")).as("sc"))
+        contrib.join(deg.select(col("u").as("v"), col("deg")), Seq("v"))
+          .crossJoin(broadcast(n))
+          .select(col("v").as("s_suppkey"), col("deg"),
+                  round(lit(0.15) / col("nn") +
+                        lit(0.85) * (col("sc").cast("double") / col("nn")), 6)
+                    .as("rank1"))
+          .orderBy(col("rank1").desc, col("s_suppkey"))
+          .limit(20)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT s.s_nationkey AS nk,
+                                          l.l_partkey AS p, l.l_suppkey AS s
+                          FROM lineitem l
+                          JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+                   e AS (SELECT DISTINCT a.s AS u, b.s AS v
+                         FROM ps a JOIN ps b
+                           ON a.nk = b.nk AND a.p = b.p AND a.s < b.s),
+                   de AS (SELECT u, v FROM e
+                          UNION ALL SELECT v AS u, u AS v FROM e),
+                   deg AS (SELECT u, COUNT(*) AS deg FROM de GROUP BY 1),
+                   n AS (SELECT COUNT(*) AS nn FROM deg),
+                   c AS (SELECT de.v,
+                                SUM(CAST(round(1.0 / deg.deg, 6)
+                                         AS DECIMAL(38,6))) AS sc
+                         FROM de JOIN deg ON de.u = deg.u GROUP BY 1)
+              SELECT c.v AS s_suppkey, d.deg,
+                     round(0.15 / n.nn
+                           + 0.85 * (CAST(c.sc AS DOUBLE) / n.nn), 6) AS rank1
+              FROM c JOIN deg d ON c.v = d.u, n
+              ORDER BY rank1 DESC, s_suppkey LIMIT 20""")),
+
+    // Rolling 50-row correlation of quantity vs extended price per
+    // return flag — windowed second-moment statistics: six frame-bounded
+    // exact-decimal power sums share ONE partition sort, and the
+    // Pearson r derives in identical double trees on both engines. The
+    // frame bounds the state (50 rows) regardless of partition length —
+    // the property that keeps windowed stats viable on unbounded keys.
+    "q_rolling_corr" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        // Linear sums ride the exact decimal(38,4) path; PRODUCT terms
+        // multiply in double (bit-identical across engines) and round at
+        // 6 before the exact-decimal sum — DuckDB's window-sum path
+        // refuses to widen a decimal×decimal beyond int64, so a decimal
+        // product overflows there on price-sized values.
+        val x = col("l_quantity"); val y = col("l_extendedprice")
+        // scale 2, precision 28: a 50-row product sum's unscaled value
+        // stays far below 2^53, so decimal→double conversion is a single
+        // exact rounding in BOTH engines (scale-6 sums crossed 2^53 and
+        // double-rounded differently — 2 rows diverged at sf0.01).
+        def psum(c: org.apache.spark.sql.Column) =
+          round(c, 2).cast("decimal(28,2)")
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(-49, Window.currentRow)
+        val d = Tables.lineitem(s, dir)
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum(x.cast("decimal(38,4)")).over(w).cast("double"))
+          .withColumn("sy", sum(y.cast("decimal(38,4)")).over(w).cast("double"))
+          .withColumn("sxy", sum(psum(x * y)).over(w).cast("double"))
+          .withColumn("sxx", sum(psum(x * x)).over(w).cast("double"))
+          .withColumn("syy", sum(psum(y * y)).over(w).cast("double"))
+        val cov = col("n") * col("sxy") - col("sx") * col("sy")
+        val vx = col("n") * col("sxx") - col("sx") * col("sx")
+        val vy = col("n") * col("syy") - col("sy") * col("sy")
+        d.filter(col("n") === 50)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+                  when(vx > 0 && vy > 0,
+                       round(cov / (sqrt(vx) * sqrt(vy)), 6)).otherwise(0.0)
+                    .as("r50"))
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""WITH d AS (
+                SELECT l_returnflag, l_orderkey, l_linenumber,
+                       COUNT(*) OVER w AS n,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sx,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sy,
+                       CAST(SUM(CAST(round(l_quantity * l_extendedprice, 2)
+                                     AS DECIMAL(28,2))) OVER w AS DOUBLE) AS sxy,
+                       CAST(SUM(CAST(round(l_quantity * l_quantity, 2)
+                                     AS DECIMAL(28,2))) OVER w AS DOUBLE) AS sxx,
+                       CAST(SUM(CAST(round(l_extendedprice * l_extendedprice, 2)
+                                     AS DECIMAL(28,2))) OVER w AS DOUBLE) AS syy
+                FROM lineitem
+                WINDOW w AS (PARTITION BY l_returnflag
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
+              SELECT l_returnflag, l_orderkey, l_linenumber,
+                     CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                          THEN round((n * sxy - sx * sy)
+                                     / (sqrt(n * sxx - sx * sx)
+                                        * sqrt(n * syy - sy * sy)), 6)
+                          ELSE 0.0 END AS r50
+              FROM d WHERE n = 50
+              ORDER BY l_returnflag, l_orderkey, l_linenumber"""))
   )
 }
