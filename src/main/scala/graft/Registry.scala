@@ -12,6 +12,7 @@ object Registry {
     operators.SetOps.qs ++
     operators.EventsBatch.qs ++
     operators.Analytics.qs ++
+    operators.Profiling.qs ++
     functions.Funcs.qs ++
     functions.Custom.qs ++
     llm.Dedup.qs ++

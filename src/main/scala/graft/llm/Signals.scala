@@ -129,6 +129,47 @@ object Signals {
                                      AS DECIMAL(38,6))) AS DOUBLE) AS entropy,
                       round(MIN(n_types) / MIN(n), 6) AS ttr
                FROM tf JOIN nd USING (doc_id)
-               GROUP BY 1 ORDER BY 1"""))
+               GROUP BY 1 ORDER BY 1""")),
+
+    // Out-of-vocabulary rate against the corpus's own top-100 tokens —
+    // the tokenizer-coverage signal (how much of each doc a fixed vocab
+    // can represent). The vocab is one corpus-reduced top-k (broadcast
+    // side by construction: k rows); the per-doc rate is a left join of
+    // the token stream against it plus one doc_id agg. At 100 TB the
+    // corpus never shuffles on anything but doc_id.
+    "llm_oov_rate" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(toksE)).as("tok"))
+        val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("tf").desc, col("tok"))))
+          .filter(col("rk") <= 100)
+          .select(col("tok"), lit(1).as("in_vocab"))
+        tok.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"),
+               sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .select(col("doc_id"), col("n_toks"), col("n_oov"),
+                  round(col("n_oov") / col("n_toks"), 6).as("oov_rate"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS tok
+                            FROM documents),
+                    vocab AS (
+                      SELECT tok FROM (
+                        SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                                       tok) AS rk
+                        FROM tok GROUP BY tok)
+                      WHERE rk <= 100),
+                    j AS (SELECT t.doc_id,
+                                 CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END
+                                   AS oov
+                          FROM tok t LEFT JOIN vocab v ON t.tok = v.tok)
+               SELECT doc_id, COUNT(*) AS n_toks,
+                      CAST(SUM(oov) AS BIGINT) AS n_oov,
+                      round(CAST(SUM(oov) AS BIGINT) / COUNT(*), 6) AS oov_rate
+               FROM j GROUP BY 1 ORDER BY 1"""))
   )
 }

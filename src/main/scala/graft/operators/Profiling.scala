@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Round-5 data-quality operators — the reference's validation-report
+  * flavor generalized: a one-pass column profile (the "what did we just
+  * ingest" report every manual-registration ETL runs before accepting a
+  * batch) and a Benford first-digit screen (the classic bulk-amount
+  * fraud/entry-error detector).
+  *
+  * Both reduce in a single scan: the profile is one aggregation row
+  * stacked to long form (count-distincts share one Expand pass), the
+  * digit screen one 9-group aggregate. Doubles are surfaced as
+  * fixed-format strings ('%.2f' of the true binary value — identical in
+  * both engines) so the compare never sees raw float formatting. */
+object Profiling {
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Column profile of a just-ingested batch: rows, nulls, distincts,
+    // min/max per profiled column, in one corpus pass (the distinct
+    // counts expand map-side; nothing but the 1-row aggregate crosses
+    // the wire). Output is the long-form report the reference's
+    // validation step prints.
+    "q_profile" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val a = o.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderstatus")).as("nd_status"),
+          countDistinct(col("o_orderpriority")).as("nd_prio"),
+          countDistinct(col("o_custkey")).as("nd_cust"),
+          countDistinct(col("o_totalprice")).as("nd_price"),
+          (count(lit(1)) - count(col("o_orderstatus"))).as("nn_status"),
+          (count(lit(1)) - count(col("o_orderpriority"))).as("nn_prio"),
+          (count(lit(1)) - count(col("o_custkey"))).as("nn_cust"),
+          (count(lit(1)) - count(col("o_totalprice"))).as("nn_price"),
+          min(col("o_orderstatus")).as("mn_status"),
+          max(col("o_orderstatus")).as("mx_status"),
+          min(col("o_orderpriority")).as("mn_prio"),
+          max(col("o_orderpriority")).as("mx_prio"),
+          min(col("o_custkey")).cast("string").as("mn_cust"),
+          max(col("o_custkey")).cast("string").as("mx_cust"),
+          format_string("%.2f", min(col("o_totalprice"))).as("mn_price"),
+          format_string("%.2f", max(col("o_totalprice"))).as("mx_price"))
+        a.selectExpr("n_rows",
+          """stack(4,
+               'o_custkey',      nd_cust,   nn_cust,   mn_cust,   mx_cust,
+               'o_orderpriority', nd_prio,  nn_prio,   mn_prio,   mx_prio,
+               'o_orderstatus',  nd_status, nn_status, mn_status, mx_status,
+               'o_totalprice',   nd_price,  nn_price,  mn_price,  mx_price)
+             AS (col_name, n_distinct, n_null, min_s, max_s)""")
+          .select(col("col_name"), col("n_rows"), col("n_distinct"),
+                  col("n_null"), col("min_s"), col("max_s"))
+          .orderBy(col("col_name"))
+      },
+      Some("""WITH a AS (
+                SELECT COUNT(*) AS n_rows,
+                       COUNT(DISTINCT o_orderstatus) AS nd_status,
+                       COUNT(DISTINCT o_orderpriority) AS nd_prio,
+                       COUNT(DISTINCT o_custkey) AS nd_cust,
+                       COUNT(DISTINCT o_totalprice) AS nd_price,
+                       COUNT(*) - COUNT(o_orderstatus) AS nn_status,
+                       COUNT(*) - COUNT(o_orderpriority) AS nn_prio,
+                       COUNT(*) - COUNT(o_custkey) AS nn_cust,
+                       COUNT(*) - COUNT(o_totalprice) AS nn_price,
+                       MIN(o_orderstatus) AS mn_status,
+                       MAX(o_orderstatus) AS mx_status,
+                       MIN(o_orderpriority) AS mn_prio,
+                       MAX(o_orderpriority) AS mx_prio,
+                       CAST(MIN(o_custkey) AS VARCHAR) AS mn_cust,
+                       CAST(MAX(o_custkey) AS VARCHAR) AS mx_cust,
+                       printf('%.2f', MIN(o_totalprice)) AS mn_price,
+                       printf('%.2f', MAX(o_totalprice)) AS mx_price
+                FROM orders)
+              SELECT col_name, n_rows, n_distinct, n_null, min_s, max_s
+              FROM (
+                SELECT 'o_custkey' AS col_name, n_rows, nd_cust AS n_distinct,
+                       nn_cust AS n_null, mn_cust AS min_s, mx_cust AS max_s FROM a
+                UNION ALL
+                SELECT 'o_orderpriority', n_rows, nd_prio, nn_prio, mn_prio, mx_prio FROM a
+                UNION ALL
+                SELECT 'o_orderstatus', n_rows, nd_status, nn_status, mn_status, mx_status FROM a
+                UNION ALL
+                SELECT 'o_totalprice', n_rows, nd_price, nn_price, mn_price, mx_price FROM a)
+              ORDER BY col_name""")),
+
+    // Benford first-digit screen over order amounts: observed digit
+    // shares vs log10(1 + 1/d), the bulk-entry anomaly detector. The
+    // digit comes off the fixed '%.2f' rendering of the true binary
+    // double (identical both engines — never floor(log10(x)), whose ulp
+    // at exact powers of ten flips the digit), the shares ride the
+    // exact-decimal path, and the reference curve rounds at 6. One
+    // map-side-combined 9-group aggregate.
+    "q_benford" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir).filter(col("o_totalprice") > 0)
+        val digits = o.select(
+          substring(format_string("%.2f", col("o_totalprice")), 1, 1).as("digit"))
+        digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(digits.agg(count(lit(1)).as("n_total"))))
+          .select(col("digit"), col("n"),
+                  (col("n").cast("decimal(38,6)") / col("n_total"))
+                    .cast("decimal(38,6)").cast("double").as("p_obs"),
+                  round(log10(lit(1.0) + lit(1.0) /
+                    col("digit").cast("double")), 6).as("p_benford"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH d AS (SELECT substr(printf('%.2f', o_totalprice), 1, 1) AS digit
+                         FROM orders WHERE o_totalprice > 0),
+                   g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+                   t AS (SELECT COUNT(*) AS n_total FROM d)
+              SELECT digit, n,
+                     CAST(CAST(CAST(n AS DECIMAL(38,6)) / n_total
+                               AS DECIMAL(38,6)) AS DOUBLE) AS p_obs,
+                     round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS p_benford
+              FROM g, t ORDER BY digit"""))
+  )
+}
