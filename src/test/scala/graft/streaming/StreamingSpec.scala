@@ -150,6 +150,23 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("st_hll_sketch: TypedImperativeAggregate sketches work under streaming agg") {
+    // The custom HLL rides the same ObjectHashAggregate machinery in a
+    // complete-mode streaming aggregation; replayed in chunks it must
+    // converge to the batch estimate exactly (register-max is
+    // insensitive to batch boundaries).
+    graft.functions.Custom.register(spark)
+    val out = runComplete(fixtureEvs, "t_hll") { df =>
+      df.groupBy(col("event_type"))
+        .agg(expr("hll_distinct(user_id)").as("est"))
+    }
+    val batch = evDf(fixtureEvs).groupBy(col("event_type"))
+      .agg(expr("hll_distinct(user_id)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
   test("st_stream_static_join: enrichment matches batch join") {
     val dim = Seq(("purchase", "rev"), ("error", "ops"), ("signup", "growth"),
                   ("click", "product"), ("view", "product"))
