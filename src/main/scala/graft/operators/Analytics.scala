@@ -410,8 +410,15 @@ object Analytics {
         // double-rounded differently — 2 rows diverged at sf0.01).
         def psum(c: org.apache.spark.sql.Column) =
           round(c, 2).cast("decimal(28,2)")
+        // The fixture's (l_orderkey, l_linenumber) is NOT unique (11785
+        // dup pairs at sf0.01, 3 of them tied through shipdate too), so
+        // the sort key extends through the measure columns: any rows
+        // still tied are value-identical and the frame sums don't care
+        // which order they land in.
         val w = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+                   col("l_quantity"), col("l_extendedprice"),
+                   col("l_partkey"), col("l_suppkey"))
           .rowsBetween(-49, Window.currentRow)
         val d = Tables.lineitem(s, dir)
           .withColumn("n", count(lit(1)).over(w))
@@ -428,7 +435,8 @@ object Analytics {
                   when(vx > 0 && vy > 0,
                        round(cov / (sqrt(vx) * sqrt(vy)), 6)).otherwise(0.0)
                     .as("r50"))
-          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+                   col("r50"))
       },
       Some("""WITH d AS (
                 SELECT l_returnflag, l_orderkey, l_linenumber,
@@ -443,7 +451,9 @@ object Analytics {
                                      AS DECIMAL(28,2))) OVER w AS DOUBLE) AS syy
                 FROM lineitem
                 WINDOW w AS (PARTITION BY l_returnflag
-                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+                             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                      l_quantity, l_extendedprice,
+                                      l_partkey, l_suppkey
                              ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))
               SELECT l_returnflag, l_orderkey, l_linenumber,
                      CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
@@ -452,6 +462,6 @@ object Analytics {
                                         * sqrt(n * syy - sy * sy)), 6)
                           ELSE 0.0 END AS r50
               FROM d WHERE n = 50
-              ORDER BY l_returnflag, l_orderkey, l_linenumber"""))
+              ORDER BY l_returnflag, l_orderkey, l_linenumber, r50"""))
   )
 }
