@@ -12,6 +12,7 @@ object Registry {
     operators.SetOps.qs ++
     operators.EventsBatch.qs ++
     operators.Analytics.qs ++
+    operators.Insights.qs ++
     operators.Profiling.qs ++
     functions.Funcs.qs ++
     functions.Custom.qs ++
@@ -21,6 +22,7 @@ object Registry {
     llm.Multimodal.qs ++
     llm.Pipeline.qs ++
     llm.Curation.qs ++
+    llm.Screens.qs ++
     llm.Signals.qs
 
   lazy val byName: Map[String, Q] = all.toMap

@@ -1,0 +1,293 @@
+package graft.operators
+
+import graft.{H, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 insight/feature-engineering additions: market-basket pair
+  * affinity, event-sequence Markov transitions, time-decayed customer
+  * value, Pareto (ABC) revenue banding, series autocorrelation,
+  * deterministic weighted sampling (A-ES), RFM quartile scoring, and a
+  * Zipf rank-frequency fit over the document corpus.
+  *
+  * The shared scale discipline: reduce the fact table FIRST (group to
+  * parts / customers / days / vocab), so every global window or
+  * single-partition sort here runs over a dimension-sized table, never
+  * the raw corpus. The only full-corpus costs are map-side-combined
+  * aggregations, one bounded self-join (basket pairs, k≤7 items/order)
+  * and one top-k selection (weighted sample → TakeOrderedAndProject).
+  * All float emission follows the H.dsum doctrine: exact decimal inside,
+  * one cast to DOUBLE at the end; libm-grade expressions round at 6. */
+object Insights {
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Market-basket affinity: part pairs co-bought in the same order.
+    // Self-join on l_orderkey only LOOKS quadratic — items per order are
+    // bounded (TPC-H ≤ 7), so the join output is Σ k(k-1)/2 per order,
+    // linear in the corpus. One shuffle on orderkey co-locates both
+    // sides (same child ⇒ exchange reuse), then a pair-keyed count.
+    // Support ≥ 2 + total-ordered top-100 keeps the answer stable.
+    "q_basket_pairs" -> Q(
+      (s, dir) => {
+        val items = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        items.as("a")
+          .join(items.as("b"),
+                col("a.l_orderkey") === col("b.l_orderkey") &&
+                  col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 2)
+          .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+          .limit(100)
+      },
+      Some("""WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+              SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                     COUNT(*) AS n_orders
+              FROM i a JOIN i b
+                ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2
+              ORDER BY n_orders DESC, p1, p2 LIMIT 100""")),
+
+    // Event-sequence Markov transition matrix: P(next event type | this
+    // event type), from per-user time-ordered chains. The window is
+    // partitioned by user_id (corpus shuffles once, on the natural key);
+    // the transition matrix itself is |types|² ≤ ~25 rows, so the
+    // probability normalization window is free. (ts, event_id) is the
+    // total per-user order — ts alone can tie.
+    "q_markov" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+                  col("event_type").as("from_type"))
+          .withColumn("to_type", lead(col("from_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        trans
+          .withColumn("p", round(col("n") / sum(col("n"))
+                                   .over(Window.partitionBy(col("from_type"))), 6))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH t AS (SELECT event_type AS from_type,
+                                LEAD(event_type) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id)
+                                  AS to_type
+                         FROM events),
+                   c AS (SELECT from_type, to_type, COUNT(*) AS n FROM t
+                         WHERE to_type IS NOT NULL GROUP BY 1, 2)
+              SELECT from_type, to_type, n,
+                     round(n / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+              FROM c ORDER BY from_type, to_type""")),
+
+    // Exponentially time-decayed customer value (half-life ≈ 21 days):
+    // weight = exp(-age_days/30) anchored at the corpus max order date.
+    // One 1-row broadcast for the anchor, one map-side-combined groupBy —
+    // the cheapest possible shape at any scale. Each term rounds at 6
+    // (the libm-parity grain for exp) and sums in exact DECIMAL(38,6) so
+    // the aggregate is order-independent.
+    "q_decay_sum" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val ref = o.agg(max(col("o_orderdate")).as("ref"))
+        o.crossJoin(broadcast(ref))
+          .withColumn("age", datediff(col("ref"), col("o_orderdate")).cast("double"))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+               sum(round(col("o_totalprice") * exp(col("age") / lit(-30.0)), 6)
+                     .cast("decimal(38,6)")).cast("double").as("decayed_value"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH r AS (SELECT MAX(o_orderdate) AS ref FROM orders)
+              SELECT o_custkey, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(round(o_totalprice *
+                         exp(date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(ref AS DATE)) / -30.0), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS decayed_value
+              FROM orders, r GROUP BY 1 ORDER BY 1""")),
+
+    // Pareto / ABC banding: parts ranked by revenue, banded by cumulative
+    // share (A ≤ 80%, B ≤ 95%, C rest). The fact table reduces to one
+    // row per part before any window touches it; cum/total stay in exact
+    // decimal until the band comparison, which happens on the two
+    // identically-derived doubles (H doctrine: decimal → one double cast).
+    "q_pareto" -> Q(
+      (s, dir) => {
+        val pr = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                     .cast(H.D)).as("rev"))
+        val ord = Window.orderBy(col("rev").desc, col("l_partkey"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        pr.select(col("rev"),
+                  sum(col("rev")).over(cum).cast("double").as("cum_d"),
+                  sum(col("rev")).over(all).cast("double").as("tot_d"))
+          .withColumn("band",
+                      when(col("cum_d") <= col("tot_d") * 0.80, "A")
+                        .when(col("cum_d") <= col("tot_d") * 0.95, "B")
+                        .otherwise("C"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_parts"),
+               sum(col("rev")).cast("double").as("band_rev"))
+          .orderBy(col("band"))
+      },
+      Some("""WITH pr AS (SELECT l_partkey,
+                                 SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                          AS DECIMAL(38,4))) AS rev
+                          FROM lineitem GROUP BY 1),
+                   c AS (SELECT rev,
+                                CAST(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_d,
+                                CAST(SUM(rev) OVER () AS DOUBLE) AS tot_d
+                         FROM pr)
+              SELECT CASE WHEN cum_d <= tot_d * 0.80 THEN 'A'
+                          WHEN cum_d <= tot_d * 0.95 THEN 'B'
+                          ELSE 'C' END AS band,
+                     COUNT(*) AS n_parts,
+                     CAST(SUM(rev) AS DOUBLE) AS band_rev
+              FROM c GROUP BY 1 ORDER BY 1""")),
+
+    // Lag-1..3 autocorrelation of the daily revenue series. The corpus
+    // reduces to ~one row per ship-day first; the lag window and the
+    // corr aggregates then run over that series (single partition over a
+    // few thousand rows — the reduced-table exemption). corr is a
+    // double co-moment merge, so it rounds at 6 like q_agg_corr.
+    "q_autocorr" -> Q(
+      (s, dir) => {
+        val daily = Tables.lineitem(s, dir)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                 .as("rev"))
+        val w = Window.orderBy(col("day"))
+        daily
+          .select(col("rev"),
+                  lag(col("rev"), 1).over(w).as("l1"),
+                  lag(col("rev"), 2).over(w).as("l2"),
+                  lag(col("rev"), 3).over(w).as("l3"))
+          .agg(round(corr(col("rev"), col("l1")), 6).as("c1"),
+               round(corr(col("rev"), col("l2")), 6).as("c2"),
+               round(corr(col("rev"), col("l3")), 6).as("c3"))
+          .selectExpr("stack(3, bigint(1), c1, bigint(2), c2, bigint(3), c3) AS (lag, acf)")
+          .orderBy(col("lag"))
+      },
+      Some(s"""WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                                 ${H.oSum("l_extendedprice * (1.0 - l_discount)")} AS rev
+                          FROM lineitem GROUP BY 1),
+                    l AS (SELECT rev,
+                                 LAG(rev, 1) OVER (ORDER BY day) AS l1,
+                                 LAG(rev, 2) OVER (ORDER BY day) AS l2,
+                                 LAG(rev, 3) OVER (ORDER BY day) AS l3
+                          FROM d),
+                    a AS (SELECT round(corr(rev, l1), 6) AS c1,
+                                 round(corr(rev, l2), 6) AS c2,
+                                 round(corr(rev, l3), 6) AS c3
+                          FROM l)
+               SELECT * FROM (
+                 SELECT CAST(1 AS BIGINT) AS lag, c1 AS acf FROM a
+                 UNION ALL SELECT CAST(2 AS BIGINT), c2 FROM a
+                 UNION ALL SELECT CAST(3 AS BIGINT), c3 FROM a)
+               ORDER BY lag""")),
+
+    // Weighted sample without replacement (Efraimidis–Spirtsis A-ES):
+    // per-row exponential key -ln(u)/w with the engine's deterministic
+    // md5 uniform (tid60 kernel — no RNG, rerunning reproduces the
+    // sample) and weight = o_totalprice. Top-k by smallest key IS the
+    // weighted sample; physically a TakeOrderedAndProject, so only 100
+    // rows ever leave the executors. The float key is sort-only and
+    // never emitted (cross-engine libm ULP stays out of the hash).
+    "q_weighted_sample" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s) // tid60 kernel
+        Tables.orders(s, dir)
+          .withColumn("u", (expr("tid60(CAST(o_orderkey AS STRING)) % 1000000") + lit(1))
+                             .cast("double") / lit(1000001.0))
+          .withColumn("ekey", -log(col("u")) / col("o_totalprice"))
+          .orderBy(col("ekey"), col("o_orderkey"))
+          .limit(100)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM (
+                SELECT o_orderkey, o_totalprice,
+                       -ln(((('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                             % 1000000) + 1) / 1000001.0) / o_totalprice AS ekey
+                FROM orders
+                ORDER BY ekey, o_orderkey LIMIT 100)
+              ORDER BY o_orderkey""")),
+
+    // RFM quartile scoring: recency / frequency / monetary per customer,
+    // each ntile(4)-ranked with a custkey tiebreak so the quartile
+    // assignment is a pure function of the data. The three global ntile
+    // windows run over the customer-reduced table — at true 100 TB the
+    // exact rank would become a global sort of the customer dim; that is
+    // inherent to exact quartiles (the approx path would swap ntile for
+    // approx_percentile cutoffs, trading exactness for no global sort).
+    "q_rfm" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val ref = o.agg(max(col("o_orderdate")).as("ref"))
+        val cust = o.crossJoin(broadcast(ref))
+          .groupBy(col("o_custkey"))
+          .agg(datediff(min(col("ref")), max(col("o_orderdate"))).as("recency"),
+               count(lit(1)).as("frequency"),
+               sum(col("o_totalprice").cast(H.D)).as("mon_d"))
+        cust
+          .select(col("o_custkey"), col("recency"), col("frequency"),
+                  col("mon_d").cast("double").as("monetary"),
+                  ntile(4).over(Window.orderBy(col("recency"), col("o_custkey"))).as("r_q"),
+                  ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey"))).as("f_q"),
+                  ntile(4).over(Window.orderBy(col("mon_d").desc, col("o_custkey"))).as("m_q"))
+          .withColumn("rfm", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH r AS (SELECT MAX(o_orderdate) AS ref FROM orders),
+                   c AS (SELECT o_custkey,
+                                date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                                          CAST(MIN(ref) AS DATE)) AS recency,
+                                COUNT(*) AS frequency,
+                                SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS mon_d
+                         FROM orders, r GROUP BY 1)
+              SELECT o_custkey, recency, frequency,
+                     CAST(mon_d AS DOUBLE) AS monetary,
+                     NTILE(4) OVER (ORDER BY recency, o_custkey) AS r_q,
+                     NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+                     NTILE(4) OVER (ORDER BY mon_d DESC, o_custkey) AS m_q,
+                     NTILE(4) OVER (ORDER BY recency, o_custkey) * 100
+                       + NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) * 10
+                       + NTILE(4) OVER (ORDER BY mon_d DESC, o_custkey) AS rfm
+              FROM c ORDER BY o_custkey""")),
+
+    // Zipf rank-frequency fit over the corpus vocabulary: slope of
+    // ln(freq) ~ ln(rank) for the top-200 terms (a healthy natural-
+    // language corpus sits near -1; flat slopes flag synthetic or
+    // template-heavy data). Vocab reduces first (one corpus shuffle on
+    // token); the rank window and the 200-row regression are free.
+    "llm_zipf" -> Q(
+      (s, dir) => {
+        val freq = Tables.documents(s, dir)
+          .selectExpr("explode(split(lower(trim(text)), ' ')) AS tok")
+          .filter(length(col("tok")) > 0)
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        freq
+          .select(col("n"),
+                  row_number().over(Window.orderBy(col("n").desc, col("tok"))).as("rank"))
+          .filter(col("rank") <= 200)
+          .agg(round(expr("regr_slope(ln(n), ln(rank))"), 6).as("zipf_slope"),
+               count(lit(1)).as("n_terms"))
+      },
+      Some("""WITH f AS (SELECT tok, COUNT(*) AS n
+                         FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+                               FROM documents)
+                         WHERE length(tok) > 0 GROUP BY 1),
+                   rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank
+                          FROM f QUALIFY rank <= 200)
+              SELECT round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+                     COUNT(*) AS n_terms
+              FROM rk"""))
+  )
+}

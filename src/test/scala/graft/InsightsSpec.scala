@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the Insights family the DuckDB hash-compare can't
+  * express: distributional properties (weighted-sample bias, Markov row
+  * sums, Pareto band inequalities), determinism, and range checks. */
+class InsightsSpec extends SparkSuite {
+
+  test("q_markov: outgoing transition probabilities sum to ~1 per state") {
+    val rows = Registry.byName("q_markov").fn(spark, sf)
+      .groupBy(col("from_type")).agg(sum(col("p")).as("psum"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val psum = r.getDouble(1)
+      // 25 terms each rounded at 1e-6 → the sum may be off by ≤ 1.3e-5
+      assert(math.abs(psum - 1.0) < 5e-5,
+        s"${r.getString(0)}: probabilities sum to $psum")
+    }
+  }
+
+  test("q_basket_pairs: canonical pair order, support floor, count order") {
+    val rows = Registry.byName("q_basket_pairs").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonically ordered")
+      assert(r.getLong(2) >= 2, "support floor violated")
+    }
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "not sorted by descending support")
+  }
+
+  test("q_decay_sum: decayed value is positive and below the plain sum") {
+    val plain = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("total"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = Registry.byName("q_decay_sum").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cust, decayed) = (r.getLong(0), r.getDouble(2))
+      assert(decayed >= 0.0, s"$cust: negative decayed value")
+      assert(decayed <= plain(cust) + 1e-6,
+        s"$cust: decay amplified value ($decayed > ${plain(cust)})")
+    }
+  }
+
+  test("q_pareto: bands partition the part set and respect cum-share caps") {
+    val byBand = Registry.byName("q_pareto").fn(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val nParts = Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct().count()
+    assert(byBand.values.map(_._1).sum == nParts, "bands don't partition parts")
+    val total = byBand.values.map(_._2).sum
+    val aRev = byBand.get("A").map(_._2).getOrElse(0.0)
+    val bRev = byBand.get("B").map(_._2).getOrElse(0.0)
+    // A stops at ≤80% cumulative share; A+B at ≤95% — by construction.
+    assert(aRev <= 0.80 * total + 1e-6, s"A band over 80%: $aRev / $total")
+    assert(aRev + bRev <= 0.95 * total + 1e-6, "A+B over 95%")
+  }
+
+  test("q_autocorr: three lags, each in [-1, 1]") {
+    val rows = Registry.byName("q_autocorr").fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { r =>
+      val acf = r.getDouble(1)
+      assert(acf >= -1.0 && acf <= 1.0, s"lag ${r.getLong(0)}: acf $acf")
+    }
+  }
+
+  test("q_weighted_sample: deterministic and biased toward heavy weights") {
+    val q = Registry.byName("q_weighted_sample")
+    val run1 = q.fn(spark, sf).collect().map(_.getLong(0)).toSeq
+    val run2 = q.fn(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(run1 == run2, "weighted sample is not deterministic")
+    assert(run1.size == 100 && run1.distinct.size == 100)
+    // Expected sampled mean under w=o_totalprice exceeds the corpus mean
+    // (size-biased sampling); with n=100 the gap is far beyond noise.
+    val sampleMean = q.fn(spark, sf).agg(avg(col("o_totalprice")))
+      .head().getDouble(0)
+    val corpusMean = Tables.orders(spark, sf).agg(avg(col("o_totalprice")))
+      .head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"no size bias: sample $sampleMean vs corpus $corpusMean")
+  }
+
+  test("q_rfm: quartiles are balanced and composite score is consistent") {
+    val rows = Registry.byName("q_rfm").fn(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    Seq(4, 5, 6).foreach { i => // r_q, f_q, m_q columns
+      val sizes = rows.groupBy(_.getInt(i)).map(_._2.size)
+      assert(sizes.size == 4, s"col $i: not 4 quartiles")
+      assert(sizes.max - sizes.min <= 1, s"col $i: unbalanced ntile $sizes")
+    }
+    rows.foreach { r =>
+      assert(r.getInt(7) == r.getInt(4) * 100 + r.getInt(5) * 10 + r.getInt(6))
+    }
+  }
+
+  test("llm_zipf: slope is negative (frequency decays with rank)") {
+    val r = Registry.byName("llm_zipf").fn(spark, sf).head()
+    assert(r.getLong(1) > 0)
+    assert(r.getDouble(0) < 0.0, s"Zipf slope not negative: ${r.getDouble(0)}")
+  }
+}
