@@ -1,0 +1,167 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus screens beyond symmetric near-dup: asymmetric containment
+  * (quote/subset detection), shingle novelty (memorization screen — how
+  * much of a doc was already seen in earlier docs), and an embedding
+  * quality screen (schema/norm validation + per-label coherence).
+  *
+  * Scale layout matches the Dedup family: everything reduces on the
+  * shingle/(label,pos) key first, so the only corpus-sized shuffles are
+  * linear inverted-index joins (Σ df², never n²). */
+object Screens {
+
+  private val toksE = "split(lower(trim(text)), ' ')"
+  private val duckToks = "string_split(lower(trim(text)), ' ')"
+  private val duckShingles =
+    s"""list_distinct(list_transform(generate_series(1, len($duckToks) - 2),
+        i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2]))"""
+
+  /** (doc_id, lang, sh) via the shingles3 kernel (see Dedup.shingled —
+    * same spelling; the kernel is immune to the lambda-inlining
+    * re-split trap documented on Sketches.Shingles3). */
+  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.Custom.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), expr(s"shingles3($toksE)").as("sh"))
+  }
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Asymmetric containment C(a ⊂ b) = |sh(a) ∩ sh(b)| / |sh(a)| — the
+    // quote/excerpt detector symmetric Jaccard misses (a short doc fully
+    // quoted inside a long one has tiny Jaccard but containment ≈ 1).
+    // Inverted-index join on (lang, shingle), both directions (id_a is
+    // the contained side), so cost is Σ_shingle df² like llm_dedup_near,
+    // never corpus². The oracle keeps the dense list_intersect
+    // formulation — DuckDB only verifies at sf0.01.
+    "llm_containment" -> Q(
+      (s, dir) => {
+        val sized = shingled(s, dir).withColumn("n", size(col("sh")))
+        val ex = sized.select(col("lang"), col("doc_id"), col("n"),
+                              explode(col("sh")).as("tok"))
+        val a = ex.select(col("lang"), col("doc_id").as("id_a"),
+                          col("n").as("n_a"), col("tok"))
+        val b = ex.select(col("lang").as("lang_b"), col("doc_id").as("id_b"),
+                          col("tok").as("tok_b"))
+        a.join(b, col("lang") === col("lang_b") && col("tok") === col("tok_b") &&
+                  col("id_a") =!= col("id_b"))
+          .groupBy(col("lang"), col("id_a"), col("id_b"), col("n_a"))
+          .agg(count(lit(1)).as("n_inter"))
+          .withColumn("cont", (col("n_inter").cast("decimal(18,6)") /
+                               col("n_a")).cast("decimal(18,6)"))
+          .filter(col("cont") >= 0.5)
+          .select(col("lang"), col("id_a"), col("id_b"),
+                  col("n_a").cast("int").as("n_a"),
+                  col("n_inter").cast("int").as("n_inter"),
+                  col("cont").cast("double").as("cont"))
+          .orderBy(col("lang"), col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents)
+               SELECT lang, id_a, id_b, n_a, n_inter, CAST(cont AS DOUBLE) AS cont
+               FROM (
+                 SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                        len(a.sh) AS n_a,
+                        len(list_intersect(a.sh, b.sh)) AS n_inter,
+                        CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
+                             / len(a.sh) AS DECIMAL(18,6)) AS cont
+                 FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+               WHERE cont >= 0.5
+               ORDER BY lang, id_a, id_b""")),
+
+    // Novelty screen: per doc, the fraction of its distinct shingles NOT
+    // already present in any earlier doc (doc_id order = ingestion
+    // order). Shape: shingle → min(doc_id) reduce (the linear corpus
+    // shuffle), join back on shingle, per-doc ratio in exact decimal.
+    // A low-novelty tail is the repeated-boilerplate / memorization
+    // slice a curation pipeline drops or downweights.
+    "llm_novelty" -> Q(
+      (s, dir) => {
+        val ex = shingled(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("tok"))
+        val first = ex.groupBy(col("tok")).agg(min(col("doc_id")).as("first_id"))
+        ex.join(first, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"),
+               sum(when(col("first_id") < col("doc_id"), 1L).otherwise(0L))
+                 .as("n_seen"))
+          .withColumn("novelty",
+                      ((col("n_sh") - col("n_seen")).cast("decimal(18,6)") /
+                       col("n_sh")).cast("decimal(18,6)").cast("double"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, unnest($duckShingles) AS tok
+                          FROM documents),
+                    f AS (SELECT tok, MIN(doc_id) AS first_id FROM s GROUP BY 1)
+               SELECT s.doc_id AS doc_id, COUNT(*) AS n_sh,
+                      CAST(SUM(CASE WHEN f.first_id < s.doc_id THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_seen,
+                      CAST(CAST(CAST(COUNT(*) - SUM(CASE WHEN f.first_id < s.doc_id
+                                                    THEN 1 ELSE 0 END)
+                                     AS DECIMAL(18,6)) / COUNT(*)
+                                AS DECIMAL(18,6)) AS DOUBLE) AS novelty
+               FROM s JOIN f USING (tok)
+               GROUP BY 1 ORDER BY 1""")),
+
+    // Embedding quality screen: per label — row count, dimension
+    // consistency (min=max ⇒ rectangular), count of non-unit norms
+    // (these fixtures are L2-normalized; a bad norm means a broken
+    // encoder batch), and label coherence = ‖centroid‖ (1.0 = all
+    // vectors identical, → 0 = isotropic spread; the classifier-data
+    // health number). One corpus scan for the row screen + one
+    // (label,pos) reduce for the centroid — both map-side combined; all
+    // float sums ride rounded-decimal lanes so partial-agg order can't
+    // move the hash.
+    "llm_emb_screen" -> Q(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val screen = e
+          .select(col("label"), size(col("embedding")).as("dim"),
+                  expr("""round(sqrt(aggregate(embedding, 0.0D,
+                            (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)""")
+                    .as("nrm"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+               min(col("dim")).as("dim_min"), max(col("dim")).as("dim_max"),
+               sum(when(abs(col("nrm") - 1.0) > 0.001, 1L).otherwise(0L))
+                 .as("n_bad_norm"))
+        val coher = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(expr("CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(38,6))")).as("sd"),
+               count(lit(1)).as("cn"))
+          .withColumn("cv", (col("sd") / col("cn")).cast("decimal(38,6)").cast("double"))
+          .groupBy(col("label"))
+          .agg(round(sqrt(sum(expr("CAST(round(cv * cv, 12) AS DECIMAL(38,12))"))
+                            .cast("double")), 6).as("coherence"))
+        screen.join(coher, Seq("label")).orderBy(col("label"))
+      },
+      Some("""WITH scr AS (
+                SELECT label, COUNT(*) AS n,
+                       MIN(len(embedding)) AS dim_min,
+                       MAX(len(embedding)) AS dim_max,
+                       CAST(SUM(CASE WHEN abs(round(sqrt(list_sum(list_transform(
+                              embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6)
+                              - 1.0) > 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_bad_norm
+                FROM embeddings GROUP BY 1),
+              c AS (
+                SELECT label, i - 1 AS pos,
+                       CAST(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                                          AS DECIMAL(38,6))) / COUNT(*)
+                                 AS DECIMAL(38,6)) AS DOUBLE) AS cv
+                FROM embeddings,
+                     LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+                GROUP BY label, i),
+              coh AS (
+                SELECT label,
+                       round(sqrt(CAST(SUM(CAST(round(cv * cv, 12) AS DECIMAL(38,12)))
+                                       AS DOUBLE)), 6) AS coherence
+                FROM c GROUP BY 1)
+              SELECT scr.label AS label, n, dim_min, dim_max, n_bad_norm, coherence
+              FROM scr JOIN coh USING (label)
+              ORDER BY label"""))
+  )
+}

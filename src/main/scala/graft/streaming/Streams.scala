@@ -189,6 +189,26 @@ object Streams {
       .select(col("buy_id"), col("click_id"), col("user_id"))
   }
 
+  /** st_stream_stream_left: LEFT OUTER stream-stream join — same interval
+    * band as [[streamStreamJoin]], but purchases with no click in the
+    * band must still emit (click_id NULL) once the click watermark passes
+    * the band's horizon and proves no match can arrive. This is the
+    * semantics batch LEFT JOIN gives for free and streaming can only
+    * provide under both watermarks + a time-bound join condition: the
+    * null side is emitted at state eviction, not at row arrival. */
+  def streamStreamLeftJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("buy_id"), col("user_id"), col("ts").as("buy_ts"))
+    val c = clicks.withWatermark("ts", "2 hours")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+              col("ts").as("click_ts"))
+    p.join(c, col("user_id") === col("c_user") &&
+              col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
+              col("click_ts") <= col("buy_ts"),
+           "left_outer")
+      .select(col("buy_id"), col("click_id"), col("user_id"))
+  }
+
   /** src_stream_file: replay a parquet directory as a micro-batched file
     * stream (schema must be declared — streaming reads never infer). */
   def fileStream(spark: SparkSession, dir: String, schema: StructType,

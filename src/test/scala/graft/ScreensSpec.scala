@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the Screens family beyond the oracle hash: threshold
+  * and range contracts, the first-doc novelty identity, and the
+  * rectangular-unit-norm embedding fixture properties. */
+class ScreensSpec extends SparkSuite {
+
+  test("llm_containment: directed, thresholded, intersection-bounded") {
+    val rows = Registry.byName("llm_containment").fn(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) != r.getLong(2), "self pair leaked")
+      assert(r.getInt(4) <= r.getInt(3), "intersection exceeds |sh(a)|")
+      assert(r.getDouble(5) >= 0.5 && r.getDouble(5) <= 1.0,
+        s"containment out of range: ${r.getDouble(5)}")
+    }
+  }
+
+  test("llm_novelty: first doc fully novel, ratios consistent") {
+    val rows = Registry.byName("llm_novelty").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(2) == 0L && first.getDouble(3) == 1.0,
+      s"earliest doc not fully novel: $first")
+    rows.foreach { r =>
+      val (nSh, nSeen, nov) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nSeen <= nSh, "seen shingles exceed distinct shingles")
+      assert(math.abs(nov - (nSh - nSeen).toDouble / nSh) < 1e-5,
+        s"novelty ratio inconsistent: $r")
+    }
+  }
+
+  test("llm_emb_screen: rectangular, unit-norm, coherence in (0,1]") {
+    val rows = Registry.byName("llm_emb_screen").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) == r.getInt(3), "ragged embedding dims")
+      assert(r.getLong(4) == 0L, "fixture embeddings must be unit-norm")
+      val coh = r.getDouble(5)
+      assert(coh > 0.0 && coh <= 1.0 + 1e-6, s"coherence out of range: $coh")
+    }
+  }
+}
