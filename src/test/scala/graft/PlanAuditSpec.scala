@@ -357,4 +357,58 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
            p.contains("ShuffledHashJoin"), s"no hash/merge wedge join:\n$p")
   }
+
+  test("q_basket_pairs: orderkey self-join is hash/merge and reuses the item scan") {
+    val df = Registry.byName("q_basket_pairs").fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated to n²:\n$p")
+    // Both join inputs are the SAME distinct(orderkey, partkey) subplan —
+    // it must compute once and replay as ReusedExchange.
+    assert(p.contains("ReusedExchange"), s"item-list subplan computed twice:\n$p")
+  }
+
+  test("q_weighted_sample: top-k by exponential key, never a global sort") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample does a full corpus sort:\n$p")
+  }
+
+  test("q_decay_sum / q_rfm: 1-row anchor broadcasts; no shuffle for the cross join") {
+    Seq("q_decay_sum", "q_rfm").foreach { k =>
+      val p = planOf(k)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$k: max-date anchor not broadcast:\n$p")
+      assert(p.contains("partial_"), s"$k: aggregation has no map-side combine:\n$p")
+    }
+  }
+
+  test("llm_containment: inverted-index join is hash/merge, aggregates before filter") {
+    val p = planOf("llm_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment join degenerated to n²:\n$p")
+    assert(p.contains("partial_count"), s"pair counts not map-combined:\n$p")
+  }
+
+  test("llm_novelty: two linear shingle shuffles, no pair join anywhere") {
+    val p = planOf("llm_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty should never build pairs:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), s"first-seen join missing:\n$p")
+  }
+
+  test("q_pareto / q_autocorr: reduce-first — windows only after the group-by") {
+    Seq("q_pareto", "q_autocorr").foreach { k =>
+      val p = planOf(k)
+      // The corpus aggregation must partial-combine BEFORE the
+      // single-partition window over the reduced (part/day) table.
+      assert(p.contains("partial_"), s"$k: no map-side combine:\n$p")
+      val iAgg = p.indexOf("partial_")
+      val iWin = p.indexOf("Window")
+      assert(iWin >= 0 && iAgg >= 0, s"$k: expected window over reduced table:\n$p")
+    }
+  }
 }
