@@ -13,6 +13,7 @@ object Registry {
     operators.EventsBatch.qs ++
     operators.Analytics.qs ++
     operators.Insights.qs ++
+    operators.Trends.qs ++
     operators.Profiling.qs ++
     functions.Funcs.qs ++
     functions.Custom.qs ++

@@ -415,18 +415,40 @@ object Analytics {
         // the sort key extends through the measure columns: any rows
         // still tied are value-identical and the frame sums don't care
         // which order they land in.
-        val w = Window.partitionBy(col("l_returnflag"))
+        // PERFORMANCE (measured 18.9 s → see BASELINE r5 minima): Spark's
+        // SlidingWindowFunctionFrame re-evaluates the whole 50-row buffer
+        // for EVERY row — O(50·n) decimal adds across 5 sums, on
+        // 3-partition (returnflag) parallelism. The prefix-sum identity
+        // frame[-49,0] = cum[rn] − cum[rn−50] replaces each sliding sum
+        // with an incremental running sum (O(n)) plus an offset lag
+        // (O(n)); the decimal subtraction is exact, so the doubles — and
+        // the oracle hash — are bit-identical to the sliding spelling
+        // (the oracle keeps the direct ROWS BETWEEN form). Both window
+        // selects share one (returnflag, sort) exchange.
+        val ord = Window.partitionBy(col("l_returnflag"))
           .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
                    col("l_quantity"), col("l_extendedprice"),
                    col("l_partkey"), col("l_suppkey"))
-          .rowsBetween(-49, Window.currentRow)
-        val d = Tables.lineitem(s, dir)
-          .withColumn("n", count(lit(1)).over(w))
-          .withColumn("sx", sum(x.cast("decimal(38,4)")).over(w).cast("double"))
-          .withColumn("sy", sum(y.cast("decimal(38,4)")).over(w).cast("double"))
-          .withColumn("sxy", sum(psum(x * y)).over(w).cast("double"))
-          .withColumn("sxx", sum(psum(x * x)).over(w).cast("double"))
-          .withColumn("syy", sum(psum(y * y)).over(w).cast("double"))
+        val cumF = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = Tables.lineitem(s, dir)
+          .withColumn("rn", row_number().over(ord))
+          .withColumn("cx", sum(x.cast("decimal(38,4)")).over(cumF))
+          .withColumn("cy", sum(y.cast("decimal(38,4)")).over(cumF))
+          .withColumn("cxy", sum(psum(x * y)).over(cumF))
+          .withColumn("cxx", sum(psum(x * x)).over(cumF))
+          .withColumn("cyy", sum(psum(y * y)).over(cumF))
+        def frame(c: String) =
+          (col(c) - coalesce(lag(col(c), 50).over(ord),
+                             lit(0).cast(if (c == "cx" || c == "cy") "decimal(38,4)"
+                                         else "decimal(28,2)")))
+            .cast("double")
+        val d = cum
+          .withColumn("n", least(col("rn"), lit(50)).cast("long"))
+          .withColumn("sx", frame("cx"))
+          .withColumn("sy", frame("cy"))
+          .withColumn("sxy", frame("cxy"))
+          .withColumn("sxx", frame("cxx"))
+          .withColumn("syy", frame("cyy"))
         val cov = col("n") * col("sxy") - col("sx") * col("sy")
         val vx = col("n") * col("sxx") - col("sx") * col("sx")
         val vy = col("n") * col("syy") - col("sy") * col("sy")

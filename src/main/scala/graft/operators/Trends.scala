@@ -1,0 +1,176 @@
+package graft.operators
+
+import graft.{H, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / cardinality trend operators: day-of-week seasonality,
+  * month-over-month growth, event trigram motifs, an AMS-style
+  * self-join-size estimate (the optimizer-statistics sketch, spelled so
+  * both engines reproduce it bit-for-bit), and a zstd parquet codec
+  * round-trip. Reduce-first throughout: windows only ever see
+  * day/month/dow/sketch-row tables. */
+object Trends {
+
+  private val fixDir = "/root/repo/target/graft_fixtures"
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    // Day-of-week seasonal index: avg daily revenue per DOW / overall
+    // avg daily revenue. Two reduces (day, then dow) before any window;
+    // the OVER () totals run on the 7-row dow table. Spark dayofweek is
+    // 1=Sunday; DuckDB dayofweek is 0=Sunday — the oracle shifts by one.
+    // All averages ride the H.davg decimal lane; the final index is one
+    // double division of two identically-derived doubles, rounded at 6.
+    "q_seasonal_idx" -> Q(
+      (s, dir) => {
+        val daily = Tables.lineitem(s, dir)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                     .cast(H.D)).as("rev_d"))
+        val dow = daily
+          .groupBy(dayofweek(col("day")).as("dow"))
+          .agg(count(lit(1)).as("n_days"), sum(col("rev_d")).as("srev"))
+        val all = Window.rowsBetween(Window.unboundedPreceding,
+                                     Window.unboundedFollowing)
+        dow
+          .select(col("dow"), col("n_days"),
+                  (col("srev") / col("n_days")).cast(H.D).cast("double").as("avg_rev"),
+                  (sum(col("srev")).over(all) / sum(col("n_days")).over(all))
+                    .cast(H.D).cast("double").as("ovr"))
+          .withColumn("seasonal_idx", round(col("avg_rev") / col("ovr"), 6))
+          .drop("ovr")
+          .orderBy(col("dow"))
+      },
+      Some("""WITH d AS (SELECT CAST(l_shipdate AS DATE) AS day,
+                                SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                                         AS DECIMAL(38,4))) AS rev_d
+                         FROM lineitem GROUP BY 1),
+                   w AS (SELECT dayofweek(day) + 1 AS dow, COUNT(*) AS n_days,
+                                SUM(rev_d) AS srev
+                         FROM d GROUP BY 1)
+              SELECT dow, n_days,
+                     CAST(CAST(srev / n_days AS DECIMAL(38,4)) AS DOUBLE) AS avg_rev,
+                     round(CAST(CAST(srev / n_days AS DECIMAL(38,4)) AS DOUBLE)
+                           / CAST(CAST(SUM(srev) OVER () / SUM(n_days) OVER ()
+                                       AS DECIMAL(38,4)) AS DOUBLE), 6) AS seasonal_idx
+              FROM w ORDER BY dow""")),
+
+    // Month-over-month revenue growth: the fact table reduces to one row
+    // per month; lag + ratio run single-partition over that ~84-row
+    // series. Growth is a double ratio of two H.dsum doubles, round 6;
+    // the first month's growth is NULL by construction.
+    "q_growth_rate" -> Q(
+      (s, dir) => {
+        val monthly = Tables.lineitem(s, dir)
+          .groupBy(trunc(to_date(col("l_shipdate")), "month").as("month"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                 .as("rev"))
+        val w = Window.orderBy(col("month"))
+        monthly
+          .withColumn("prev", lag(col("rev"), 1).over(w))
+          .withColumn("growth", round((col("rev") - col("prev")) / col("prev"), 6))
+          .drop("prev")
+          .orderBy(col("month"))
+      },
+      Some(s"""WITH m AS (SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+                                 ${H.oSum("l_extendedprice * (1.0 - l_discount)")} AS rev
+                          FROM lineitem GROUP BY 1)
+               SELECT month, rev,
+                      round((rev - LAG(rev) OVER (ORDER BY month))
+                            / LAG(rev) OVER (ORDER BY month), 6) AS growth
+               FROM m ORDER BY month""")),
+
+    // Top-20 behavioral trigram motifs: 3-step event-type paths per user
+    // journey (lead ×2 inside the user_id window — one corpus shuffle),
+    // counted globally. The journey-pattern miner funnels generalize.
+    "q_motifs" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+                  col("event_type").as("e1"))
+          .withColumn("e2", lead(col("e1"), 1).over(w))
+          .withColumn("e3", lead(col("e1"), 2).over(w))
+          .filter(col("e2").isNotNull && col("e3").isNotNull)
+          .groupBy(col("e1"), col("e2"), col("e3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT event_type AS e1,
+                                LEAD(event_type, 1) OVER w AS e2,
+                                LEAD(event_type, 2) OVER w AS e3
+                         FROM events
+                         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+              SELECT e1, e2, e3, COUNT(*) AS n
+              FROM t WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+              GROUP BY 1, 2, 3
+              ORDER BY n DESC, e1, e2, e3 LIMIT 20""")),
+
+    // AMS-style self-join-size (second frequency moment) estimate — the
+    // optimizer-statistics sketch: hash l_partkey into 4 independent
+    // 8192-bucket rows (md5-derived, engine-portable), estimate
+    // F2 = Σ cnt(k)² as min_i Σ_b cnt_i(b)² and compare with the exact
+    // moment. Merging keys into buckets only ever raises Σ c² — the
+    // estimate upper-bounds exactly; the (deterministic) within_3x
+    // column records whether 4×8192 cells were enough at this SF. Cost:
+    // the 4-row replicate is the only corpus expansion; every aggregate
+    // is map-side combined, nothing ever materializes per-pair.
+    "q_f2_moment" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val keys = Tables.lineitem(s, dir).select(col("l_partkey"))
+        val exact = keys.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).as("exact"))
+        val est = keys
+          .select(col("l_partkey"), explode(lit(Array(0, 1, 2, 3))).as("i"))
+          .select(col("i"), expr(
+            "tid60(concat(CAST(i AS STRING), ':', CAST(l_partkey AS STRING))) % 8192")
+            .as("b"))
+          .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+          .groupBy(col("i")).agg(sum(col("c") * col("c")).as("est_i"))
+          .agg(min(col("est_i")).as("est"))
+        exact.crossJoin(est)
+          .withColumn("within_3x", col("est") >= col("exact") &&
+                                   col("est") <= col("exact") * 3)
+      },
+      Some("""WITH k AS (SELECT l_partkey FROM lineitem),
+                   e AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact
+                         FROM (SELECT COUNT(*) AS c FROM k GROUP BY l_partkey)),
+                   h AS (SELECT i,
+                                ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                   CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 8192 AS b
+                         FROM k, (SELECT unnest([0, 1, 2, 3]) AS i) ii),
+                   s AS (SELECT i, CAST(SUM(c * c) AS BIGINT) AS est_i
+                         FROM (SELECT i, b, COUNT(*) AS c FROM h GROUP BY 1, 2)
+                         GROUP BY 1),
+                   m AS (SELECT MIN(est_i) AS est FROM s)
+              SELECT exact, est,
+                     est >= exact AND est <= exact * 3 AS within_3x
+              FROM e, m""")),
+
+    // Parquet zstd codec round-trip: the storage-efficiency path a 100 TB
+    // lake actually runs (zstd ≈ 30-50% smaller than snappy at similar
+    // scan speed). Write-with-codec + read-back + aggregate must be
+    // byte-faithful; the oracle aggregates the source directly.
+    "snk_parquet_zstd" -> Q(
+      (s, dir) => {
+        val out = s"$fixDir/lineitem_zstd"
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"),
+                  col("l_discount"))
+          .write.mode("overwrite").option("compression", "zstd").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+               H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                 .as("rev"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                      ${H.oSum("l_extendedprice * (1.0 - l_discount)")} AS rev
+               FROM lineitem GROUP BY 1 ORDER BY 1"""))
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Trend-family invariants beyond the oracle hash: seasonal indices
+  * weight-average to 1, the F2 sketch genuinely upper-bounds, and the
+  * zstd sink really writes zstd files. */
+class TrendsSpec extends SparkSuite {
+
+  test("q_seasonal_idx: 7 rows whose day-weighted index averages to 1") {
+    val rows = Registry.byName("q_seasonal_idx").fn(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 7).toSet))
+    assert(rows.length >= 6, s"expected ~7 DOW rows, got ${rows.length}")
+    val totalDays = rows.map(_.getLong(1)).sum
+    val weighted = rows.map(r => r.getDouble(3) * r.getLong(1)).sum / totalDays
+    assert(math.abs(weighted - 1.0) < 1e-4,
+      s"day-weighted seasonal index drifted from 1: $weighted")
+  }
+
+  test("q_growth_rate: first month NULL growth, ratios recompute") {
+    val rows = Registry.byName("q_growth_rate").fn(spark, sf).collect()
+    assert(rows.length > 12, "needs a multi-month series")
+    assert(rows.head.isNullAt(2), "first month must have NULL growth")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val expect = (b.getDouble(1) - a.getDouble(1)) / a.getDouble(1)
+      assert(math.abs(b.getDouble(2) - expect) < 1e-5,
+        s"growth mismatch at ${b.get(0)}")
+    case _ => ()
+    }
+  }
+
+  test("q_motifs: descending counts, trigram arity") {
+    val rows = Registry.byName("q_motifs").fn(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ns = rows.map(_.getLong(3))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_f2_moment: estimate upper-bounds the exact moment, tightly here") {
+    val r = Registry.byName("q_f2_moment").fn(spark, sf).head()
+    val exactDirect = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c"))).head().getLong(0)
+    assert(r.getLong(0) == exactDirect, "exact F2 disagrees with direct compute")
+    assert(r.getLong(1) >= r.getLong(0), "CMS inner product must upper-bound F2")
+    assert(r.getBoolean(2), s"4×8192 cells should be tight at sf0.001: $r")
+  }
+
+  test("snk_parquet_zstd: files are zstd-coded and the round-trip is faithful") {
+    val out = Registry.byName("snk_parquet_zstd").fn(spark, sf)
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+           H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .orderBy(col("l_returnflag"))
+    assertSameRows(out, direct)
+    val files = new java.io.File("/root/repo/target/graft_fixtures/lineitem_zstd")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.contains("zstd")),
+      s"expected zstd-coded parquet parts: ${files.toSeq}")
+  }
+}
