@@ -105,6 +105,45 @@ object Screens {
                FROM s JOIN f USING (tok)
                GROUP BY 1 ORDER BY 1""")),
 
+    // Per-language feature scaling of doc length — the normalize step a
+    // feature pipeline runs before training: z-score from one-pass
+    // decimal power sums (mean/std exactly as q_ab_test derives them)
+    // plus min-max, both broadcast back onto the stream. Corpus scanned
+    // twice, shuffled never (the stats table is |langs| rows).
+    "llm_feature_scale" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+                                                col("n_chars"))
+        val x = col("n_chars").cast("decimal(18,0)")
+        val stats = d.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+               sum(x).cast("double").as("s1"),
+               sum(x * x).cast("double").as("s2"),
+               min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"))
+          .withColumn("mean", col("s1") / col("n"))
+          .withColumn("std", sqrt((col("s2") - col("s1") * col("s1") / col("n"))
+                                  / (col("n") - 1)))
+        d.join(broadcast(stats), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+                  round((col("n_chars") - col("mean")) / col("std"), 6).as("z"),
+                  round((col("n_chars") - col("mn")).cast("double") /
+                        (col("mx") - col("mn")), 6).as("mm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH st AS (
+                SELECT lang, COUNT(*) AS n,
+                       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(n_chars AS DECIMAL(18,0))
+                                * CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS s2,
+                       MIN(n_chars) AS mn, MAX(n_chars) AS mx
+                FROM documents GROUP BY 1)
+              SELECT doc_id, d.lang AS lang, n_chars,
+                     round((n_chars - s1 / n)
+                           / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS z,
+                     round(CAST(n_chars - mn AS DOUBLE) / (mx - mn), 6) AS mm
+              FROM documents d JOIN st ON d.lang = st.lang
+              ORDER BY doc_id""")),
+
     // Embedding quality screen: per label — row count, dimension
     // consistency (min=max ⇒ rectangular), count of non-unit norms
     // (these fixtures are L2-normalized; a bad norm means a broken

@@ -262,6 +262,52 @@ object Insights {
                        + NTILE(4) OVER (ORDER BY mon_d DESC, o_custkey) AS rfm
               FROM c ORDER BY o_custkey""")),
 
+    // Chi-square independence test of event_type × day-of-week — the
+    // "is behavior time-dependent" screen. One map-combined corpus agg
+    // reduces to ≤ |types|·7 cells; expected counts and the statistic
+    // derive from integer marginals via the identity
+    // (o−e)²/e = (o·N − r·c)² / (r·c·N), so every per-cell term is the
+    // same rational-in-doubles expression on both engines (|o·N−r·c| <
+    // 2^53 ⇒ the difference is exact; one rounding at 9 per term, then
+    // an exact decimal sum).
+    "q_chi2" -> Q(
+      (s, dir) => {
+        val all = Window.rowsBetween(Window.unboundedPreceding,
+                                     Window.unboundedFollowing)
+        val cells = Tables.events(s, dir)
+          .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"))
+          .agg(count(lit(1)).as("o"))
+          .withColumn("r", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+          .withColumn("c", sum(col("o")).over(Window.partitionBy(col("dow"))))
+          .withColumn("n", sum(col("o")).over(all))
+        val dev = (col("o").cast("double") * col("n") -
+                   col("r").cast("double") * col("c"))
+        cells
+          .withColumn("term", round(dev * dev /
+            (col("r").cast("double") * col("c") * col("n")), 9))
+          .agg(sum(col("term").cast("decimal(38,9)")).cast("double").as("chi2"),
+               ((countDistinct(col("event_type")) - 1) *
+                (countDistinct(col("dow")) - 1)).as("dof"),
+               count(lit(1)).as("n_cells"))
+      },
+      Some("""WITH cells AS (
+                SELECT event_type, dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+                       COUNT(*) AS o
+                FROM events GROUP BY 1, 2),
+                   m AS (
+                SELECT event_type, dow, o,
+                       SUM(o) OVER (PARTITION BY event_type) AS r,
+                       SUM(o) OVER (PARTITION BY dow) AS c,
+                       SUM(o) OVER () AS n
+                FROM cells)
+              SELECT CAST(SUM(CAST(round((CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+                                         * (CAST(o AS DOUBLE) * n - CAST(r AS DOUBLE) * c)
+                                         / (CAST(r AS DOUBLE) * c * n), 9)
+                                   AS DECIMAL(38,9))) AS DOUBLE) AS chi2,
+                     (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS dof,
+                     COUNT(*) AS n_cells
+              FROM m""")),
+
     // Zipf rank-frequency fit over the corpus vocabulary: slope of
     // ln(freq) ~ ln(rank) for the top-200 terms (a healthy natural-
     // language corpus sits near -1; flat slopes flag synthetic or

@@ -100,6 +100,16 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("q_chi2: non-negative statistic, marginal-consistent dof") {
+    val r = Registry.byName("q_chi2").fn(spark, sf).head()
+    assert(r.getDouble(0) >= 0.0, "chi2 must be non-negative")
+    val types = Tables.events(spark, sf).select(col("event_type")).distinct().count()
+    val dows = Tables.events(spark, sf)
+      .select(dayofweek(col("ts"))).distinct().count()
+    assert(r.getLong(1) == (types - 1) * (dows - 1), s"dof mismatch: $r")
+    assert(r.getLong(2) <= types * dows, "more cells than the marginal product")
+  }
+
   test("llm_zipf: slope is negative (frequency decays with rank)") {
     val r = Registry.byName("llm_zipf").fn(spark, sf).head()
     assert(r.getLong(1) > 0)

@@ -31,6 +31,24 @@ class ScreensSpec extends SparkSuite {
     }
   }
 
+  test("llm_feature_scale: z-scores center per lang, min-max spans [0,1]") {
+    val df = Registry.byName("llm_feature_scale").fn(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mm = r.getDouble(4)
+      assert(mm >= -1e-9 && mm <= 1.0 + 1e-9, s"min-max out of range: $r")
+    }
+    df.groupBy(col("lang"))
+      .agg(avg(col("z")).as("zbar"), min(col("mm")).as("mn"), max(col("mm")).as("mx"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(1)) < 1e-3,
+          s"${r.getString(0)}: z-scores not centered (${r.getDouble(1)})")
+        assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 1.0,
+          s"${r.getString(0)}: min-max endpoints not attained")
+      }
+  }
+
   test("llm_emb_screen: rectangular, unit-norm, coherence in (0,1]") {
     val rows = Registry.byName("llm_emb_screen").fn(spark, sf).collect()
     assert(rows.nonEmpty)
