@@ -103,6 +103,8 @@ object Custom {
       es => HllMergeAgg(es(0)).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("tid60",
       es => Sketches.Tid60(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      es => Sketches.JaroWinkler(es(0), es(1)), "built-in")
     spark
   }
 

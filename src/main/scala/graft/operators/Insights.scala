@@ -262,6 +262,94 @@ object Insights {
                        + NTILE(4) OVER (ORDER BY mon_d DESC, o_custkey) AS rfm
               FROM c ORDER BY o_custkey""")),
 
+    // Record-linkage candidate pairs by Jaro-Winkler name similarity —
+    // the fuzzy-match operator entity resolution runs before a merge.
+    // jaro_winkler is the engine's codegen kernel (Sketches.JaroWinkler),
+    // fuzz-verified value-identical to DuckDB's jaro_winkler_similarity
+    // (3006/3006 random vectors at 1e-12). Classic blocking keeps the
+    // in-block n² bounded: pairs only form inside (mktsegment, nation)
+    // demographic blocks, the record-linkage discipline that holds at
+    // scale (block count grows with the dims, block size stays
+    // population-bounded). Top-100 under a total (jw, id, id) order.
+    "fn_jaro" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+                  col("c_nationkey"))
+        c.as("a").join(c.as("b"),
+            col("a.c_mktsegment") === col("b.c_mktsegment") &&
+              col("a.c_nationkey") === col("b.c_nationkey") &&
+              col("a.c_custkey") < col("b.c_custkey"))
+          .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+                  col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))
+          .withColumn("jw", round(expr("jaro_winkler(name_a, name_b)"), 6))
+          .filter(col("jw") >= 0.93)
+          .select(col("id_a"), col("id_b"), col("jw"))
+          .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+          .limit(100)
+      },
+      Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+              FROM customer a JOIN customer b
+                ON a.c_mktsegment = b.c_mktsegment
+               AND a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey
+              WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.93
+              ORDER BY jw DESC, id_a, id_b LIMIT 100""")),
+
+    // Audience overlap: distinct users per event-type pair, WITHOUT a
+    // user-level self-join — the corpus reduces to one row per user
+    // (set of types they emitted), pairs explode in-row (≤ C(5,2) per
+    // user), and a map-combined count finishes. The n² a naive
+    // join-on-user would build never materializes; per-user work is
+    // bounded by |types|², constant. Overlap ratios are exact integer
+    // ratios rounded once.
+    "q_audience_overlap" -> Q(
+      (s, dir) => {
+        val perUser = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        val pairs = perUser.select(explode(expr(
+          """flatten(transform(types, (a, i) ->
+               transform(slice(types, i + 2, size(types)), b -> struct(a, b))))"""))
+          .as("pr"))
+          .select(col("pr.a").as("type_a"), col("pr.b").as("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+        val totals = Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(count_distinct(col("user_id")).as("n_users"))
+        pairs
+          .join(broadcast(totals.withColumnRenamed("event_type", "type_a")
+                                .withColumnRenamed("n_users", "n_a")), Seq("type_a"))
+          .join(broadcast(totals.withColumnRenamed("event_type", "type_b")
+                                .withColumnRenamed("n_users", "n_b")), Seq("type_b"))
+          .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+                  (col("n_both").cast("decimal(18,6)") /
+                   least(col("n_a"), col("n_b"))).cast("decimal(18,6)")
+                    .cast("double").as("overlap"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH pu AS (SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+                          FROM events GROUP BY 1),
+                   pr AS (SELECT t1.t AS type_a, t2.t AS type_b
+                          FROM pu,
+                               LATERAL (SELECT unnest(types) AS t) t1,
+                               LATERAL (SELECT unnest(types) AS t) t2
+                          WHERE t1.t < t2.t),
+                   pc AS (SELECT type_a, type_b, COUNT(*) AS n_both
+                          FROM pr GROUP BY 1, 2),
+                   tt AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+                          FROM events GROUP BY 1)
+              SELECT type_a, type_b, n_both, ta.n_users AS n_a, tb.n_users AS n_b,
+                     CAST(CAST(CAST(n_both AS DECIMAL(18,6))
+                               / LEAST(ta.n_users, tb.n_users) AS DECIMAL(18,6))
+                          AS DOUBLE) AS overlap
+              FROM pc JOIN tt ta ON pc.type_a = ta.event_type
+                      JOIN tt tb ON pc.type_b = tb.event_type
+              ORDER BY type_a, type_b""")),
+
     // Chi-square independence test of event_type × day-of-week — the
     // "is behavior time-dependent" screen. One map-combined corpus agg
     // reduces to ≤ |types|·7 cells; expected counts and the statistic

@@ -110,6 +110,43 @@ class InsightsSpec extends SparkSuite {
     assert(r.getLong(2) <= types * dows, "more cells than the marginal product")
   }
 
+  test("jaro_winkler kernel: classic vectors, symmetry, range") {
+    import graft.functions.Sketches.jaroWinkler
+    assert(jaroWinkler("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(jaroWinkler("DWAYNE", "DUANE") == 0.8400000000000001)
+    assert(jaroWinkler("DIXON", "DICKSONX") == 0.8133333333333332)
+    assert(jaroWinkler("abc", "abc") == 1.0)
+    assert(jaroWinkler("", "abc") == 0.0 && jaroWinkler("a", "") == 0.0)
+    // sub-threshold pairs get NO prefix boost (DuckDB's 0.7 gate)
+    assert(jaroWinkler("CRANE", "ATRIA") == 0.4666666666666666)
+    for ((a, b) <- Seq(("graft", "craft"), ("spark", "sprak"), ("x", "y"))) {
+      assert(jaroWinkler(a, b) == jaroWinkler(b, a), s"asymmetric on ($a,$b)")
+      val v = jaroWinkler(a, b)
+      assert(v >= 0.0 && v <= 1.0)
+    }
+    // The Expression path (codegen'd in real plans) agrees with the
+    // direct kernel call on parquet-backed data.
+    graft.functions.Custom.register(spark)
+    val rows = Tables.customer(spark, sf)
+      .selectExpr("c_name", "jaro_winkler(c_name, 'Customer#000000001') AS jw")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) == jaroWinkler(r.getString(0), "Customer#000000001"))
+    }
+  }
+
+  test("q_audience_overlap: intersection bounded by both marginals") {
+    val rows = Registry.byName("q_audience_overlap").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (both, na, nb, ov) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(both <= math.min(na, nb), s"intersection exceeds a marginal: $r")
+      assert(ov >= 0.0 && ov <= 1.0, s"overlap ratio out of range: $r")
+      assert(r.getString(0) < r.getString(1), "pair not canonically ordered")
+    }
+  }
+
   test("llm_zipf: slope is negative (frequency decays with rank)") {
     val r = Registry.byName("llm_zipf").fn(spark, sf).head()
     assert(r.getLong(1) > 0)
