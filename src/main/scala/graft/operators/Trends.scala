@@ -151,6 +151,84 @@ object Trends {
                      est >= exact AND est <= exact * 3 AS within_3x
               FROM e, m""")),
 
+    // TPC-H Q3 shape (shipping priority): the 3-table
+    // customer⋈orders⋈lineitem pipeline with selective filters on both
+    // ends. Catalyst order: the filtered customer dim broadcasts into
+    // orders, the surviving orders broadcast into the lineitem scan —
+    // the fact table is never shuffled; one agg exchange on the
+    // (orderkey, date, priority) group; top-10 via TakeOrdered.
+    "q_tpch_q3" -> Q(
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1997-06-15"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit("1997-06-15"))
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                 .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+                      ${H.oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+               FROM customer, orders, lineitem
+               WHERE c_mktsegment = 'BUILDING'
+                 AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+                 AND o_orderdate < TIMESTAMP '1997-06-15 00:00:00'
+                 AND l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+               GROUP BY 1, 2
+               ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // TPC-H Q5 shape (local-supplier volume): the 6-table star-with-
+    // snowflake join. All four dims (supplier, customer, nation, region)
+    // reduce to broadcastable sizes after their filters; the only
+    // corpus-sized work is the lineitem⋈orders hash join and one agg
+    // exchange on n_name. The c_nationkey = s_nationkey "local" clause
+    // rides the joined row, not an extra join.
+    "q_tpch_q5" -> Q(
+      (s, dir) => {
+        val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        val nation = Tables.nation(s, dir)
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val supp = Tables.supplier(s, dir)
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                  col("o_orderdate") < lit("1997-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"),
+                  col("l_extendedprice"), col("l_discount"))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+                                 col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                 .as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+                      ${H.oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+               FROM customer, orders, lineitem, supplier, nation, region
+               WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                 AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                 AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                 AND r_name = 'ASIA'
+                 AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+               GROUP BY 1 ORDER BY revenue DESC, n_name""")),
+
     // Parquet zstd codec round-trip: the storage-efficiency path a 100 TB
     // lake actually runs (zstd ≈ 30-50% smaller than snappy at similar
     // scan speed). Write-with-codec + read-back + aggregate must be

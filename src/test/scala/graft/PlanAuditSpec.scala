@@ -400,6 +400,17 @@ class PlanAuditSpec extends SparkSuite {
            p.contains("BroadcastHashJoin"), s"first-seen join missing:\n$p")
   }
 
+  test("q_tpch_q3 / q_tpch_q5: dims broadcast — the fact table never shuffles pre-agg") {
+    Seq("q_tpch_q3", "q_tpch_q5").foreach { k =>
+      val p = planOf(k)
+      assert(p.contains("BroadcastHashJoin"), s"$k: no broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$k: a dim join degenerated to a fact-table shuffle:\n$p")
+      assert(p.contains("partial_"), s"$k: aggregation has no map-side combine:\n$p")
+      assert(p.contains("PushedFilters"), s"$k: filters not pushed to scan:\n$p")
+    }
+  }
+
   test("q_pareto / q_autocorr: reduce-first — windows only after the group-by") {
     Seq("q_pareto", "q_autocorr").foreach { k =>
       val p = planOf(k)
