@@ -23,20 +23,22 @@ object Insights {
   val qs: Seq[(String, Q)] = Seq(
 
     // Market-basket affinity: part pairs co-bought in the same order.
-    // Self-join on l_orderkey only LOOKS quadratic — items per order are
-    // bounded (TPC-H ≤ 7), so the join output is Σ k(k-1)/2 per order,
-    // linear in the corpus. One shuffle on orderkey co-locates both
-    // sides (same child ⇒ exchange reuse), then a pair-keyed count.
-    // Support ≥ 2 + total-ordered top-100 keeps the answer stable.
+    // JOIN-FREE: the corpus reduces to one sorted item-set per order
+    // (collect_set partial-merges map-side), the ≤ C(k,2) in-row pairs
+    // explode off that array (items per order are bounded, TPC-H ≤ 7),
+    // and a pair-keyed count finishes — two linear shuffles total, vs
+    // the classic self-join's distinct + join + agg chain. Support ≥ 2 +
+    // total-ordered top-100 keeps the answer stable.
     "q_basket_pairs" -> Q(
       (s, dir) => {
-        val items = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        items.as("a")
-          .join(items.as("b"),
-                col("a.l_orderkey") === col("b.l_orderkey") &&
-                  col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+          .select(explode(expr(
+            """flatten(transform(items, (a, i) ->
+                 transform(slice(items, i + 2, size(items)), b -> struct(a, b))))"""))
+            .as("pr"))
+          .groupBy(col("pr.a").as("p1"), col("pr.b").as("p2"))
           .agg(count(lit(1)).as("n_orders"))
           .filter(col("n_orders") >= 2)
           .orderBy(col("n_orders").desc, col("p1"), col("p2"))

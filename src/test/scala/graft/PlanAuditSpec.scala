@@ -358,15 +358,12 @@ class PlanAuditSpec extends SparkSuite {
            p.contains("ShuffledHashJoin"), s"no hash/merge wedge join:\n$p")
   }
 
-  test("q_basket_pairs: orderkey self-join is hash/merge and reuses the item scan") {
-    val df = Registry.byName("q_basket_pairs").fn(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"pair join degenerated to n²:\n$p")
-    // Both join inputs are the SAME distinct(orderkey, partkey) subplan —
-    // it must compute once and replay as ReusedExchange.
-    assert(p.contains("ReusedExchange"), s"item-list subplan computed twice:\n$p")
+  test("q_basket_pairs: join-free — item sets reduce, pairs explode in-row") {
+    val p = planOf("q_basket_pairs")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"basket pairs should never join:\n$p")
+    assert(p.contains("partial_collect_set") || p.contains("objHashAggregate"),
+      s"item sets not map-side combined:\n$p")
   }
 
   test("q_weighted_sample: top-k by exponential key, never a global sort") {
