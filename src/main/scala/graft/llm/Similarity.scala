@@ -175,6 +175,41 @@ object Similarity {
                WHERE cos >= 0.2
                ORDER BY label, id_a, id_b""")),
 
+    // Semantic-dedup threshold sweep — the tuning curve a curation run
+    // reads before picking τ: for each candidate threshold, how many
+    // pairs fire and how many docs would be dropped (distinct higher-id
+    // members). One banded pair pass (shared cosPairs plan) fans out to
+    // all thresholds via an in-row explode; no per-τ rescan. At real
+    // scale this is why the sweep is cheap: the τ ≥ 0.2 candidate set is
+    // computed once, and every stricter threshold is a filter over it.
+    "llm_dedup_thresholds" -> Q(
+      (s, dir) => {
+        val taus = Array(0.2, 0.25, 0.3, 0.35, 0.4, 0.45)
+        cosPairs(s, dir)
+          .select(col("cos"), col("id_b"),
+                  explode(lit(taus)).as("tau"))
+          .filter(col("cos") >= col("tau"))
+          .groupBy(col("tau"))
+          .agg(count(lit(1)).as("n_pairs"),
+               count_distinct(col("id_b")).as("n_dropped"))
+          .orderBy(col("tau"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm
+                          FROM embeddings),
+                    p AS (SELECT * FROM (
+                            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                                   round(${duckDot("a.embedding", "b.embedding")}
+                                         / (a.nrm * b.nrm), 6) AS cos
+                            FROM n a JOIN n b
+                              ON a.label = b.label AND a.vec_id < b.vec_id)
+                          WHERE cos >= 0.2),
+                    t AS (SELECT unnest(CAST([0.2, 0.25, 0.3, 0.35, 0.4, 0.45]
+                                             AS DOUBLE[])) AS tau)
+               SELECT tau, COUNT(*) AS n_pairs,
+                      COUNT(DISTINCT id_b) AS n_dropped
+               FROM p, t WHERE cos >= tau
+               GROUP BY 1 ORDER BY tau""")),
+
     // RAG context assembly: the retrieval-side operator — top-4 neighbors
     // of the query vector, joined back to their documents, packed into
     // ONE ordered context string with per-doc character budgets. Composes

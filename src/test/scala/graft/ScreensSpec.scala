@@ -49,6 +49,20 @@ class ScreensSpec extends SparkSuite {
       }
   }
 
+  test("llm_dedup_thresholds: counts shrink monotonically as tau tightens") {
+    val rows = Registry.byName("llm_dedup_thresholds").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byTau = rows.sortBy(_.getDouble(0))
+    byTau.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo.getLong(1) >= hi.getLong(1), "n_pairs grew with stricter tau")
+        assert(lo.getLong(2) >= hi.getLong(2), "n_dropped grew with stricter tau")
+      case _ => ()
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1),
+      "dropped docs exceed pair count"))
+  }
+
   test("llm_emb_screen: rectangular, unit-norm, coherence in (0,1]") {
     val rows = Registry.byName("llm_emb_screen").fn(spark, sf).collect()
     assert(rows.nonEmpty)
