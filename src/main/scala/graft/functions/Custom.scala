@@ -105,6 +105,8 @@ object Custom {
       es => Sketches.Tid60(es(0)), "built-in")
     reg.createOrReplaceTempFunction("jaro_winkler",
       es => Sketches.JaroWinkler(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("bkq_median",
+      es => BottomKMedianAgg(es(0)).toAggregateExpression(), "built-in")
     spark
   }
 
@@ -216,6 +218,37 @@ object Custom {
     // >3x headroom. If a fixture regeneration ever flips this key red,
     // suspect the data changed, then the estimator; the deterministic
     // seed means the estimate for a GIVEN group never varies run-to-run.
+    // Mergeable quantile sketch (bottom-k-by-md5 uniform sample, k=256,
+    // see [[BottomKMedianAgg]]). Because the sample is a deterministic
+    // function of the value multiset, the DuckDB oracle reproduces the
+    // SAME sketch in SQL (ROW_NUMBER over the identical hash order,
+    // LIMIT k, identical disc-median element) — the estimate is pinned
+    // bit-for-bit, not by a tolerance bool.
+    "udaf_quantile_sketch" -> Q(
+      (s, dir) => {
+        register(s)
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(expr("bkq_median(l_extendedprice)").as("est_median"),
+               count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH s AS (
+                SELECT l_returnflag, l_extendedprice,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY
+                         ('0x' || substr(md5(CAST(CAST(round(l_extendedprice * 100)
+                                                      AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT,
+                         l_extendedprice) AS rn
+                FROM lineitem),
+                   k AS (SELECT l_returnflag, l_extendedprice FROM s WHERE rn <= 256),
+                   n AS (SELECT l_returnflag, COUNT(*) AS n_rows
+                         FROM lineitem GROUP BY 1)
+              SELECT k.l_returnflag AS l_returnflag,
+                     quantile_disc(k.l_extendedprice, 0.5) AS est_median,
+                     MIN(n.n_rows) AS n_rows
+              FROM k JOIN n ON k.l_returnflag = n.l_returnflag
+              GROUP BY 1 ORDER BY 1""")),
+
     "udaf_hll" -> Q(
       (s, dir) => {
         register(s)

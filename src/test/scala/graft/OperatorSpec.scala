@@ -58,6 +58,28 @@ class OperatorSpec extends SparkSuite {
     rows.foreach(r => assert(r.getBoolean(2), s"${r.getString(0)}: out of bound"))
   }
 
+  test("udaf_quantile_sketch: partition-invariant, exact under k, near-median over k") {
+    graft.functions.Custom.register(spark)
+    import spark.implicits._
+    // Mergeability/determinism: the estimate is a pure function of the
+    // value multiset — identical across 1/7/32-partition merge shapes.
+    val li = Tables.lineitem(spark, sf).select(col("l_extendedprice").as("v"))
+    val ests = Seq(1, 7, 32).map { p =>
+      li.repartition(p).agg(expr("bkq_median(v)")).head().getDouble(0)
+    }
+    assert(ests.distinct.size == 1, s"merge shape changed the sketch: $ests")
+    // Small groups (n <= k): the sample IS the group — exact disc median.
+    val small = (1 to 99).map(_.toDouble).toDF("v")
+    assert(small.agg(expr("bkq_median(v)")).head().getDouble(0) == 50.0)
+    // Large input: the estimated median's true rank must sit within the
+    // ±3/sqrt(k) band around 0.5 (k=256 -> ±0.1875, generous on purpose).
+    val est = ests.head
+    val n = li.count().toDouble
+    val rank = li.filter(col("v") <= est).count() / n
+    assert(math.abs(rank - 0.5) < 3.0 / math.sqrt(256.0),
+      s"estimated median at true rank $rank")
+  }
+
   test("tid60 kernel: bit-identical to the conv(substr(md5)) spelling") {
     graft.functions.Custom.register(spark)
     val bad = spark.range(2000)
