@@ -167,6 +167,23 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
 
+  test("st_bkq_sketch: bottom-k quantile sketch converges under streaming agg") {
+    // Bottom-k-by-hash is a pure function of the value multiset, so the
+    // complete-mode streaming estimate must equal the batch estimate
+    // bit-for-bit regardless of micro-batch boundaries (merge =
+    // bottom-k of the union — associative/commutative/idempotent).
+    graft.functions.Custom.register(spark)
+    val out = runComplete(fixtureEvs, "t_bkq") { df =>
+      df.groupBy(col("event_type"))
+        .agg(expr("bkq_median(value)").as("est"))
+    }
+    val batch = evDf(fixtureEvs).groupBy(col("event_type"))
+      .agg(expr("bkq_median(value)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val streamed = out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
   test("st_stream_static_join: enrichment matches batch join") {
     val dim = Seq(("purchase", "rev"), ("error", "ops"), ("signup", "growth"),
                   ("click", "product"), ("view", "product"))
