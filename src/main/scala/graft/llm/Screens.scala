@@ -144,6 +144,38 @@ object Screens {
               FROM documents d JOIN st ON d.lang = st.lang
               ORDER BY doc_id""")),
 
+    // k-anonymity screen over the quasi-identifier tuple (lang, source,
+    // length-band): how many QI groups exist, how many fall below each
+    // anonymity threshold k ∈ {2, 5, 10}, and how many rows sit in those
+    // risky groups — the privacy check a training-data release runs
+    // before publication. One map-combined reduce to the QI-group table;
+    // the threshold fan-out happens on the reduced table. A 0-risky
+    // report at k=10 means every document is hidden in a crowd of ≥ 10.
+    "llm_kanon" -> Q(
+      (s, dir) => {
+        val groups = Tables.documents(s, dir)
+          .groupBy(col("lang"), col("source"),
+                   expr("n_chars DIV 100").as("len_band"))
+          .agg(count(lit(1)).as("gn"))
+        groups
+          .select(col("gn"), explode(lit(Array(2, 5, 10))).as("k"))
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_groups"),
+               sum(when(col("gn") < col("k"), 1L).otherwise(0L)).as("n_risky_groups"),
+               sum(when(col("gn") < col("k"), col("gn")).otherwise(0L)).as("n_risky_rows"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH g AS (SELECT lang, source, n_chars // 100 AS len_band,
+                                COUNT(*) AS gn
+                         FROM documents GROUP BY 1, 2, 3),
+                   t AS (SELECT unnest([2, 5, 10]) AS k)
+              SELECT k, COUNT(*) AS n_groups,
+                     CAST(SUM(CASE WHEN gn < k THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_risky_groups,
+                     CAST(SUM(CASE WHEN gn < k THEN gn ELSE 0 END) AS BIGINT)
+                       AS n_risky_rows
+              FROM g, t GROUP BY 1 ORDER BY k""")),
+
     // Embedding quality screen: per label — row count, dimension
     // consistency (min=max ⇒ rectangular), count of non-unit norms
     // (these fixtures are L2-normalized; a bad norm means a broken

@@ -151,6 +151,37 @@ object Trends {
                      est >= exact AND est <= exact * 3 AS within_3x
               FROM e, m""")),
 
+    // Fulfillment lead time: ship-date minus order-date distribution per
+    // order priority — the ops-latency report. One fact⋈fact join on the
+    // orderkey FK (orders side projected to two columns), then a
+    // group-reduced stats row per priority: exact-decimal mean, exact
+    // discrete p50/p90 at the round-6 percentile grain (the
+    // q_anomaly_mad parity convention).
+    "q_lead_time" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+                                             col("o_orderpriority"))
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("delay", datediff(col("l_shipdate"), col("o_orderdate")))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+               (sum(col("delay").cast(H.D)) / count(lit(1))).cast(H.D)
+                 .cast("double").as("avg_delay"),
+               round(expr("percentile(delay, 0.5)"), 6).as("p50"),
+               round(expr("percentile(delay, 0.9)"), 6).as("p90"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+                      ${H.oAvg("date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))")}
+                        AS avg_delay,
+                      round(quantile_cont(date_diff('day', CAST(o_orderdate AS DATE),
+                                                    CAST(l_shipdate AS DATE)), 0.5), 6) AS p50,
+                      round(quantile_cont(date_diff('day', CAST(o_orderdate AS DATE),
+                                                    CAST(l_shipdate AS DATE)), 0.9), 6) AS p90
+               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               GROUP BY 1 ORDER BY 1""")),
+
     // TPC-H Q3 shape (shipping priority): the 3-table
     // customer⋈orders⋈lineitem pipeline with selective filters on both
     // ends. Catalyst order: the filtered customer dim broadcasts into

@@ -49,6 +49,33 @@ class ScreensSpec extends SparkSuite {
       }
   }
 
+  test("llm_kanon: risk grows with k, risky rows bounded by group arithmetic") {
+    val rows = Registry.byName("llm_kanon").fn(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 5, 10))
+    assert(rows.map(_.getLong(1)).distinct.size == 1,
+      "n_groups must not depend on k")
+    val risky = rows.map(r => (r.getLong(2), r.getLong(3)))
+    risky.sliding(2).foreach {
+      case Array((g1, r1), (g2, r2)) =>
+        assert(g1 <= g2 && r1 <= r2, "risk must be monotone in k")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      // every risky group has < k rows, so n_risky_rows < k * n_risky_groups
+      assert(r.getLong(3) <= (r.getInt(0) - 1).toLong * r.getLong(2),
+        s"row bound violated: $r")
+    }
+  }
+
+  test("q_lead_time: non-negative delays, p50 <= p90, priorities complete") {
+    val rows = Registry.byName("q_lead_time").fn(spark, sf).collect()
+    assert(rows.length == 5, "expected one row per priority")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, "negative mean lead time")
+      assert(r.getDouble(3) <= r.getDouble(4), "p50 above p90")
+    }
+  }
+
   test("llm_dedup_thresholds: counts shrink monotonically as tau tightens") {
     val rows = Registry.byName("llm_dedup_thresholds").fn(spark, sf).collect()
     assert(rows.nonEmpty)
