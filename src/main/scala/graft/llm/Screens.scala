@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus screens beyond symmetric near-dup: asymmetric containment
@@ -143,6 +144,50 @@ object Screens {
                      round(CAST(n_chars - mn AS DOUBLE) / (mx - mn), 6) AS mm
               FROM documents d JOIN st ON d.lang = st.lang
               ORDER BY doc_id""")),
+
+    // Template/boilerplate detector: the top-3 document PREFIXES (first
+    // 3 tokens) per source and the share of that source's docs carrying
+    // each — the "every page starts with the same header" screen that
+    // motivates span-level dedup. Reduce to (source, prefix) counts
+    // first; rank and share run on that reduced table. Share is an
+    // exact integer ratio in decimal, computed BEFORE the top-3 filter
+    // so it is a share of all docs, not of the survivors.
+    "llm_templates" -> Q(
+      (s, dir) => {
+        val pre = Tables.documents(s, dir)
+          .select(col("source"), expr(
+            "concat_ws(' ', slice(split(lower(trim(text)), ' '), 1, 3))")
+            .as("prefix"))
+        val g = pre.groupBy(col("source"), col("prefix"))
+          .agg(count(lit(1)).as("n"))
+        val bySrc = Window.partitionBy(col("source"))
+        g.withColumn("share",
+                     (col("n").cast("decimal(18,6)") /
+                      sum(col("n")).over(bySrc)).cast("decimal(18,6)")
+                       .cast("double"))
+          .withColumn("rk", row_number().over(
+            bySrc.orderBy(col("n").desc, col("prefix"))))
+          .filter(col("rk") <= 3)
+          .select(col("source"), col("rk"), col("prefix"), col("n"), col("share"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""WITH p AS (SELECT source,
+                                concat_ws(' ', string_split(lower(trim(text)), ' ')[1],
+                                               string_split(lower(trim(text)), ' ')[2],
+                                               string_split(lower(trim(text)), ' ')[3])
+                                  AS prefix
+                         FROM documents),
+                   g AS (SELECT source, prefix, COUNT(*) AS n FROM p GROUP BY 1, 2),
+                   r AS (SELECT source, prefix, n,
+                                CAST(CAST(CAST(n AS DECIMAL(18,6))
+                                          / SUM(n) OVER (PARTITION BY source)
+                                     AS DECIMAL(18,6)) AS DOUBLE) AS share,
+                                ROW_NUMBER() OVER (PARTITION BY source
+                                                   ORDER BY n DESC, prefix) AS rk
+                         FROM g)
+              SELECT source, rk, prefix, n, share
+              FROM r WHERE rk <= 3
+              ORDER BY source, rk""")),
 
     // k-anonymity screen over the quasi-identifier tuple (lang, source,
     // length-band): how many QI groups exist, how many fall below each

@@ -49,6 +49,20 @@ class ScreensSpec extends SparkSuite {
       }
   }
 
+  test("llm_templates: 3 ranked prefixes per source, shares in (0,1]") {
+    val rows = Registry.byName("llm_templates").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length).toSeq,
+        s"$src: ranks not dense from 1")
+      assert(rs.length <= 3, s"$src: more than 3 template rows")
+      val ns = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        s"$src: counts not descending by rank")
+    }
+    rows.foreach(r => assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0))
+  }
+
   test("llm_kanon: risk grows with k, risky rows bounded by group arithmetic") {
     val rows = Registry.byName("llm_kanon").fn(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSeq == Seq(2, 5, 10))
