@@ -231,4 +231,46 @@ class PropertySpec extends SparkSuite {
         s"docs $i,$j share a 6-token run but no fingerprint")
     }
   }
+
+  for (seed <- Seq(1, 7, 42)) {
+    test(s"jaro_winkler laws: identity, symmetry, bounds, prefix dominance (seed=$seed)") {
+      import graft.functions.Sketches.jaroWinkler
+      val rnd = new scala.util.Random(seed)
+      def str() = Seq.fill(rnd.nextInt(10) + 1)(('a' + rnd.nextInt(4)).toChar).mkString
+      for (_ <- 1 to 300) {
+        val (a, b) = (str(), str())
+        val v = jaroWinkler(a, b)
+        assert(v >= 0.0 && v <= 1.0, s"out of range: jw($a,$b)=$v")
+        assert(v == jaroWinkler(b, a), s"asymmetric on ($a,$b)")
+        assert(jaroWinkler(a, a) == 1.0)
+        // Winkler boost never lowers the Jaro base and never exceeds 1.
+        assert(v >= graft.functions.Sketches.jaro(a, b) - 1e-15)
+      }
+    }
+
+    test(s"bottom-k sketch merge: associativity/commutativity on random splits (seed=$seed)") {
+      val rnd = new scala.util.Random(seed)
+      val values = Array.fill(2000)(math.floor(rnd.nextDouble() * 1e6) / 100.0)
+      def sketchOf(vs: Seq[Double]): graft.functions.BottomKMedianAgg.Buf = {
+        val b = new graft.functions.BottomKMedianAgg.Buf
+        vs.foreach { d =>
+          val cents = math.round(d * 100.0)
+          val h = graft.functions.Sketches.md5Long60(
+            java.lang.Long.toString(cents)
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          b.offer(h, d)
+        }
+        b
+      }
+      val whole = sketchOf(values.toSeq).discMedian
+      // any split + merge order must reproduce the one-pass sketch
+      for (cut <- Seq(1, 137, 1000, 1999)) {
+        val (l, r) = values.splitAt(cut)
+        val lr = sketchOf(l.toSeq); lr.absorb(sketchOf(r.toSeq))
+        val rl = sketchOf(r.toSeq); rl.absorb(sketchOf(l.toSeq))
+        assert(lr.discMedian == whole && rl.discMedian == whole,
+          s"merge shape changed the sketch at cut=$cut")
+      }
+    }
+  }
 }
