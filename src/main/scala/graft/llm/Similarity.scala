@@ -84,6 +84,35 @@ object Similarity {
       .select(col("label"), col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Shared by llm_knn_classify / llm_confusion: 3-NN majority-vote
+    * predictions for the vec_id%10==0 holdout, voted over the rest of
+    * the corpus. Columns: q_id, true_label, pred_label, votes, correct.
+    * The probe set broadcasts; the corpus is scanned once; all ranking
+    * ties break deterministically (vec_id, then label). */
+  private def knnPreds(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.Custom.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir).withColumn("nrm", expr(normE))
+    val q = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("nrm").as("q_nrm"), col("label").as("true_label"))
+    val scored = e.filter(col("vec_id") % 10 =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(
+        expr(dotE("embedding", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val votes = scored
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 3)
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"), max(col("cos")).as("best_cos"))
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("best_cos").desc, col("label"))
+    votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("label").as("pred_label"),
+              col("votes"), (col("label") === col("true_label")).as("correct"))
+  }
+
   /** 4-bit hyperplane sign code over the first 4 dims. */
   private val codeE =
     """CAST(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END +
@@ -287,30 +316,7 @@ object Similarity {
     // tiebreak by (count desc, best cos desc, label asc) — deterministic
     // on the rounded cosine both engines share.
     "llm_knn_classify" -> Q(
-      (s, dir) => {
-        graft.functions.Custom.register(s)
-        import org.apache.spark.sql.expressions.Window
-        val e = Tables.embeddings(s, dir).withColumn("nrm", expr(normE))
-        val q = e.filter(col("vec_id") % 10 === 0)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-                  col("nrm").as("q_nrm"), col("label").as("true_label"))
-        val scored = e.filter(col("vec_id") % 10 =!= 0)
-          .crossJoin(broadcast(q))
-          .withColumn("cos", round(
-            expr(dotE("embedding", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
-        val wTop = Window.partitionBy(col("q_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        val votes = scored
-          .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 3)
-          .groupBy(col("q_id"), col("true_label"), col("label"))
-          .agg(count(lit(1)).as("votes"), max(col("cos")).as("best_cos"))
-        val wVote = Window.partitionBy(col("q_id"))
-          .orderBy(col("votes").desc, col("best_cos").desc, col("label"))
-        votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
-          .select(col("q_id"), col("true_label"), col("label").as("pred_label"),
-                  col("votes"), (col("label") === col("true_label")).as("correct"))
-          .orderBy(col("q_id"))
-      },
+      (s, dir) => knnPreds(s, dir).orderBy(col("q_id")),
       Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm
                           FROM embeddings),
                     q AS (SELECT vec_id AS q_id, embedding AS q_emb,
@@ -335,6 +341,94 @@ object Similarity {
                QUALIFY row_number() OVER (PARTITION BY q_id
                          ORDER BY votes DESC, best_cos DESC, label) = 1
                ORDER BY q_id""")),
+
+    // Classifier eval harness over the kNN predictions: per-class
+    // TP/FP/FN with precision / recall / F1 — the metrics step every
+    // labeling pipeline runs after llm_knn_classify. All counting
+    // happens on the prediction table (|holdout| rows, already
+    // reduced); ratios are exact decimals, F1 derives from the two
+    // identically-spelled doubles, rounded once. Never-predicted or
+    // never-true classes keep NULL metrics rather than fake zeros.
+    "llm_confusion" -> Q(
+      (s, dir) => {
+        val m = knnPreds(s, dir)
+          .groupBy(col("true_label"), col("pred_label"))
+          .agg(count(lit(1)).as("n"))
+        val rt = m.groupBy(col("true_label").as("cls"))
+          .agg(sum(col("n")).as("n_true"))
+        val ct = m.groupBy(col("pred_label").as("cls"))
+          .agg(sum(col("n")).as("n_pred"))
+        val tp = m.filter(col("true_label") === col("pred_label"))
+          .groupBy(col("true_label").as("cls")).agg(sum(col("n")).as("tp"))
+        val base = rt.join(ct, Seq("cls"), "full_outer")
+          .join(tp, Seq("cls"), "left_outer")
+          .select(col("cls"),
+                  coalesce(col("n_true"), lit(0L)).as("n_true"),
+                  coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+                  coalesce(col("tp"), lit(0L)).as("tp"))
+        val prec = when(col("n_pred") > 0,
+          (col("tp").cast("decimal(18,6)") / col("n_pred"))
+            .cast("decimal(18,6)").cast("double"))
+        val rec = when(col("n_true") > 0,
+          (col("tp").cast("decimal(18,6)") / col("n_true"))
+            .cast("decimal(18,6)").cast("double"))
+        base
+          .withColumn("prec", prec)
+          .withColumn("rec", rec)
+          .withColumn("f1", when(col("prec") + col("rec") > 0,
+            round(lit(2.0) * col("prec") * col("rec") /
+                  (col("prec") + col("rec")), 6)))
+          .orderBy(col("cls"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm
+                          FROM embeddings),
+                    q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                                 nrm AS q_nrm, label AS true_label
+                          FROM n WHERE vec_id % 10 = 0),
+                    scored AS (
+                      SELECT q.q_id, q.true_label, n.vec_id, n.label,
+                             round(${duckDot("n.embedding", "q.q_emb")}
+                                   / (n.nrm * q.q_nrm), 6) AS cos
+                      FROM n, q WHERE n.vec_id % 10 <> 0),
+                    top3 AS (
+                      SELECT * FROM scored
+                      QUALIFY row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) <= 3),
+                    votes AS (
+                      SELECT q_id, true_label, label,
+                             COUNT(*) AS votes, MAX(cos) AS best_cos
+                      FROM top3 GROUP BY q_id, true_label, label),
+                    preds AS (
+                      SELECT q_id, true_label, label AS pred_label
+                      FROM votes
+                      QUALIFY row_number() OVER (PARTITION BY q_id
+                                ORDER BY votes DESC, best_cos DESC, label) = 1),
+                    m AS (SELECT true_label, pred_label, COUNT(*) AS n
+                          FROM preds GROUP BY 1, 2),
+                    rt AS (SELECT true_label AS cls, CAST(SUM(n) AS BIGINT) AS n_true
+                           FROM m GROUP BY 1),
+                    ct AS (SELECT pred_label AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+                           FROM m GROUP BY 1),
+                    tpc AS (SELECT true_label AS cls, CAST(SUM(n) AS BIGINT) AS tp
+                            FROM m WHERE true_label = pred_label GROUP BY 1),
+                    base AS (
+                      SELECT cls, COALESCE(n_true, 0) AS n_true,
+                             COALESCE(n_pred, 0) AS n_pred,
+                             COALESCE(tp, 0) AS tp
+                      FROM rt FULL JOIN ct USING (cls) LEFT JOIN tpc USING (cls)),
+                    pr AS (
+                      SELECT cls, n_true, n_pred, tp,
+                             CASE WHEN n_pred > 0 THEN
+                               CAST(CAST(CAST(tp AS DECIMAL(18,6)) / n_pred
+                                    AS DECIMAL(18,6)) AS DOUBLE) END AS prec,
+                             CASE WHEN n_true > 0 THEN
+                               CAST(CAST(CAST(tp AS DECIMAL(18,6)) / n_true
+                                    AS DECIMAL(18,6)) AS DOUBLE) END AS rec
+                      FROM base)
+               SELECT cls, n_true, n_pred, tp, prec, rec,
+                      CASE WHEN prec + rec > 0
+                           THEN round(2.0 * prec * rec / (prec + rec), 6) END AS f1
+               FROM pr ORDER BY cls""")),
 
     // Per-label centroids — the k-means/IVF coarse-quantizer training
     // step: per (label, dimension) mean over the corpus. posexplode +

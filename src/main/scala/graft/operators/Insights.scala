@@ -264,6 +264,42 @@ object Insights {
                        + NTILE(4) OVER (ORDER BY mon_d DESC, o_custkey) AS rfm
               FROM c ORDER BY o_custkey""")),
 
+    // Exact weighted median (price weighted by quantity) per return
+    // flag: smallest v with cum_weight(≤v) ≥ half the total, spelled
+    // cum ≥ tot − cum so the exact decimals never widen (a ×2 would
+    // overflow DuckDB's 38-digit multiply). Weights pre-reduce per
+    // (flag, value); the per-flag cumulative scan is inherent to any
+    // EXACT weighted quantile (it is a global order statistic — the
+    // sketch-grade alternative is udaf_quantile_sketch).
+    "q_weighted_median" -> Q(
+      (s, dir) => {
+        val g = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+          .agg(sum(col("l_quantity").cast(H.D)).as("w"))
+        val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy(col("l_returnflag"))
+        g.withColumn("cum", sum(col("w")).over(cum))
+          .withColumn("tot", sum(col("w")).over(tot))
+          .filter(col("cum") >= col("tot") - col("cum"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("v")).as("wmedian"),
+               min(col("tot")).cast("double").as("total_w"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH g AS (SELECT l_returnflag, l_extendedprice AS v,
+                                SUM(CAST(l_quantity AS DECIMAL(38,4))) AS w
+                         FROM lineitem GROUP BY 1, 2),
+                   c AS (SELECT l_returnflag, v,
+                                SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                                             ROWS UNBOUNDED PRECEDING) AS cum,
+                                SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+                         FROM g)
+              SELECT l_returnflag, MIN(v) AS wmedian,
+                     CAST(MIN(tot) AS DOUBLE) AS total_w
+              FROM c WHERE cum >= tot - cum
+              GROUP BY 1 ORDER BY 1""")),
+
     // Record-linkage candidate pairs by Jaro-Winkler name similarity —
     // the fuzzy-match operator entity resolution runs before a merge.
     // jaro_winkler is the engine's codegen kernel (Sketches.JaroWinkler),

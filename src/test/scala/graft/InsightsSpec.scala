@@ -147,6 +147,22 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("q_weighted_median: defining inequality holds against direct sums") {
+    val rows = Registry.byName("q_weighted_median").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (flag, med, tot) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val below = Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === flag && col("l_extendedprice") < med)
+        .agg(sum(col("l_quantity"))).head().getDouble(0)
+      val upto = Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === flag && col("l_extendedprice") <= med)
+        .agg(sum(col("l_quantity"))).head().getDouble(0)
+      assert(below < tot / 2 + 1e-6, s"$flag: too much weight strictly below")
+      assert(upto >= tot / 2 - 1e-6, s"$flag: not enough weight up to median")
+    }
+  }
+
   test("llm_zipf: slope is negative (frequency decays with rank)") {
     val r = Registry.byName("llm_zipf").fn(spark, sf).head()
     assert(r.getLong(1) > 0)

@@ -104,6 +104,22 @@ class ScreensSpec extends SparkSuite {
       "dropped docs exceed pair count"))
   }
 
+  test("llm_confusion: totals reconcile with the prediction table") {
+    val conf = Registry.byName("llm_confusion").fn(spark, sf).collect()
+    val preds = Registry.byName("llm_knn_classify").fn(spark, sf).collect()
+    assert(conf.map(_.getLong(1)).sum == preds.length,
+      "sum of n_true must equal the holdout size")
+    assert(conf.map(_.getLong(2)).sum == preds.length,
+      "sum of n_pred must equal the holdout size")
+    val tpTotal = conf.map(_.getLong(3)).sum
+    assert(tpTotal == preds.count(_.getBoolean(4)),
+      "TP total must equal the correct-prediction count")
+    conf.foreach { r =>
+      assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2)),
+        s"TP exceeds a marginal: $r")
+    }
+  }
+
   test("llm_emb_screen: rectangular, unit-norm, coherence in (0,1]") {
     val rows = Registry.byName("llm_emb_screen").fn(spark, sf).collect()
     assert(rows.nonEmpty)
