@@ -145,6 +145,52 @@ object Screens {
               FROM documents d JOIN st ON d.lang = st.lang
               ORDER BY doc_id""")),
 
+    // Vocabulary coverage curve — the tokenizer-sizing question: what
+    // fraction of all token OCCURRENCES do the top-N types cover, for
+    // N ∈ {10, 100, 1000}? One corpus reduce to the vocab table; rank
+    // and cumulative shares run on the vocab only. The curve's knee is
+    // where a vocab budget stops paying — the Zipf-companion number
+    // (llm_zipf fits the slope, this prices the cutoff).
+    "llm_vocab_coverage" -> Q(
+      (s, dir) => {
+        val freq = Tables.documents(s, dir)
+          .selectExpr("explode(split(lower(trim(text)), ' ')) AS tok")
+          .filter(length(col("tok")) > 0)
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        val ord = Window.orderBy(col("n").desc, col("tok"))
+        val all = Window.rowsBetween(Window.unboundedPreceding,
+                                     Window.unboundedFollowing)
+        val ranked = freq
+          .select(col("n"), row_number().over(ord).as("rank"),
+                  sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding,
+                                                     Window.currentRow)).as("cum"),
+                  sum(col("n")).over(all).as("tot"),
+                  count(lit(1)).over(all).as("n_types"))
+        ranked
+          .filter(col("rank").isin(5, 10, 20))
+          .select(col("rank").cast("bigint").as("vocab_size"),
+                  col("n_types"),
+                  (col("cum").cast("decimal(18,6)") / col("tot"))
+                    .cast("decimal(18,6)").cast("double").as("coverage"))
+          .orderBy(col("vocab_size"))
+      },
+      Some("""WITH f AS (SELECT tok, COUNT(*) AS n
+                         FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok
+                               FROM documents)
+                         WHERE length(tok) > 0 GROUP BY 1),
+                   r AS (SELECT n,
+                                ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank,
+                                SUM(n) OVER (ORDER BY n DESC, tok
+                                             ROWS UNBOUNDED PRECEDING) AS cum,
+                                SUM(n) OVER () AS tot,
+                                COUNT(*) OVER () AS n_types
+                         FROM f)
+              SELECT CAST(rank AS BIGINT) AS vocab_size, n_types,
+                     CAST(CAST(CAST(cum AS DECIMAL(18,6)) / tot
+                          AS DECIMAL(18,6)) AS DOUBLE) AS coverage
+              FROM r WHERE rank IN (5, 10, 20)
+              ORDER BY vocab_size""")),
+
     // Template/boilerplate detector: the top-3 document PREFIXES (first
     // 3 tokens) per source and the share of that source's docs carrying
     // each — the "every page starts with the same header" screen that

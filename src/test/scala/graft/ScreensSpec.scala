@@ -104,6 +104,21 @@ class ScreensSpec extends SparkSuite {
       "dropped docs exceed pair count"))
   }
 
+  test("llm_vocab_coverage: monotone, bounded, full vocab covers everything") {
+    val rows = Registry.byName("llm_vocab_coverage").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cov = rows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    cov.foreach(c => assert(c > 0.0 && c <= 1.0))
+    cov.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, "coverage must grow with vocab size")
+      case _ => ()
+    }
+    val nTypes = rows.head.getLong(1)
+    rows.filter(_.getLong(0) >= nTypes)
+      .foreach(r => assert(r.getDouble(2) == 1.0,
+        "a cutoff beyond the whole vocab must cover 100%"))
+  }
+
   test("llm_confusion: totals reconcile with the prediction table") {
     val conf = Registry.byName("llm_confusion").fn(spark, sf).collect()
     val preds = Registry.byName("llm_knn_classify").fn(spark, sf).collect()
