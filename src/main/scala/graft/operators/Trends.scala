@@ -81,6 +81,36 @@ object Trends {
                             / LAG(rev) OVER (ORDER BY month), 6) AS growth
                FROM m ORDER BY month""")),
 
+    // Seasonal-naive forecast backtest: forecast(m) = revenue(m−12),
+    // scored per month by absolute percentage error — the baseline every
+    // real forecasting model must beat, and the eval-harness shape
+    // (align by lag, score, report) any backtest uses. All on the
+    // month-reduced series; APE is a double ratio of two H.dsum
+    // doubles, rounded once.
+    "q_backtest" -> Q(
+      (s, dir) => {
+        val monthly = Tables.lineitem(s, dir)
+          .groupBy(trunc(to_date(col("l_shipdate")), "month").as("month"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                 .as("rev"))
+        val w = Window.orderBy(col("month"))
+        monthly
+          .withColumn("fcst", lag(col("rev"), 12).over(w))
+          .filter(col("fcst").isNotNull)
+          .withColumn("ape", round(abs(col("rev") - col("fcst")) / col("rev"), 6))
+          .orderBy(col("month"))
+      },
+      Some(s"""WITH m AS (SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+                                 ${H.oSum("l_extendedprice * (1.0 - l_discount)")} AS rev
+                          FROM lineitem GROUP BY 1),
+                    f AS (SELECT month, rev,
+                                 LAG(rev, 12) OVER (ORDER BY month) AS fcst
+                          FROM m)
+               SELECT month, rev, fcst,
+                      round(abs(rev - fcst) / rev, 6) AS ape
+               FROM f WHERE fcst IS NOT NULL
+               ORDER BY month""")),
+
     // Top-20 behavioral trigram motifs: 3-step event-type paths per user
     // journey (lead ×2 inside the user_id window — one corpus shuffle),
     // counted globally. The journey-pattern miner funnels generalize.

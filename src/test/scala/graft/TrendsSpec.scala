@@ -29,6 +29,21 @@ class TrendsSpec extends SparkSuite {
     }
   }
 
+  test("q_backtest: 12-month alignment and APE recompute") {
+    val rows = Registry.byName("q_backtest").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val revByMonth = Registry.byName("q_growth_rate").fn(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val m = r.getDate(0).toLocalDate
+      val expected = revByMonth.get(m.minusMonths(12).toString)
+      assert(expected.contains(r.getDouble(2)),
+        s"$m: forecast is not the t-12 revenue")
+      val ape = math.abs(r.getDouble(1) - r.getDouble(2)) / r.getDouble(1)
+      assert(math.abs(r.getDouble(3) - ape) < 1e-5, s"$m: APE mismatch")
+    }
+  }
+
   test("q_motifs: descending counts, trigram arity") {
     val rows = Registry.byName("q_motifs").fn(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
