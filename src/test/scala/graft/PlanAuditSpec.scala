@@ -408,6 +408,23 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q_weighted_median / llm_vocab_coverage: cumulative scans run post-reduce") {
+    Seq("q_weighted_median", "llm_vocab_coverage").foreach { k =>
+      val p = planOf(k)
+      assert(p.contains("partial_"), s"$k: corpus reduce has no map-side combine:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$k: unexpected nested loop:\n$p")
+    }
+  }
+
+  test("llm_confusion: prediction table reduces before metric joins") {
+    val p = planOf("llm_confusion")
+    // the only corpus-sized work is the broadcast-probe scan inherited
+    // from knnPreds; every metric join runs on the class-count tables
+    assert(p.contains("BroadcastExchange"), s"probes not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"metric join degenerated:\n$p")
+  }
+
   test("q_pareto / q_autocorr: reduce-first — windows only after the group-by") {
     Seq("q_pareto", "q_autocorr").foreach { k =>
       val p = planOf(k)
