@@ -264,6 +264,28 @@ object Insights {
                        + NTILE(4) OVER (ORDER BY mon_d DESC, o_custkey) AS rfm
               FROM c ORDER BY o_custkey""")),
 
+    // Per-group OLS regression stats (price ~ quantity): slope,
+    // intercept, R², n — the regr_* aggregate family in one
+    // map-combined pass per group. Co-moment merges are double
+    // accumulations, so everything rounds at the corr-precedent grain
+    // (6); the fixture's price ≈ unit_price × quantity makes the fit
+    // meaningful (R² well off zero).
+    "q_regression" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+             round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+             round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6)
+               .as("intercept"),
+             round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+                     regr_count(l_extendedprice, l_quantity) AS n,
+                     round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                     round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+                     round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+              FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     // Exact weighted median (price weighted by quantity) per return
     // flag: smallest v with cum_weight(≤v) ≥ half the total, spelled
     // cum ≥ tot − cum so the exact decimals never widen (a ×2 would

@@ -147,6 +147,18 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("q_regression: positive slope, r2 in [0,1], count matches group size") {
+    val rows = Registry.byName("q_regression").fn(spark, sf).collect()
+    assert(rows.length == 3)
+    val sizes = Tables.lineitem(spark, sf).groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == sizes(r.getString(0)), "regr_count mismatch")
+      assert(r.getDouble(2) > 0.0, "price should grow with quantity")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, "r2 out of range")
+    }
+  }
+
   test("q_weighted_median: defining inequality holds against direct sums") {
     val rows = Registry.byName("q_weighted_median").fn(spark, sf).collect()
     assert(rows.nonEmpty)
