@@ -268,8 +268,9 @@ object Insights {
     // intercept, R², n — the regr_* aggregate family in one
     // map-combined pass per group. Co-moment merges are double
     // accumulations, so everything rounds at the corr-precedent grain
-    // (6); the fixture's price ≈ unit_price × quantity makes the fit
-    // meaningful (R² well off zero).
+    // (6). (The synthetic fixture prices are drawn independently of
+    // quantity — the fit is weak by design; the operator's contract is
+    // the regr_* algebra, not the fixture's economics.)
     "q_regression" -> Q(
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
