@@ -136,7 +136,12 @@ class PropertySpec extends SparkSuite {
     // Re-run representative aggregate/window/dedup keys under a different
     // parallelism and demand identical rows.
     val keys = Seq("q_agg_group", "q_agg_stats", "q_win_running",
-                   "llm_text_stats", "llm_dedup_near")
+                   "llm_text_stats", "llm_dedup_near",
+                   // round-5 session-2 keys whose corr/regr/exp doubles
+                   // ride the round-6 grain — the exact failure mode
+                   // this test exists to catch
+                   "q_autocorr", "q_regression", "q_chi2", "llm_zipf",
+                   "q_decay_sum", "q_weighted_median")
     val conf = spark.conf
     val saved = conf.get("spark.sql.shuffle.partitions")
     def rows(key: String) =
