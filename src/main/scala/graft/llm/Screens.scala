@@ -147,7 +147,8 @@ object Screens {
 
     // Vocabulary coverage curve — the tokenizer-sizing question: what
     // fraction of all token OCCURRENCES do the top-N types cover, for
-    // N ∈ {10, 100, 1000}? One corpus reduce to the vocab table; rank
+    // N ∈ {5, 10, 20} (sized to the fixtures' ~31-type vocabulary)?
+    // One corpus reduce to the vocab table; rank
     // and cumulative shares run on the vocab only. The curve's knee is
     // where a vocab budget stops paying — the Zipf-companion number
     // (llm_zipf fits the slope, this prices the cutoff).

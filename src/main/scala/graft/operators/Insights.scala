@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   * one cast to DOUBLE at the end; libm-grade expressions round at 6. */
 object Insights {
 
+  /** In-row canonical pair explosion over a SORTED DISTINCT array
+    * column: every (a, b) with a before b, as structs. The 1-based
+    * slice start (i + 2) against transform's 0-based index i is the
+    * load-bearing subtlety — shared by basket pairs and audience
+    * overlap so an off-by-one can only ever be fixed in one place. */
+  private def pairsE(arr: String) =
+    s"""flatten(transform($arr, (a, i) ->
+         transform(slice($arr, i + 2, size($arr)), b -> struct(a, b))))"""
+
+
   val qs: Seq[(String, Q)] = Seq(
 
     // Market-basket affinity: part pairs co-bought in the same order.
@@ -34,10 +44,7 @@ object Insights {
         Tables.lineitem(s, dir)
           .groupBy(col("l_orderkey"))
           .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
-          .select(explode(expr(
-            """flatten(transform(items, (a, i) ->
-                 transform(slice(items, i + 2, size(items)), b -> struct(a, b))))"""))
-            .as("pr"))
+          .select(explode(expr(pairsE("items"))).as("pr"))
           .groupBy(col("pr.a").as("p1"), col("pr.b").as("p2"))
           .agg(count(lit(1)).as("n_orders"))
           .filter(col("n_orders") >= 2)
@@ -201,7 +208,10 @@ object Insights {
     // sample) and weight = o_totalprice. Top-k by smallest key IS the
     // weighted sample; physically a TakeOrderedAndProject, so only 100
     // rows ever leave the executors. The float key is sort-only and
-    // never emitted (cross-engine libm ULP stays out of the hash).
+    // never emitted; a cross-engine ln() ULP difference could still
+    // flip WHICH rows sit at the rank-100 boundary, but only if two
+    // keys coincide within ~1 ulp there — not observed at any fixture
+    // SF, and deterministic per engine build either way.
     "q_weighted_sample" -> Q(
       (s, dir) => {
         graft.functions.Custom.register(s) // tid60 kernel
@@ -371,10 +381,7 @@ object Insights {
         val perUser = Tables.events(s, dir)
           .groupBy(col("user_id"))
           .agg(array_sort(collect_set(col("event_type"))).as("types"))
-        val pairs = perUser.select(explode(expr(
-          """flatten(transform(types, (a, i) ->
-               transform(slice(types, i + 2, size(types)), b -> struct(a, b))))"""))
-          .as("pr"))
+        val pairs = perUser.select(explode(expr(pairsE("types"))).as("pr"))
           .select(col("pr.a").as("type_a"), col("pr.b").as("type_b"))
           .groupBy(col("type_a"), col("type_b"))
           .agg(count(lit(1)).as("n_both"))

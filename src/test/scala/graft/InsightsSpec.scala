@@ -117,6 +117,9 @@ class InsightsSpec extends SparkSuite {
     assert(jaroWinkler("DIXON", "DICKSONX") == 0.8133333333333332)
     assert(jaroWinkler("abc", "abc") == 1.0)
     assert(jaroWinkler("", "abc") == 0.0 && jaroWinkler("a", "") == 0.0)
+    // DuckDB 1.0 defines BOTH-empty as 0.0 (verified against the oracle
+    // engine this session) — the kernel pins that, not rapidfuzz's 1.0.
+    assert(jaroWinkler("", "") == 0.0)
     // sub-threshold pairs get NO prefix boost (DuckDB's 0.7 gate)
     assert(jaroWinkler("CRANE", "ATRIA") == 0.4666666666666666)
     for ((a, b) <- Seq(("graft", "craft"), ("spark", "sprak"), ("x", "y"))) {
@@ -147,7 +150,7 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
-  test("q_regression: positive slope, r2 in [0,1], count matches group size") {
+  test("q_regression: finite fit, r2 in [0,1], count matches group size") {
     val rows = Registry.byName("q_regression").fn(spark, sf).collect()
     assert(rows.length == 3)
     val sizes = Tables.lineitem(spark, sf).groupBy(col("l_returnflag")).count()

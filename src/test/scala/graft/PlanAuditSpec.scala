@@ -428,12 +428,16 @@ class PlanAuditSpec extends SparkSuite {
   test("q_pareto / q_autocorr: reduce-first — windows only after the group-by") {
     Seq("q_pareto", "q_autocorr").foreach { k =>
       val p = planOf(k)
-      // The corpus aggregation must partial-combine BEFORE the
-      // single-partition window over the reduced (part/day) table.
-      assert(p.contains("partial_"), s"$k: no map-side combine:\n$p")
-      val iAgg = p.indexOf("partial_")
+      // The corpus aggregation must partial-combine BELOW the
+      // single-partition window. Plans print root-first, so the
+      // part/day-level reduce (the LAST partial_ in the text) must
+      // appear after the Window node — a broken plan that windows the
+      // raw corpus has all its partials above the window.
       val iWin = p.indexOf("Window")
-      assert(iWin >= 0 && iAgg >= 0, s"$k: expected window over reduced table:\n$p")
+      val iAggLast = p.lastIndexOf("partial_")
+      assert(iWin >= 0 && iAggLast >= 0, s"$k: expected window + partial agg:\n$p")
+      assert(iAggLast > iWin,
+        s"$k: no reduce below the window — it scans the raw corpus:\n$p")
     }
   }
 }

@@ -113,10 +113,17 @@ class ScreensSpec extends SparkSuite {
       case Array(a, b) => assert(a <= b, "coverage must grow with vocab size")
       case _ => ()
     }
-    val nTypes = rows.head.getLong(1)
-    rows.filter(_.getLong(0) >= nTypes)
-      .foreach(r => assert(r.getDouble(2) == 1.0,
-        "a cutoff beyond the whole vocab must cover 100%"))
+    // Recompute the top-20 coverage directly so the last emitted point is
+    // pinned to ground truth, not just monotone (the fixture vocabulary
+    // has ~31 types, so no emitted cutoff reaches full coverage).
+    val toks = Tables.documents(spark, sf)
+      .selectExpr("explode(split(lower(trim(text)), ' ')) AS tok")
+      .filter(length(col("tok")) > 0)
+    val freqs = toks.groupBy(col("tok")).count()
+      .collect().map(_.getLong(1)).sortBy(-_)
+    val expect20 = freqs.take(20).sum.toDouble / freqs.sum
+    assert(math.abs(rows.map(_.getDouble(2)).max - expect20) < 1e-5,
+      "top-20 coverage does not match the direct computation")
   }
 
   test("llm_confusion: totals reconcile with the prediction table") {
