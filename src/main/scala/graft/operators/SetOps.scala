@@ -113,6 +113,42 @@ object SetOps {
               SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
               ORDER BY o_custkey""")),
 
+    // Bag-semantics set ops — EXCEPT ALL / INTERSECT ALL keep
+    // multiplicities (except_all n = max(0, early_cnt − late_cnt);
+    // intersect_all n = min(early_cnt, late_cnt)), which the distinct
+    // variants below erase. Reported as per-key multiplicity counts
+    // under an op tag, so the oracle pins the bag arithmetic itself.
+    // Physically each ALL op is one shuffle on the compare key with
+    // map-combined pre-counts — no corpus-wide distinct.
+    "q_setops_all" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val early = o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+          .select(col("o_custkey"))
+        val late = o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp_ntz"))
+          .select(col("o_custkey"))
+        val ea = early.exceptAll(late).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        val ia = early.intersectAll(late).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        ea.unionByName(ia)
+          .select(col("op"), col("o_custkey"), col("n"))
+          .orderBy(col("op"), col("o_custkey"))
+      },
+      Some("""WITH early AS (SELECT o_custkey FROM orders
+                             WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+                   late AS (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+                   ea AS (SELECT 'except_all' AS op, o_custkey, COUNT(*) AS n
+                          FROM (SELECT * FROM early EXCEPT ALL SELECT * FROM late)
+                          GROUP BY 2),
+                   ia AS (SELECT 'intersect_all' AS op, o_custkey, COUNT(*) AS n
+                          FROM (SELECT * FROM early INTERSECT ALL SELECT * FROM late)
+                          GROUP BY 2)
+              SELECT op, o_custkey, n FROM ea
+              UNION ALL SELECT op, o_custkey, n FROM ia
+              ORDER BY op, o_custkey""")),
+
     // Diff report old-vs-new: customers who ordered early but not late.
     "q_except" -> Q(
       (s, dir) => {

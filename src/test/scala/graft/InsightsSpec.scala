@@ -150,6 +150,27 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("q_setops_all: bag multiplicities match min/max-difference arithmetic") {
+    val rows = Registry.byName("q_setops_all").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val o = Tables.orders(spark, sf)
+    val cut = lit("1998-01-01").cast("timestamp_ntz")
+    val early = o.filter(col("o_orderdate") < cut).groupBy(col("o_custkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val late = o.filter(col("o_orderdate") >= cut).groupBy(col("o_custkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (op, k, n) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val (e, l) = (early.getOrElse(k, 0L), late.getOrElse(k, 0L))
+      op match {
+        case "except_all"    => assert(n == e - l || (l >= e && n == 0),
+          s"$k: except_all $n != max(0, $e - $l)"); assert(n == math.max(0L, e - l))
+        case "intersect_all" => assert(n == math.min(e, l),
+          s"$k: intersect_all $n != min($e, $l)")
+      }
+    }
+  }
+
   test("q_regression: finite fit, r2 in [0,1], count matches group size") {
     val rows = Registry.byName("q_regression").fn(spark, sf).collect()
     assert(rows.length == 3)
