@@ -113,6 +113,47 @@ object SetOps {
               SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
               ORDER BY o_custkey""")),
 
+    // Several COUNT(DISTINCT ...) over DIFFERENT columns in one
+    // aggregation — Catalyst plans this via the Expand operator (one
+    // input row fans to one row per distinct-aggregate, each keeping
+    // only its own column, then a two-level agg dedups per gid). The
+    // shape matters at scale because the naive alternative is N
+    // separate jobs over the corpus; Expand keeps it one scan + one
+    // grouped shuffle. Plan-audited below.
+    "q_multi_distinct" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count_distinct(col("o_custkey")).as("n_custs"),
+             count_distinct(col("o_orderpriority")).as("n_prios"),
+             count_distinct(trunc(to_date(col("o_orderdate")), "month"))
+               .as("n_months"),
+             count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderstatus")),
+      Some("""SELECT o_orderstatus,
+                     COUNT(DISTINCT o_custkey) AS n_custs,
+                     COUNT(DISTINCT o_orderpriority) AS n_prios,
+                     COUNT(DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)))
+                       AS n_months,
+                     COUNT(*) AS n_rows
+              FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // Null-key aggregation semantics: SQL groups NULL keys into ONE
+    // group (unlike joins, where NULL never equals NULL — q_join_nullsafe
+    // covers that side). The nullable key is derived via NULLIF so the
+    // fixture exercises a real NULL group (~2.9k zero-discount rows at
+    // sf0.01); identical single-group behavior on both engines is the
+    // pinned contract.
+    "q_null_group" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .withColumn("k", expr("nullif(l_discount, 0.0)"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"),
+             graft.H.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("k").asc_nulls_last),
+      Some(s"""SELECT NULLIF(l_discount, 0.0) AS k, COUNT(*) AS n,
+                      ${graft.H.oSum("l_quantity")} AS sum_qty
+               FROM lineitem GROUP BY 1 ORDER BY k ASC NULLS LAST""")),
+
     // Bag-semantics set ops — EXCEPT ALL / INTERSECT ALL keep
     // multiplicities (except_all n = max(0, early_cnt − late_cnt);
     // intersect_all n = min(early_cnt, late_cnt)), which the distinct

@@ -417,6 +417,14 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q_multi_distinct: three distinct aggregates plan through one Expand") {
+    val p = planOf("q_multi_distinct")
+    assert(p.contains("Expand"), s"multi-distinct did not use Expand:\n$p")
+    // one scan, not one job per distinct aggregate
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"multiple corpus scans for multi-distinct:\n$p")
+  }
+
   test("llm_confusion: prediction table reduces before metric joins") {
     val p = planOf("llm_confusion")
     // the only corpus-sized work is the broadcast-probe scan inherited
