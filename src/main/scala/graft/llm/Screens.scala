@@ -145,6 +145,40 @@ object Screens {
               FROM documents d JOIN st ON d.lang = st.lang
               ORDER BY doc_id""")),
 
+    // Near-dup graph degree distribution: how many docs have 0, 1, 2…
+    // near-duplicates (Jaccard ≥ 0.3 neighbors, both directions). The
+    // pair list reuses Dedup.nearPairs' inverted-index plan; degrees
+    // reduce per doc, then per degree — a two-level reduce over the
+    // SPARSE edge list, the shape that tells a curation run whether its
+    // dup structure is a few big clusters (high max degree) or many
+    // pairs (degree-1 mass) before it commits to a survivor policy.
+    "llm_dup_degree" -> Q(
+      (s, dir) => {
+        val pairs = Dedup.nearPairs(s, dir)
+        val deg = pairs.select(col("id_a").as("doc_id"))
+          .unionAll(pairs.select(col("id_b").as("doc_id")))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+        val hist = deg.groupBy(col("degree"))
+          .agg(count(lit(1)).as("n_at_degree"))
+        val zero = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+          .crossJoin(deg.agg(count(lit(1)).as("n_dup_docs")))
+          .select(lit(0L).as("degree"),
+                  (col("n_docs") - col("n_dup_docs")).as("n_at_degree"))
+        hist.unionByName(zero).orderBy(col("degree"))
+      },
+      Some(s"""WITH ${Dedup.duckNearPairsCtes},
+                    d AS (SELECT id_a AS doc_id FROM near_pairs
+                          UNION ALL SELECT id_b FROM near_pairs),
+                    deg AS (SELECT doc_id, COUNT(*) AS degree FROM d GROUP BY 1),
+                    hist AS (SELECT degree, COUNT(*) AS n_at_degree
+                             FROM deg GROUP BY 1),
+                    zero AS (SELECT CAST(0 AS BIGINT) AS degree,
+                                    (SELECT COUNT(*) FROM documents)
+                                      - (SELECT COUNT(*) FROM deg) AS n_at_degree)
+               SELECT degree, n_at_degree FROM hist
+               UNION ALL SELECT degree, n_at_degree FROM zero
+               ORDER BY degree""")),
+
     // Vocabulary coverage curve — the tokenizer-sizing question: what
     // fraction of all token OCCURRENCES do the top-N types cover, for
     // N ∈ {5, 10, 20} (sized to the fixtures' ~31-type vocabulary)?

@@ -104,6 +104,17 @@ class ScreensSpec extends SparkSuite {
       "dropped docs exceed pair count"))
   }
 
+  test("llm_dup_degree: degrees partition the corpus and edges reconcile") {
+    val rows = Registry.byName("llm_dup_degree").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs,
+      "degree histogram does not partition the corpus")
+    // Σ degree·count = 2·|edges| (every pair contributes two endpoints)
+    val endpointSum = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(endpointSum % 2 == 0, "odd endpoint total cannot come from pairs")
+  }
+
   test("llm_vocab_coverage: monotone, bounded, full vocab covers everything") {
     val rows = Registry.byName("llm_vocab_coverage").fn(spark, sf).collect()
     assert(rows.nonEmpty)
