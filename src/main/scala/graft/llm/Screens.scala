@@ -145,6 +145,81 @@ object Screens {
               FROM documents d JOIN st ON d.lang = st.lang
               ORDER BY doc_id""")),
 
+    // Sparse tf-idf cosine pairs — the classic IR similarity join, on
+    // the third representation next to shingle-Jaccard and embedding
+    // cosine: docs as SPARSE weighted term vectors, paired via the
+    // inverted index on (lang, term) so cost is Σ_term df², never
+    // corpus². The df ≤ N/10 cutoff drops stopword-grade terms — on
+    // this fixture's tiny shared vocabulary that pruning is what keeps
+    // the posting lists (and at 100 TB, the join) economical; it is
+    // also standard IR practice, not a fixture hack. All dot/norm sums
+    // ride rounded-decimal lanes (order-free); only the final ratio is
+    // a double, rounded once.
+    "llm_tfidf_pairs" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val n = d.agg(count(lit(1)).as("n_docs"))
+        val tf = d.selectExpr("doc_id", "lang",
+            s"explode($toksE) AS tok")
+          .filter(length(col("tok")) > 0)
+          .groupBy(col("doc_id"), col("lang"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val w = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+          .filter(col("df") * 10 <= col("n_docs"))
+          .withColumn("w", round(col("tf") *
+            log(col("n_docs").cast("double") / col("df")), 6))
+        val nrm = w.groupBy(col("doc_id"))
+          .agg(sqrt(sum(expr("CAST(round(w * w, 6) AS DECIMAL(28,6))"))
+                      .cast("double")).as("nrm"))
+        val a = w.select(col("lang"), col("tok"), col("doc_id").as("id_a"),
+                         col("w").as("w_a"))
+        val b = w.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
+                         col("doc_id").as("id_b"), col("w").as("w_b"))
+        a.join(b, col("lang") === col("lang_b") && col("tok") === col("tok_b") &&
+                  col("id_a") < col("id_b"))
+          .groupBy(col("lang"), col("id_a"), col("id_b"))
+          .agg(sum(expr("CAST(round(w_a * w_b, 6) AS DECIMAL(28,6))"))
+                 .cast("double").as("dot"))
+          .join(nrm.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("nrm", "nrm_a"), Seq("id_a"))
+          .join(nrm.withColumnRenamed("doc_id", "id_b")
+                   .withColumnRenamed("nrm", "nrm_b"), Seq("id_b"))
+          .withColumn("cos", round(col("dot") / (col("nrm_a") * col("nrm_b")), 6))
+          .filter(col("cos") >= 0.3)
+          .select(col("lang"), col("id_a"), col("id_b"), col("cos"))
+          .orderBy(col("lang"), col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+                    tf AS (SELECT doc_id, lang, tok, COUNT(*) AS tf
+                           FROM (SELECT doc_id, lang,
+                                        unnest($duckToks) AS tok
+                                 FROM documents)
+                           WHERE length(tok) > 0 GROUP BY 1, 2, 3),
+                    dfr AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+                    w AS (SELECT doc_id, lang, tf.tok,
+                                 round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS w
+                          FROM tf JOIN dfr ON tf.tok = dfr.tok, nn
+                          WHERE df * 10 <= n_docs),
+                    nrm AS (SELECT doc_id,
+                                   sqrt(CAST(SUM(CAST(round(w * w, 6)
+                                        AS DECIMAL(28,6))) AS DOUBLE)) AS nrm
+                            FROM w GROUP BY 1),
+                    dots AS (SELECT a.lang AS lang, a.doc_id AS id_a,
+                                    b.doc_id AS id_b,
+                                    CAST(SUM(CAST(round(a.w * b.w, 6)
+                                         AS DECIMAL(28,6))) AS DOUBLE) AS dot
+                             FROM w a JOIN w b
+                               ON a.lang = b.lang AND a.tok = b.tok
+                              AND a.doc_id < b.doc_id
+                             GROUP BY 1, 2, 3)
+               SELECT lang, id_a, id_b,
+                      round(dot / (na.nrm * nb.nrm), 6) AS cos
+               FROM dots JOIN nrm na ON id_a = na.doc_id
+                         JOIN nrm nb ON id_b = nb.doc_id
+               WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.3
+               ORDER BY lang, id_a, id_b""")),
+
     // Near-dup graph degree distribution: how many docs have 0, 1, 2…
     // near-duplicates (Jaccard ≥ 0.3 neighbors, both directions). The
     // pair list reuses Dedup.nearPairs' inverted-index plan; degrees

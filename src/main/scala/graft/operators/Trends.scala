@@ -81,6 +81,44 @@ object Trends {
                             / LAG(rev) OVER (ORDER BY month), 6) AS growth
                FROM m ORDER BY month""")),
 
+    // Sparse-to-dense reporting grid: the (month × priority) matrix with
+    // explicit zero rows for month/priority cells that saw no orders —
+    // the densification step every report/forecast consumer needs
+    // before it can difference or window the series. The spine
+    // generates from the series' own bounds (one 1-row agg, broadcast);
+    // the grid is |months|·|priorities| rows, joined LEFT against the
+    // reduced actuals — the corpus is touched once.
+    "q_densify" -> Q(
+      (s, dir) => {
+        val m = Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority").as("prio"),
+                   trunc(to_date(col("o_orderdate")), "month").as("month"))
+          .agg(count(lit(1)).as("n"))
+        val spine = m.agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
+          .selectExpr("explode(sequence(mn, mx, interval 1 month)) AS month")
+        val prios = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("prio")).distinct()
+        spine.crossJoin(broadcast(prios))
+          .join(m, Seq("month", "prio"), "left_outer")
+          .select(col("month"), col("prio"),
+                  coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy(col("month"), col("prio"))
+      },
+      Some("""WITH m AS (SELECT o_orderpriority AS prio,
+                                date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+                                COUNT(*) AS n
+                         FROM orders GROUP BY 1, 2),
+                   bounds AS (SELECT MIN(month) AS mn, MAX(month) AS mx FROM m),
+                   spine AS (SELECT unnest(generate_series(mn, mx,
+                                                           INTERVAL 1 MONTH)) AS month
+                             FROM bounds),
+                   prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders)
+              SELECT CAST(s.month AS DATE) AS month, p.prio AS prio,
+                     COALESCE(n, 0) AS n
+              FROM spine s CROSS JOIN prios p
+              LEFT JOIN m ON m.month = CAST(s.month AS DATE) AND m.prio = p.prio
+              ORDER BY month, prio""")),
+
     // Seasonal-naive forecast backtest: forecast(m) = revenue(m−12),
     // scored per month by absolute percentage error — the baseline every
     // real forecasting model must beat, and the eval-harness shape

@@ -104,6 +104,15 @@ class ScreensSpec extends SparkSuite {
       "dropped docs exceed pair count"))
   }
 
+  test("llm_tfidf_pairs: cosines in range, canonical pairs, df cutoff respected") {
+    val rows = Registry.byName("llm_tfidf_pairs").fn(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2), "pair not canonically ordered")
+      val c = r.getDouble(3)
+      assert(c >= 0.3 && c <= 1.0 + 1e-9, s"cosine out of range: $c")
+    }
+  }
+
   test("llm_dup_degree: degrees partition the corpus and edges reconcile") {
     val rows = Registry.byName("llm_dup_degree").fn(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -29,6 +29,15 @@ class TrendsSpec extends SparkSuite {
     }
   }
 
+  test("q_densify: complete grid, totals preserved, zero-fill present") {
+    val rows = Registry.byName("q_densify").fn(spark, sf).collect()
+    val months = rows.map(_.getDate(0).toString).distinct.length
+    val prios = rows.map(_.getString(1)).distinct.length
+    assert(rows.length == months * prios, "grid is not the full cross product")
+    assert(rows.map(_.getLong(2)).sum == Tables.orders(spark, sf).count(),
+      "densification changed the total count")
+  }
+
   test("q_backtest: 12-month alignment and APE recompute") {
     val rows = Registry.byName("q_backtest").fn(spark, sf).collect()
     assert(rows.nonEmpty)
