@@ -87,7 +87,10 @@ object Trends {
     // before it can difference or window the series. The spine
     // generates from the series' own bounds (one 1-row agg, broadcast);
     // the grid is |months|·|priorities| rows, joined LEFT against the
-    // reduced actuals — the corpus is touched once.
+    // reduced actuals. Catalyst specializes the three orders scans
+    // (bounds reads one column with min/max pushed past the group-by)
+    // — each is a narrow dim-table scan, cheaper than forcing reuse of
+    // the widest reduce.
     "q_densify" -> Q(
       (s, dir) => {
         val m = Tables.orders(s, dir)
@@ -96,8 +99,10 @@ object Trends {
           .agg(count(lit(1)).as("n"))
         val spine = m.agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
           .selectExpr("explode(sequence(mn, mx, interval 1 month)) AS month")
-        val prios = Tables.orders(s, dir)
-          .select(col("o_orderpriority").as("prio")).distinct()
+        // prios/bounds derive from the REDUCED actuals — all three uses
+        // share one groupBy subtree, so the orders scan replays as
+        // ReusedExchange instead of re-reading the corpus
+        val prios = m.select(col("prio")).distinct()
         spine.crossJoin(broadcast(prios))
           .join(m, Seq("month", "prio"), "left_outer")
           .select(col("month"), col("prio"),
@@ -112,7 +117,7 @@ object Trends {
                    spine AS (SELECT unnest(generate_series(mn, mx,
                                                            INTERVAL 1 MONTH)) AS month
                              FROM bounds),
-                   prios AS (SELECT DISTINCT o_orderpriority AS prio FROM orders)
+                   prios AS (SELECT DISTINCT prio FROM m)
               SELECT CAST(s.month AS DATE) AS month, p.prio AS prio,
                      COALESCE(n, 0) AS n
               FROM spine s CROSS JOIN prios p

@@ -417,6 +417,38 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("llm_tfidf_pairs: posting-list join is hash/merge, dot sums map-combined") {
+    val p = planOf("llm_tfidf_pairs")
+    assert(!p.contains("CartesianProduct"), s"tf-idf pairs went cartesian:\n$p")
+    // nested loops are allowed ONLY as the 1-row n_docs anchor, which
+    // replays once per reference of the weighted table (4 here); every
+    // BNLJ must be a Cross build — a keyed join planned as BNLJ would
+    // print its condition instead
+    assert(!p.contains("BroadcastNestedLoopJoin BuildRight, Inner, ") &&
+           !p.contains("BroadcastNestedLoopJoin BuildLeft, Inner, "),
+      s"a keyed join degenerated to a nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), s"no hash/merge posting join:\n$p")
+    assert(p.contains("partial_sum"), s"dot products not map-combined:\n$p")
+  }
+
+  test("q_densify: grid sides broadcast, actuals join is hash, scans stay narrow") {
+    val df = Registry.byName("q_densify").fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the spine/prio/actual subtrees are NOT forced through one reuse:
+    // Catalyst specializes each (the bounds use skips the (prio, month)
+    // group-by entirely — partial_min/max straight off a one-column
+    // scan), which beats replaying the wider reduce; the pinned
+    // contracts are the broadcast grid and the hash left join
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"grid sides not broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"actuals join is not keyed:\n$p")
+    assert(p.contains("ReadSchema: struct<o_orderdate:timestamp_ntz>"),
+      s"bounds scan reads more than the date column:\n$p")
+  }
+
   test("q_multi_distinct: three distinct aggregates plan through one Expand") {
     val p = planOf("q_multi_distinct")
     assert(p.contains("Expand"), s"multi-distinct did not use Expand:\n$p")
