@@ -39,14 +39,7 @@ case class HyperLogLogAgg(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
-      val idx = (h >>> (64 - P)).toInt
-      // rank of the first 1-bit in the remaining 64-p bits (1-based);
-      // an all-zero remainder gets the max rank 64-p+1
-      val rank = java.lang.Long.numberOfLeadingZeros((h << P) | (1L << (P - 1))) + 1
-      if (rank > buf(idx)) buf(idx) = rank.toByte
-    }
+    if (v != null) HyperLogLogAgg.updateRegisters(buf, v, child.dataType)
     buf
   }
 
@@ -72,6 +65,19 @@ object HyperLogLogAgg {
   val M: Int = 1 << P
   /** Relative standard deviation of the estimator at this m. */
   val Rsd: Double = 1.04 / math.sqrt(M.toDouble)
+
+  /** Hash-index-rank register update — ONE implementation shared by
+    * hll_distinct and hll_sketch: the oracle-pinned merged(cells) ==
+    * direct(corpus) identity requires the two update paths to stay
+    * bit-identical, so there is exactly one. Rank = position of the
+    * first 1-bit in the remaining 64−p bits (1-based); an all-zero
+    * remainder gets the sentinel max rank via the planted low bit. */
+  def updateRegisters(buf: Array[Byte], v: Any, dt: DataType): Unit = {
+    val h = XxHash64Function.hash(v, dt, 42L)
+    val idx = (h >>> (64 - P)).toInt
+    val rank = java.lang.Long.numberOfLeadingZeros((h << P) | (1L << (P - 1))) + 1
+    if (rank > buf(idx)) buf(idx) = rank.toByte
+  }
 
   /** Register-max merge of b2 into b1 (associative + commutative — the
     * property that makes pre-aggregated sketch cells re-rollupable in
@@ -125,12 +131,7 @@ case class HllSketchAgg(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
-      val idx = (h >>> (64 - P)).toInt
-      val rank = java.lang.Long.numberOfLeadingZeros((h << P) | (1L << (P - 1))) + 1
-      if (rank > buf(idx)) buf(idx) = rank.toByte
-    }
+    if (v != null) HyperLogLogAgg.updateRegisters(buf, v, child.dataType)
     buf
   }
 
@@ -171,7 +172,14 @@ case class HllMergeAgg(
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) HyperLogLogAgg.maxMerge(buf, v.asInstanceOf[Array[Byte]])
+    if (v != null) {
+      val cell = v.asInstanceOf[Array[Byte]]
+      // a wrong column / wrong-p sketch would otherwise fail with a bare
+      // ArrayIndexOutOfBounds mid-task (or silently skip registers)
+      require(cell.length == M,
+        s"hll_merge_est: expected a $M-byte p=12 sketch, got ${cell.length} bytes")
+      HyperLogLogAgg.maxMerge(buf, cell)
+    }
     buf
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, Decimal, DoubleType}
 
 /** A mergeable QUANTILE sketch via deterministic bottom-k sampling — the
   * fourth custom aggregate next to HLL, CMS and top-k, covering the last
@@ -47,7 +47,18 @@ case class BottomKMedianAgg(
   override def update(buf: Buf, input: InternalRow): Buf = {
     val v = child.eval(input)
     if (v != null) {
-      val d = v.asInstanceOf[Double]
+      // widen any numeric input instead of a mid-task ClassCastException
+      // (AbstractDataType/ImplicitCastInputTypes are private to Spark, so
+      // the coercion lives here)
+      val d = v match {
+        case x: java.lang.Double  => x.doubleValue()
+        case x: java.lang.Float   => x.toDouble
+        case x: java.lang.Long    => x.toDouble
+        case x: java.lang.Integer => x.toDouble
+        case x: Decimal           => x.toDouble
+        case other => throw new IllegalArgumentException(
+          s"bkq_median: unsupported input ${other.getClass.getSimpleName}")
+      }
       val cents = math.round(d * 100.0)
       val h = Sketches.md5Long60(java.lang.Long.toString(cents)
         .getBytes(java.nio.charset.StandardCharsets.US_ASCII))

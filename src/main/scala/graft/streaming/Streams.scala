@@ -39,6 +39,19 @@ object Streams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** Timestamp ⇄ microseconds, floor-consistent for pre-epoch values too
+    * (truncating division would round toward zero below 1970 while
+    * getNanos stays positive — up to a full second of error; floorDiv/
+    * floorMod keep the bijection everywhere). Shared by every stateful
+    * op so the µs arithmetic can only be fixed in one place. */
+  private def usOf(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+  private def tsOf(u: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(u, 1000000L) * 1000)
+    t.setNanos(Math.floorMod(u, 1000000L).toInt * 1000)
+    t
+  }
+
   /** st_tumbling: 1 h tumbling count/sum by event_type. */
   def tumbling(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -78,66 +91,62 @@ object Streams {
     events.join(broadcast(dim), Seq("event_type"))
 
   /** st_sessionize_state: custom per-user session state machine via
-    * flatMapGroupsWithState — the genuinely stateful operator. Sessions
-    * close either when a gap > 30 min is observed in-order or when the
-    * event-time timeout fires (watermark passed the session's horizon).
-    *
-    * In-state buffering is bounded: only (start, end, count) per live
-    * session, never the events themselves. */
+    * flatMapGroupsWithState — the genuinely stateful operator. State per
+    * user is the list of DISJOINT candidate sessions (start, end, count)
+    * — never the events — and a session is only emitted once the
+    * watermark passes its end + gap, the point at which no admissible
+    * event can still extend it or bridge it to a neighbor (an earlier
+    * revision emitted sessions the moment an in-batch gap was seen,
+    * which a late-but-admissible event could then contradict — the
+    * watermark-hold is what makes out-of-order arrival safe). An event
+    * landing within the gap of two buffered sessions merges them; one
+    * landing before a session's start extends it backwards. */
   def sessionize(events: Dataset[Ev]): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     // State runs in MICROseconds — java.sql.Timestamp.getTime is only ms,
     // and the fixture timestamps carry µs that must round-trip exactly.
     val gapUs = 30L * 60 * 1000000L
-    def us(t: java.sql.Timestamp): Long =
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000
-    def ts(u: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(u / 1000000L * 1000)
-      t.setNanos((u % 1000000L).toInt * 1000)
-      t
-    }
 
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long, Long), UserSession](
+      .flatMapGroupsWithState[List[(Long, Long, Long)], UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, it: Iterator[Ev], state: GroupState[(Long, Long, Long)]) =>
+        (userId: Long, it: Iterator[Ev], state: GroupState[List[(Long, Long, Long)]]) =>
           def toSession(s: (Long, Long, Long)) =
-            UserSession(userId, ts(s._1), ts(s._2), s._3)
+            UserSession(userId, tsOf(s._1), tsOf(s._2), s._3)
 
-          if (state.hasTimedOut) {
-            val out = state.getOption.map(toSession).toSeq
-            state.remove()
-            out.iterator
-          } else {
-            // Events inside one micro-batch arrive unordered — sort here;
-            // cross-batch disorder is what the timeout/watermark handles.
-            val evs = it.toSeq.sortBy(e => (us(e.ts), e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[UserSession]
-            evs.foreach { e =>
-              val t = us(e.ts)
-              cur match {
-                case Some(s) if t - s._2 <= gapUs =>
-                  cur = Some((s._1, math.max(s._2, t), s._3 + 1))
-                case Some(s) =>
-                  closed += toSession(s)
-                  cur = Some((t, t, 1L))
-                case None =>
-                  cur = Some((t, t, 1L))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // Timeout must sit past the current watermark (Spark rejects
-              // earlier values) — a user whose last event trails the global
-              // watermark times out on the next batch instead of throwing.
+          // Split buffered sessions into watermark-final and still-open,
+          // emit the final ones, re-arm the timer for the rest.
+          def flush(sessions: List[(Long, Long, Long)]): Iterator[UserSession] = {
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val (done, open) = sessions.partition(_._2 + gapUs < wmUs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
               state.setTimeoutTimestamp(
-                math.max(s._2 / 1000 + gapUs / 1000,
+                math.max(open.map(_._2).min / 1000 + gapUs / 1000,
                          state.getCurrentWatermarkMs() + 1))
             }
-            closed.result().iterator
+            done.sortBy(_._1).map(toSession).iterator
+          }
+
+          if (state.hasTimedOut) {
+            flush(state.getOption.getOrElse(Nil))
+          } else {
+            var sessions = state.getOption.getOrElse(Nil)
+            it.foreach { e =>
+              val t = usOf(e.ts)
+              // merge every session within gap of t (at most two: the
+              // intervals are disjoint by construction), else open new
+              val (near, far) = sessions.partition(s =>
+                t >= s._1 - gapUs && t <= s._2 + gapUs)
+              val merged = near.foldLeft((t, t, 1L)) { case (a, s) =>
+                (math.min(a._1, s._1), math.max(a._2, s._2), a._3 + s._3)
+              }
+              sessions = merged :: far
+            }
+            flush(sessions)
           }
       }
   }
@@ -157,6 +166,14 @@ object Streams {
         override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
           st = getHandle.getValueState[(Long, Double)](
             "totals", org.apache.spark.sql.Encoders.product[(Long, Double)],
+            // TTL-based idle eviction is the production state bound here,
+            // but TTLConfig requires TimeMode.ProcessingTime, under which
+            // the engine keeps scheduling timer micro-batches — a query
+            // that never quiesces (measured: processAllAvailable hangs a
+            // MemoryStream test indefinitely). The demo therefore runs
+            // TimeMode.None and leans on RocksDB spilling state to disk;
+            // a deployment with idle-key churn flips this to
+            // TTLConfig(Duration.ofDays(30)) + a processing-time trigger.
             TTLConfig.NONE)
         override def handleInputRows(key: Long, rows: Iterator[Ev],
                                      timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
@@ -177,7 +194,15 @@ object Streams {
     * non-starter). Clicks keep a wider watermark: a click may be joined
     * by a purchase up to 1 h later, so its state must outlive the
     * purchase watermark by the band width. */
-  def streamStreamJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+  def streamStreamJoin(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    intervalJoined(purchases, clicks, "inner")
+
+  /** Shared projection/watermark/band setup for both stream-stream joins
+    * — the watermark widths and the interval band are the correctness-
+    * critical part (clicks' watermark must outlive purchases' by the
+    * band width), so they live exactly once. */
+  private def intervalJoined(purchases: DataFrame, clicks: DataFrame,
+                             joinType: String): DataFrame = {
     val p = purchases.withWatermark("ts", "10 minutes")
       .select(col("event_id").as("buy_id"), col("user_id"), col("ts").as("buy_ts"))
     val c = clicks.withWatermark("ts", "2 hours")
@@ -185,7 +210,8 @@ object Streams {
               col("ts").as("click_ts"))
     p.join(c, col("user_id") === col("c_user") &&
               col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
-              col("click_ts") <= col("buy_ts"))
+              col("click_ts") <= col("buy_ts"),
+           joinType)
       .select(col("buy_id"), col("click_id"), col("user_id"))
   }
 
@@ -196,18 +222,8 @@ object Streams {
     * semantics batch LEFT JOIN gives for free and streaming can only
     * provide under both watermarks + a time-bound join condition: the
     * null side is emitted at state eviction, not at row arrival. */
-  def streamStreamLeftJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
-    val p = purchases.withWatermark("ts", "10 minutes")
-      .select(col("event_id").as("buy_id"), col("user_id"), col("ts").as("buy_ts"))
-    val c = clicks.withWatermark("ts", "2 hours")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-              col("ts").as("click_ts"))
-    p.join(c, col("user_id") === col("c_user") &&
-              col("click_ts") >= col("buy_ts") - expr("INTERVAL 1 HOUR") &&
-              col("click_ts") <= col("buy_ts"),
-           "left_outer")
-      .select(col("buy_id"), col("click_id"), col("user_id"))
-  }
+  def streamStreamLeftJoin(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    intervalJoined(purchases, clicks, "left_outer")
 
   /** src_stream_file: replay a parquet directory as a micro-batched file
     * stream (schema must be declared — streaming reads never infer). */
@@ -249,33 +265,51 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val latest = batch
-          .groupBy(col("user_id"))
-          .agg(max(struct(col("ts"), col("value"))).as("m"))
-          .select(col("user_id"), col("m.ts").as("ts"), col("m.value").as("value"))
-        val merged = currentState(batch.sparkSession, stateDir) match {
-          case Some(cur) => cur.unionByName(latest)
+        val published = latestVersion(stateDir)
+        // Replay short-circuit: if the pointer already names THIS batch,
+        // the merge+publish completed before the crash — re-running it
+        // would read v_$batchId while overwriting v_$batchId (the lazy
+        // merge plan's own input), the one self-corruption the
+        // write-audit-publish layout exists to prevent.
+        if (!published.contains(batchId)) {
+          val latest = batch
             .groupBy(col("user_id"))
             .agg(max(struct(col("ts"), col("value"))).as("m"))
             .select(col("user_id"), col("m.ts").as("ts"), col("m.value").as("value"))
-          case None => latest
+          val merged = currentState(batch.sparkSession, stateDir) match {
+            case Some(cur) => cur.unionByName(latest)
+              .groupBy(col("user_id"))
+              .agg(max(struct(col("ts"), col("value"))).as("m"))
+              .select(col("user_id"), col("m.ts").as("ts"), col("m.value").as("value"))
+            case None => latest
+          }
+          merged.write.mode("overwrite").parquet(s"$stateDir/v_$batchId")
+          // Publish atomically: a crash mid-write must never leave an
+          // empty/truncated pointer (which would strand or silently
+          // rewind every later recovery).
+          val tmp = java.nio.file.Paths.get(stateDir, s"_LATEST.tmp_$batchId")
+          java.nio.file.Files.writeString(tmp, batchId.toString)
+          java.nio.file.Files.move(tmp, java.nio.file.Paths.get(stateDir, "_LATEST"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
-        merged.write.mode("overwrite").parquet(s"$stateDir/v_$batchId")
-        val ptr = java.nio.file.Paths.get(stateDir, "_LATEST")
-        java.nio.file.Files.writeString(ptr, batchId.toString)
         ()
       }
       .start()
   }
 
-  /** The serving table [[upsertSink]] maintains: the version the pointer
-    * names, or None before the first publish. */
-  def currentState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+  /** The committed version id, or None before the first publish. */
+  private def latestVersion(stateDir: String): Option[Long] = {
     val ptr = java.nio.file.Paths.get(stateDir, "_LATEST")
     if (java.nio.file.Files.exists(ptr))
-      Some(spark.read.parquet(s"$stateDir/v_${java.nio.file.Files.readString(ptr).trim}"))
+      Some(java.nio.file.Files.readString(ptr).trim.toLong)
     else None
   }
+
+  /** The serving table [[upsertSink]] maintains: the version the pointer
+    * names, or None before the first publish. */
+  def currentState(spark: SparkSession, stateDir: String): Option[DataFrame] =
+    latestVersion(stateDir).map(v => spark.read.parquet(s"$stateDir/v_$v"))
 
   /** st_ewma_state: the streaming form of q_ewma's sequential per-key
     * recurrence — constant O(1) state per user (running count + current
@@ -288,20 +322,42 @@ object Streams {
     * chunks), matching the batch twin's (ts, event_id) order. */
   def ewmaState(events: Dataset[Ev]): Dataset[(Long, Long, Double)] = {
     import events.sparkSession.implicits._
-    def us(t: java.sql.Timestamp): Long =
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    // Idle-state horizon: a user silent for 30 days past the watermark
+    // has their (n, ewma) cell evicted. Without SOME eviction the state
+    // grows with ever-seen-user cardinality, not activity — the header's
+    // bounded-state contract. A returning user restarts their EWMA (the
+    // documented trade for O(active users) state).
+    val idleMs = 30L * 24 * 3600 * 1000
     events
+      .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id)
       .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[Ev], state: GroupState[(Long, Double)]) =>
-          var (n, s) = state.getOption.getOrElse((0L, 0.0))
-          it.toSeq.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
-            s = if (n == 0) e.value else s * 0.5 + e.value * 0.5
-            n += 1
+          if (state.hasTimedOut) {
+            // last running value was already emitted on its update
+            state.remove()
+            (userId, -1L, 0.0) // filtered by n > 0 below
+          } else {
+            var (n, s) = state.getOption.getOrElse((0L, 0.0))
+            val evs = it.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+            evs.foreach { e =>
+              s = if (n == 0) e.value else s * 0.5 + e.value * 0.5
+              n += 1
+            }
+            state.update((n, s))
+            // The idle horizon anchors to the user's OWN event time, not
+            // the watermark: at the first batch the watermark is still 0
+            // (epoch), and an epoch-anchored timer would fire the moment
+            // real event times advance it — wiping every user's state
+            // after one batch (observed: streamed n restarted mid-test).
+            val lastEventMs = evs.last.ts.getTime
+            state.setTimeoutTimestamp(
+              math.max(lastEventMs + idleMs,
+                       state.getCurrentWatermarkMs() + 1))
+            (userId, n, s)
           }
-          state.update((n, s))
-          (userId, n, s)
       }
+      .filter(_._2 > 0)
   }
 }
