@@ -249,6 +249,38 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("st_sessionize_state: late-but-admissible event bridges two buffered sessions") {
+    // The watermark-hold contract: events at 0min and 35min look like
+    // TWO sessions (gap > 30min); a late event at 30min — still newer
+    // than the watermark — arrives in the next batch and must bridge
+    // them into ONE session [0, 35] with 3 events. An implementation
+    // that emits on first sight of the in-batch gap can never retract
+    // the wrong two-session answer.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, min: Long) =
+      Ev(id, new java.sql.Timestamp(base + min * 60000), 1L, "click", 1.0)
+    val ms = MemoryStream[Ev]
+    val q = Streams.sessionize(ms.toDS())
+      .writeStream.format("memory").queryName("t_sess_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(Seq(ev(1, 0), ev(2, 35))); q.processAllAvailable()
+      // watermark is now 25min; 30min is admissible
+      ms.addData(Seq(ev(3, 30))); q.processAllAvailable()
+      // push the watermark far past every horizon, then flush timers
+      ms.addData(Seq(Ev(99, new java.sql.Timestamp(base + 10 * 3600 * 1000),
+                        -1L, "sentinel", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Nil); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("t_sess_late").filter(col("user_id") === 1L).collect()
+    assert(out.length == 1, s"expected ONE bridged session, got ${out.toSeq}")
+    val r = out.head
+    assert(r.getTimestamp(1).getTime == base && r.getTimestamp(2).getTime == base + 35 * 60000,
+      s"bridged session bounds wrong: $r")
+    assert(r.getLong(3) == 3L, s"bridged session should hold 3 events: $r")
+  }
+
   test("st_stream_stream_join: interval join streaming == batch twin") {
     val evs = fixtureEvs.take(600)
     val purchases = evs.filter(_.event_type == "purchase")
