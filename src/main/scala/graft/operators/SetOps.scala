@@ -113,6 +113,74 @@ object SetOps {
               SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
               ORDER BY o_custkey""")),
 
+    // The NOT IN / NULL three-valued-logic trap, pinned: when the
+    // subquery column contains a NULL, `x NOT IN (sub)` is never TRUE
+    // (x <> NULL is UNKNOWN), so the NOT IN count DROPS TO ZERO while
+    // the NULL-ignoring anti-join keeps matching — the single most
+    // common silent-wrong-answer in migrated SQL. One row pins all
+    // three counts (not_in with nulls, not_in null-filtered, anti-join)
+    // so an engine change that "fixes" the semantics breaks the hash.
+    "q_not_in_null" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        // every 10th orderkey goes NULL — a guaranteed-nonempty NULL
+        // source regardless of fixture key layout
+        val subNull = Tables.lineitem(s, dir)
+          .select(expr("CASE WHEN l_orderkey % 10 = 0 THEN NULL ELSE l_orderkey END")
+            .as("k"))
+        val subClean = subNull.filter(col("k").isNotNull)
+        // spelled via SQL so the planner sees the genuine NOT IN predicate
+        subNull.createOrReplaceTempView("__sub_null")
+        subClean.createOrReplaceTempView("__sub_clean")
+        o.createOrReplaceTempView("__orders_nin")
+        s.sql("""
+          SELECT
+            (SELECT COUNT(*) FROM __orders_nin
+             WHERE o_orderkey NOT IN (SELECT k FROM __sub_null)) AS n_not_in_with_null,
+            (SELECT COUNT(*) FROM __orders_nin
+             WHERE o_orderkey NOT IN (SELECT k FROM __sub_clean)) AS n_not_in_clean,
+            (SELECT COUNT(*) FROM __orders_nin o
+             WHERE NOT EXISTS (SELECT 1 FROM __sub_null s WHERE s.k = o.o_orderkey))
+              AS n_anti_join
+        """)
+      },
+      Some("""WITH sub_null AS (SELECT CASE WHEN l_orderkey % 10 = 0 THEN NULL
+                                           ELSE l_orderkey END AS k FROM lineitem),
+                   sub_clean AS (SELECT k FROM sub_null WHERE k IS NOT NULL)
+              SELECT
+                (SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey NOT IN (SELECT k FROM sub_null)) AS n_not_in_with_null,
+                (SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey NOT IN (SELECT k FROM sub_clean)) AS n_not_in_clean,
+                (SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM sub_null s
+                                   WHERE s.k = o.o_orderkey)) AS n_anti_join""")),
+
+    // Relational division — "customers who ordered in EVERY priority
+    // class": the universal-quantifier join SQL has no operator for,
+    // expressed as the count-distinct-equals-universe reduction (one
+    // corpus groupBy + a 1-row universe broadcast). The alternative
+    // double-NOT-EXISTS spelling is quadratic in subquery hops; this is
+    // the shape that scales.
+    "q_division" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val universe = o.agg(count_distinct(col("o_orderpriority")).as("n_univ"))
+        o.groupBy(col("o_custkey"))
+          .agg(count_distinct(col("o_orderpriority")).as("n_prios"),
+               count(lit(1)).as("n_orders"))
+          .crossJoin(broadcast(universe))
+          .filter(col("n_prios") === col("n_univ"))
+          .select(col("o_custkey"), col("n_orders"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH u AS (SELECT COUNT(DISTINCT o_orderpriority) AS n_univ FROM orders)
+              SELECT o_custkey, COUNT(*) AS n_orders
+              FROM orders, u
+              GROUP BY o_custkey, n_univ
+              HAVING COUNT(DISTINCT o_orderpriority) = n_univ
+              ORDER BY o_custkey""")),
+
     // Several COUNT(DISTINCT ...) over DIFFERENT columns in one
     // aggregation — Catalyst plans this via the Expand operator (one
     // input row fans to one row per distinct-aggregate, each keeping

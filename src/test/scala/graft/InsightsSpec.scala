@@ -150,6 +150,33 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("q_not_in_null: 3VL trap fires — NULL-poisoned NOT IN is empty, anti-join is not") {
+    val r = Registry.byName("q_not_in_null").fn(spark, sf).head()
+    assert(r.getLong(0) == 0L,
+      "NOT IN over a NULL-bearing subquery must never be TRUE")
+    assert(r.getLong(1) == r.getLong(2),
+      "with NULLs filtered, NOT IN and NOT EXISTS must agree")
+    assert(r.getLong(2) > 0L, "fixture must leave some unmatched orders")
+  }
+
+  test("q_division: every survivor covers the full priority universe") {
+    val rows = Registry.byName("q_division").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val univ = Tables.orders(spark, sf)
+      .select(col("o_orderpriority")).distinct().count()
+    val perCust = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(countDistinct(col("o_orderpriority")).as("np"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { r =>
+      val (np, n) = perCust(r.getLong(0))
+      assert(np == univ, s"${r.getLong(0)}: missing a priority class")
+      assert(r.getLong(1) == n, s"${r.getLong(0)}: order count mismatch")
+    }
+    // completeness: no qualifying customer was dropped
+    assert(rows.length == perCust.count(_._2._1 == univ))
+  }
+
   test("q_setops_all: bag multiplicities match min/max-difference arithmetic") {
     val rows = Registry.byName("q_setops_all").fn(spark, sf).collect()
     assert(rows.nonEmpty)
