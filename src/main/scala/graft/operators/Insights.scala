@@ -274,6 +274,94 @@ object Insights {
                        + NTILE(4) OVER (ORDER BY mon_d DESC, o_custkey) AS rfm
               FROM c ORDER BY o_custkey""")),
 
+    // Deterministic Bloom filter — the last classic sketch next to HLL /
+    // CMS / top-k / bottom-k-quantile / minhash / simhash: build a
+    // 16384-bit, k=3 filter over the EARLY customer set (512 bigint
+    // words via bit_or — broadcastable), probe the LATE customers, and
+    // account exactly: every true member tests positive (no false
+    // negatives, the Bloom guarantee) and the false-positive rate lands
+    // where 1-(1-1/m)^{kn} cubed predicts. md5-derived bit positions
+    // make the filter — and therefore the FP count itself — a pure
+    // function of the data, so the oracle pins the whole row exactly,
+    // not with a tolerance. At scale: build is one map-combined bit_or
+    // reduce; the probe ships 512 words broadcast, never the member set.
+    "q_bloom_filter" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val o = Tables.orders(s, dir)
+        val cut = lit("1998-01-01").cast("timestamp_ntz")
+        val early = o.filter(col("o_orderdate") < cut)
+          .select(col("o_custkey")).distinct()
+        val late = o.filter(col("o_orderdate") >= cut)
+          .select(col("o_custkey")).distinct()
+        def buckets(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("o_custkey"), explode(lit(Array(0, 1, 2))).as("i"))
+          .select(col("o_custkey"), expr(
+            "tid60(concat(CAST(i AS STRING), ':', CAST(o_custkey AS STRING))) % 16384")
+            .as("b"))
+        val words = buckets(early)
+          .select(expr("b DIV 32").as("w"),
+                  expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))").as("bit"))
+          .groupBy(col("w")).agg(expr("bit_or(bit)").as("mask"))
+        val probed = buckets(late)
+          .select(col("o_custkey"), expr("b DIV 32").as("w"),
+                  (col("b") % 32).as("bit"))
+          .join(broadcast(words), Seq("w"), "left_outer")
+          .withColumn("hit", when(col("mask").isNotNull &&
+            expr("(shiftright(mask, CAST(bit AS INT)) & 1) = 1"), 1L).otherwise(0L))
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("hit")) === 3).as("positive"))
+        val truth = late.join(early.withColumnRenamed("o_custkey", "m"),
+                              col("o_custkey") === col("m"), "left_outer")
+          .select(col("o_custkey"), col("m").isNotNull.as("member"))
+        probed.join(truth, Seq("o_custkey"))
+          .agg(count(lit(1)).as("n_probes"),
+               sum(when(col("positive"), 1L).otherwise(0L)).as("n_positive"),
+               sum(when(col("member"), 1L).otherwise(0L)).as("n_members"),
+               sum(when(col("positive") && !col("member"), 1L).otherwise(0L))
+                 .as("n_false_pos"),
+               sum(when(!col("positive") && col("member"), 1L).otherwise(0L))
+                 .as("n_false_neg"))
+      },
+      Some("""WITH early AS (SELECT DISTINCT o_custkey FROM orders
+                             WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+                   late AS (SELECT DISTINCT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+                   eb AS (SELECT o_custkey,
+                                 ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                    CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                                   % 16384 AS b
+                          FROM early, (SELECT unnest([0, 1, 2]) AS i) ii),
+                   words AS (SELECT b // 32 AS w,
+                                    bit_or(CAST(1 AS BIGINT) << CAST(b % 32 AS INT))
+                                      AS mask
+                             FROM eb GROUP BY 1),
+                   lb AS (SELECT o_custkey,
+                                 ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                    CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT
+                                   % 16384 AS b
+                          FROM late, (SELECT unnest([0, 1, 2]) AS i) ii),
+                   probed AS (SELECT o_custkey,
+                                     SUM(CASE WHEN mask IS NOT NULL AND
+                                          ((mask >> CAST(b % 32 AS INT)) & 1) = 1
+                                         THEN 1 ELSE 0 END) = 3 AS positive
+                              FROM lb LEFT JOIN words ON lb.b // 32 = words.w
+                              GROUP BY 1),
+                   truth AS (SELECT l.o_custkey,
+                                    (e.o_custkey IS NOT NULL) AS member
+                             FROM late l LEFT JOIN early e
+                               ON l.o_custkey = e.o_custkey)
+              SELECT COUNT(*) AS n_probes,
+                     CAST(SUM(CASE WHEN positive THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_positive,
+                     CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_members,
+                     CAST(SUM(CASE WHEN positive AND NOT member THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_false_pos,
+                     CAST(SUM(CASE WHEN NOT positive AND member THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_false_neg
+              FROM probed JOIN truth USING (o_custkey)""")),
+
     // Per-group OLS regression stats (price ~ quantity): slope,
     // intercept, R², n — the regr_* aggregate family in one
     // map-combined pass per group. Co-moment merges are double

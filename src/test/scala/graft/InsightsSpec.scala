@@ -150,6 +150,25 @@ class InsightsSpec extends SparkSuite {
     }
   }
 
+  test("q_bloom_filter: no false negatives, FP rate near theory") {
+    val r = Registry.byName("q_bloom_filter").fn(spark, sf).head()
+    val (probes, pos, members, fp, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(fn == 0L, "a Bloom filter must never produce false negatives")
+    assert(pos == members + fp, "positives must decompose into members + FPs")
+    val nonMembers = probes - members
+    if (nonMembers > 0) {
+      // fill ratio p = 1-(1-1/m)^{kn}; FP ≈ p³ — allow a wide band
+      val n = Tables.orders(spark, sf)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select(col("o_custkey")).distinct().count()
+      val p = 1.0 - math.pow(1.0 - 1.0 / 16384.0, 3.0 * n)
+      val expected = math.pow(p, 3) * nonMembers
+      assert(fp <= math.max(5.0, expected * 10),
+        s"FP count $fp far above theory ($expected expected)")
+    }
+  }
+
   test("q_not_in_null: 3VL trap fires — NULL-poisoned NOT IN is empty, anti-join is not") {
     val r = Registry.byName("q_not_in_null").fn(spark, sf).head()
     assert(r.getLong(0) == 0L,
