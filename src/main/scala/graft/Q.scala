@@ -40,4 +40,16 @@ object H {
   def oSum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(38,4))) AS DOUBLE)"
   def oAvg(x: String): String =
     s"CAST(CAST(SUM(CAST($x AS DECIMAL(38,4))) / COUNT($x) AS DECIMAL(38,4)) AS DOUBLE)"
+
+  /** In-row canonical pair explosion over a SORTED DISTINCT array column:
+    * every (a, b) with a before b, as structs. The 1-based slice start
+    * (i + 2) against transform's 0-based index i is the load-bearing
+    * subtlety — shared by basket pairs, audience overlap, and the
+    * co-supply edge builders so an off-by-one can only ever be fixed in
+    * one place. This is the join-free alternative to a groupwise
+    * self-join: Σ C(k,2) pairs materialize in-row off one reduced array,
+    * never Σ k² join probes. */
+  def pairsE(arr: String): String =
+    s"""flatten(transform($arr, (a, i) ->
+         transform(slice($arr, i + 2, size($arr)), b -> struct(a, b))))"""
 }

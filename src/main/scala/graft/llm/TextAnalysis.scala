@@ -254,12 +254,17 @@ object TextAnalysis {
         val wTot = Window.partitionBy(col("w1"))
         val wPick = Window.partitionBy(col("w1"))
           .orderBy(col("c2").desc, col("w2"))
+        // Top-5 contexts via orderBy+limit — TakeOrderedAndProject keeps
+        // per-partition heaps, vs the r5 global row_number window that
+        // funneled the whole vocab-sized pick table through ONE task
+        // (billions of distinct contexts at web scale). Equivalent
+        // because the former cr filter selected exactly the limit's
+        // total order (c1 DESC, w1) and cr never reached the output.
         cnt.withColumn("c1", sum(col("c2")).over(wTot))
           .withColumn("rn", row_number().over(wPick))
           .filter(col("rn") === 1)
-          .withColumn("cr", row_number().over(
-            Window.partitionBy().orderBy(col("c1").desc, col("w1"))))
-          .filter(col("cr") <= 5)
+          .orderBy(col("c1").desc, col("w1"))
+          .limit(5)
           .withColumn("p", (col("c2").cast("decimal(18,6)") / col("c1"))
                              .cast("decimal(18,6)").cast("double"))
           .select(col("w1"), col("c1"), col("w2").as("next_tok"),
@@ -370,9 +375,15 @@ object TextAnalysis {
           .withColumn("pmi", round(log(
             (col("c2").cast("double") * col("n_tok") * col("n_tok")) /
             (col("n_bg").cast("double") * col("c1a") * col("c1b"))), 6))
+          // Top-20 via orderBy+limit (TakeOrderedAndProject — per-
+          // partition heaps, no global sort): the r5 global row_number
+          // window funneled the full distinct-bigram table through one
+          // task — billions of rows at web scale. rn derives AFTER the
+          // limit, so its window sorts 20 rows, not the corpus.
+          .orderBy(col("c2").desc, col("w1"), col("w2"))
+          .limit(20)
           .withColumn("rn", row_number().over(
             Window.partitionBy().orderBy(col("c2").desc, col("w1"), col("w2"))))
-          .filter(col("rn") <= 20)
           .select(col("rn"), col("w1"), col("w2"), col("c2"), col("pmi"))
           .orderBy(col("rn"))
       },

@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{H, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,6 +16,31 @@ import org.apache.spark.sql.functions._
   * raw fact table, so the only full-corpus costs are map-side-combined
   * aggregations and broadcast joins against tiny reduced tables. */
 object Analytics {
+
+  /** Undirected co-supply edges (u < v): suppliers linked when they share
+    * a (nation, part) block. JOIN-FREE (r6 rewrite): the former
+    * ps.as("a") ⋈ ps.as("b") self-join on (nk, p) emitted Σ group² probe
+    * pairs — one hot part with k suppliers in a nation costs k² through
+    * the join even though only C(k,2) pairs survive. Instead reduce to
+    * ONE sorted supplier set per (nation, part) (collect_set
+    * partial-merges map-side) and explode the C(k,2) in-row pairs
+    * (H.pairsE — the q_basket_pairs pattern): two linear shuffles, same
+    * edge set. array_sort gives a < b in-row; the trailing distinct()
+    * still collapses pairs that co-occur under several (nation, part)
+    * blocks. Shared by q_graph_triangles and q_pagerank_iter; both
+    * oracles keep the self-join SQL — the hash gate proves equivalence. */
+  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nk"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
+      .join(broadcast(sup), Seq("sk"))
+      .groupBy(col("nk"), col("p"))
+      .agg(array_sort(collect_set(col("sk"))).as("ss"))
+      .select(explode(expr(H.pairsE("ss"))).as("pr"))
+      .select(col("pr.a").as("u"), col("pr.b").as("v"))
+      .distinct()
+  }
 
   val qs: Seq[(String, Q)] = Seq(
 
@@ -213,27 +239,16 @@ object Analytics {
     // answers) and mechanically (the unblocked co-supply graph is near-
     // COMPLETE on this data, so global triangle counting degenerates to
     // n³/6 wedges — measured 141 s at sf0.1 before blocking, ~1 s
-    // after). Edges come from the (nation, part)-blocked self-join of
-    // the DISTINCT (nation, part, supplier) projection; triangles close
-    // oriented wedges (u<v<w), counting each once. At real scale the
-    // orientation key becomes (degree, id) — capping oriented out-degree
-    // at O(sqrt(|E|)) on skewed graphs — with the id fallback kept as
-    // the tiebreaker; the plan shape (two hash joins on oriented edges)
-    // is unchanged.
+    // after). Edges come from the join-free per-(nation, part) supplier-
+    // set explosion (coSupplyEdges above); triangles close oriented
+    // wedges (u<v<w), counting each once. At real scale the orientation
+    // key becomes (degree, id) — capping oriented out-degree at
+    // O(sqrt(|E|)) on skewed graphs — with the id fallback kept as the
+    // tiebreaker; the plan shape (two hash joins on oriented edges) is
+    // unchanged.
     "q_graph_triangles" -> Q(
       (s, dir) => {
-        val sup = Tables.supplier(s, dir)
-          .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nk"))
-        val ps = Tables.lineitem(s, dir)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-          .join(broadcast(sup), Seq("sk"))
-          .select(col("nk"), col("p"), col("sk").as("s"))
-          .distinct()
-        val e = ps.as("a").join(ps.as("b"),
-            col("a.nk") === col("b.nk") && col("a.p") === col("b.p") &&
-              col("a.s") < col("b.s"))
-          .select(col("a.s").as("u"), col("b.s").as("v"))
-          .distinct()
+        val e = coSupplyEdges(s, dir)
         val nodes = e.select(col("u").as("x"))
           .unionByName(e.select(col("v").as("x")))
           .agg(countDistinct(col("x")).as("n_nodes"))
@@ -268,12 +283,24 @@ object Analytics {
     // expressed as one shuffle on user_id + an in-row left fold over the
     // (ts, event_id)-sorted value array. Both engines fold left in the
     // same order with the same double ops, so results are bit-identical.
-    // The collected array bounds per-user state — fine for session-sized
-    // keys; an unbounded key stream would move this exact fold to
-    // flatMapGroupsWithState (the streaming sessionize path).
+    // STATE BOUND (r6): per-key state is explicitly capped at the first
+    // STATE_CAP events per user — the row_number prefix filter runs
+    // BEFORE collect_list (sharing the groupBy's user_id exchange), so a
+    // hot key at 100 TB folds its first STATE_CAP events instead of
+    // OOMing one task on an unbounded array. The cap is part of the
+    // declared semantics (both engines apply the identical prefix
+    // filter) and sits far above the fixture max (99 events/user at
+    // sf0.1), so oracle values are unchanged. A truly unbounded key
+    // stream moves this exact fold to flatMapGroupsWithState — the
+    // streaming sessionize path already holds O(1) state.
     "q_ewma" -> Q(
       (s, dir) => {
+        val STATE_CAP = 4096
+        val wu = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
         Tables.events(s, dir)
+          .withColumn("rn", row_number().over(wu))
+          .filter(col("rn") <= STATE_CAP)
           .groupBy(col("user_id"))
           .agg(array_sort(collect_list(
             struct(col("ts"), col("event_id"), col("value")))).as("a"))
@@ -285,8 +312,11 @@ object Analytics {
                         6).as("ewma"))
           .orderBy(col("user_id"))
       },
-      Some("""WITH u AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
-                         FROM events GROUP BY 1)
+      Some("""WITH capped AS (SELECT user_id, ts, event_id, value FROM events
+                              QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) <= 4096),
+                   u AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+                         FROM capped GROUP BY 1)
               SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
                      round(CASE WHEN len(vals) = 1 THEN vals[1]
                            ELSE list_reduce(vals, (acc, x) -> acc * 0.5 + x * 0.5)
@@ -341,18 +371,7 @@ object Analytics {
     // bit-for-bit. Top-20 by rank.
     "q_pagerank_iter" -> Q(
       (s, dir) => {
-        val sup = Tables.supplier(s, dir)
-          .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nk"))
-        val ps = Tables.lineitem(s, dir)
-          .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"))
-          .join(broadcast(sup), Seq("sk"))
-          .select(col("nk"), col("p"), col("sk").as("s"))
-          .distinct()
-        val e = ps.as("a").join(ps.as("b"),
-            col("a.nk") === col("b.nk") && col("a.p") === col("b.p") &&
-              col("a.s") < col("b.s"))
-          .select(col("a.s").as("u"), col("b.s").as("v"))
-          .distinct()
+        val e = coSupplyEdges(s, dir)
         val dirE = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
         val deg = dirE.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         val n = deg.agg(count(lit(1)).as("nn"))

@@ -20,14 +20,9 @@ import org.apache.spark.sql.functions._
   * one cast to DOUBLE at the end; libm-grade expressions round at 6. */
 object Insights {
 
-  /** In-row canonical pair explosion over a SORTED DISTINCT array
-    * column: every (a, b) with a before b, as structs. The 1-based
-    * slice start (i + 2) against transform's 0-based index i is the
-    * load-bearing subtlety — shared by basket pairs and audience
-    * overlap so an off-by-one can only ever be fixed in one place. */
-  private def pairsE(arr: String) =
-    s"""flatten(transform($arr, (a, i) ->
-         transform(slice($arr, i + 2, size($arr)), b -> struct(a, b))))"""
+  /** Shared in-row pair explosion — see [[graft.H.pairsE]] (promoted to H
+    * in r6 so the co-supply edge builders in Analytics reuse it). */
+  private def pairsE(arr: String) = H.pairsE(arr)
 
 
   val qs: Seq[(String, Q)] = Seq(

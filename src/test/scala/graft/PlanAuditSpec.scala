@@ -319,12 +319,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"lateral fell back to cartesian:\n$p")
   }
 
-  test("q_ewma: one user_id exchange, fold in-row — no window, no second shuffle") {
+  test("q_ewma: one user_id exchange shared by state cap + fold; cap below the collect") {
     val p = planOf("q_ewma")
+    // r6: the rn <= 4096 prefix cap (a user_id window) and the collect_list
+    // groupBy ride ONE hashpartitioning(user_id) exchange — the window's
+    // output partitioning satisfies the aggregate's requirement. The cap
+    // filter must sit BELOW collect_list (root-first print: filter text
+    // appears after the aggregate's) so the agg buffer is bounded, not
+    // just the emitted array.
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(n == 1, s"expected one hash exchange (user collect), got $n:\n$p")
-    assert(!p.contains("Window"), s"sequential fold fell back to a window:\n$p")
-    assert(p.contains("partial_collect_list"), s"no map-side partial collect:\n$p")
+    assert(n == 1, s"expected one shared user_id exchange, got $n:\n$p")
+    assert(p.contains("4096"), s"state cap not in plan:\n$p")
+    val iAgg = p.indexOf("collect_list")
+    val iCap = p.indexOf("4096")
+    assert(iAgg >= 0 && iCap > iAgg,
+      s"cap filter not below the array aggregation:\n$p")
   }
 
   test("llm_winnowing: scan-pipelined fingerprints — no join, codegen hash, top-k") {
@@ -479,5 +488,39 @@ class PlanAuditSpec extends SparkSuite {
       assert(iAggLast > iWin,
         s"$k: no reduce below the window — it scans the raw corpus:\n$p")
     }
+  }
+
+  test("q_graph_triangles / q_pagerank_iter: edge builder is join-free (set explode)") {
+    Seq("q_graph_triangles", "q_pagerank_iter").foreach { k =>
+      val p = planOf(k)
+      // r6 rewrite: co-supply edges come from a per-(nation, part)
+      // collect_set + in-row pair explode — the group-quadratic
+      // ps.as("a") ⋈ ps.as("b") self-join on (nk, p) must be GONE. Any
+      // join keyed on nk would be that self-join (the only other join,
+      // the supplier dim attach, broadcasts on sk).
+      assert(p.contains("collect_set"), s"$k: no set-based edge builder:\n$p")
+      assert(!"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[nk#".r
+               .findFirstIn(p).isDefined,
+        s"$k: (nk, p) self-join still present:\n$p")
+    }
+  }
+
+  test("llm_pmi / llm_next_token: top-N selects via TakeOrderedAndProject") {
+    Seq("llm_pmi", "llm_next_token").foreach { k =>
+      val p = planOf(k)
+      // r6 rewrite: the global top-N runs as orderBy+limit (per-partition
+      // heaps), not a single-partition row_number window over the full
+      // distinct-bigram / context table.
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$k: top-N not a TakeOrderedAndProject:\n$p")
+    }
+    // llm_pmi still derives rn AFTER the 20-row limit — that window is
+    // bounded by the limit, so a single-partition WindowExec above the
+    // TakeOrdered is fine; below it would mean the corpus-wide funnel.
+    val p = planOf("llm_pmi")
+    val iTake = p.indexOf("TakeOrderedAndProject")
+    val iWin = p.indexOf("Window")
+    assert(iWin < 0 || iWin < iTake,
+      s"llm_pmi: window below the limit — corpus-wide single-partition sort:\n$p")
   }
 }
