@@ -434,34 +434,81 @@ object Analytics {
         // the sort key extends through the measure columns: any rows
         // still tied are value-identical and the frame sums don't care
         // which order they land in.
-        // PERFORMANCE (measured 18.9 s → see BASELINE r5 minima): Spark's
-        // SlidingWindowFunctionFrame re-evaluates the whole 50-row buffer
-        // for EVERY row — O(50·n) decimal adds across 5 sums, on
-        // 3-partition (returnflag) parallelism. The prefix-sum identity
-        // frame[-49,0] = cum[rn] − cum[rn−50] replaces each sliding sum
-        // with an incremental running sum (O(n)) plus an offset lag
-        // (O(n)); the decimal subtraction is exact, so the doubles — and
-        // the oracle hash — are bit-identical to the sliding spelling
-        // (the oracle keeps the direct ROWS BETWEEN form). Both window
-        // selects share one (returnflag, sort) exchange.
-        val ord = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-                   col("l_quantity"), col("l_extendedprice"),
-                   col("l_partkey"), col("l_suppkey"))
-        val cumF = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = Tables.lineitem(s, dir)
-          .withColumn("rn", row_number().over(ord))
-          .withColumn("cx", sum(x.cast("decimal(38,4)")).over(cumF))
-          .withColumn("cy", sum(y.cast("decimal(38,4)")).over(cumF))
-          .withColumn("cxy", sum(psum(x * y)).over(cumF))
-          .withColumn("cxx", sum(psum(x * x)).over(cumF))
-          .withColumn("cyy", sum(psum(y * y)).over(cumF))
+        // PERFORMANCE, two generations (see BASELINE minima): the naive
+        // sliding frame re-evaluated the 50-row buffer per row — 18.9 s;
+        // the r5 prefix-sum identity frame[-49,0] = cum[rn] − cum[rn−50]
+        // made it O(n) — 2.45 s — but kept Window.partitionBy(returnflag):
+        // CARDINALITY 3, so the whole corpus sorted and scanned on 3
+        // tasks no matter the cluster size (the r5 verdict's scale-killer
+        // #1). r6 DE-SKEWS it with the two-level sweep-line pattern
+        // (q_concurrent_sessions): partition by (returnflag, ship MONTH) —
+        // the month is a monotone coarsening of the leading sort key, so
+        // bucket order IS sort order — compute in-bucket prefix sums on
+        // ~250 parallel tasks, then add per-bucket carry-in offsets from
+        // an exclusive prefix over the TINY (flag, month) totals table
+        // (the only single-partition window left runs on ~250 rows,
+        // broadcast back). The 50-row-back lookup that was lag(50) over
+        // the flag partition becomes a (flag, rn) equi-join against the
+        // rn+50 shifted projection — hash-distributed on a dense unique
+        // key, no skew possible. All arithmetic stays exact decimal, so
+        // every double — and the oracle hash — is bit-identical to the
+        // direct ROWS BETWEEN spelling the oracle keeps.
+        val srt = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+                      col("l_quantity"), col("l_extendedprice"),
+                      col("l_partkey"), col("l_suppkey"))
+        val wLoc = Window.partitionBy(col("l_returnflag"), col("bkt"))
+          .orderBy(srt: _*)
+        val cumF = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = Tables.lineitem(s, dir)
+          .withColumn("bkt", date_trunc("month", col("l_shipdate")))
+          .withColumn("lrn", row_number().over(wLoc).cast("long"))
+          .withColumn("lcx", sum(x.cast("decimal(38,4)")).over(cumF))
+          .withColumn("lcy", sum(y.cast("decimal(38,4)")).over(cumF))
+          .withColumn("lcxy", sum(psum(x * y)).over(cumF))
+          .withColumn("lcxx", sum(psum(x * x)).over(cumF))
+          .withColumn("lcyy", sum(psum(y * y)).over(cumF))
+        // Exclusive prefix over per-bucket totals → carry-in offsets.
+        // Recomputed from the raw measures (exact decimal, same per-row
+        // rounding) — group sum == last local cum of the bucket.
+        val wCar = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = Tables.lineitem(s, dir)
+          .withColumn("bkt", date_trunc("month", col("l_shipdate")))
+          .groupBy(col("l_returnflag"), col("bkt"))
+          .agg(count(lit(1)).as("tn"),
+               sum(x.cast("decimal(38,4)")).as("tx"),
+               sum(y.cast("decimal(38,4)")).as("ty"),
+               sum(psum(x * y)).as("txy"),
+               sum(psum(x * x)).as("txx"),
+               sum(psum(y * y)).as("tyy"))
+          .select(col("l_returnflag"), col("bkt"),
+                  coalesce(sum(col("tn")).over(wCar), lit(0L)).as("on"),
+                  coalesce(sum(col("tx")).over(wCar), lit(0).cast("decimal(38,4)")).as("ox"),
+                  coalesce(sum(col("ty")).over(wCar), lit(0).cast("decimal(38,4)")).as("oy"),
+                  coalesce(sum(col("txy")).over(wCar), lit(0).cast("decimal(38,2)")).as("oxy"),
+                  coalesce(sum(col("txx")).over(wCar), lit(0).cast("decimal(38,2)")).as("oxx"),
+                  coalesce(sum(col("tyy")).over(wCar), lit(0).cast("decimal(38,2)")).as("oyy"))
+        val cum = local.join(broadcast(offs), Seq("l_returnflag", "bkt"))
+          .withColumn("rn", col("on") + col("lrn"))
+          .withColumn("cx", col("ox") + col("lcx"))
+          .withColumn("cy", col("oy") + col("lcy"))
+          .withColumn("cxy", col("oxy") + col("lcxy"))
+          .withColumn("cxx", col("oxx") + col("lcxx"))
+          .withColumn("cyy", col("oyy") + col("lcyy"))
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+                  col("rn"), col("cx"), col("cy"), col("cxy"), col("cxx"),
+                  col("cyy"))
+        // cum[rn − 50] by equi-join (left: rn ≤ 50 has no frame start,
+        // exactly lag(50)'s null → coalesce 0).
+        val prev = cum.select(col("l_returnflag"), (col("rn") + 50).as("rn"),
+          col("cx").as("pcx"), col("cy").as("pcy"), col("cxy").as("pcxy"),
+          col("cxx").as("pcxx"), col("cyy").as("pcyy"))
         def frame(c: String) =
-          (col(c) - coalesce(lag(col(c), 50).over(ord),
+          (col(c) - coalesce(col("p" + c),
                              lit(0).cast(if (c == "cx" || c == "cy") "decimal(38,4)"
-                                         else "decimal(28,2)")))
+                                         else "decimal(38,2)")))
             .cast("double")
-        val d = cum
+        val d = cum.join(prev, Seq("l_returnflag", "rn"), "left")
           .withColumn("n", least(col("rn"), lit(50)).cast("long"))
           .withColumn("sx", frame("cx"))
           .withColumn("sy", frame("cy"))

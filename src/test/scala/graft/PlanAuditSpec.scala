@@ -490,6 +490,38 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q_rolling_corr: corpus window partitions by (flag, month), not flag alone") {
+    val p = planOf("q_rolling_corr")
+    // r6 de-skew: l_returnflag has cardinality 3, so any corpus-sized
+    // exchange keyed on it alone caps parallelism at 3 tasks forever.
+    // The prefix sums must ride a (l_returnflag, bkt) exchange (~250
+    // buckets), the carry-in offsets must BROADCAST back, and the
+    // 50-back frame lookup must be an equi-join that includes the dense
+    // rn key — never a flag-partitioned lag.
+    assert("hashpartitioning\\(l_returnflag#\\d+, bkt#".r.findFirstIn(p).isDefined,
+      s"corpus window not bucketed — 3-partition skew is back:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"carry-in offsets not broadcast:\n$p")
+    assert("Join \\[l_returnflag#\\d+, rn#".r.findFirstIn(p).isDefined ||
+           "Join \\[rn#".r.findFirstIn(p).isDefined,
+      s"frame lookup is not the (flag, rn) equi-join:\n$p")
+    // The only flag-ONLY exchanges allowed are the tiny carry-offsets
+    // windows (the offsets subtree plans once per side of the frame
+    // join), each above a (flag, bkt) HashAggregate — the corpus itself
+    // never shuffles on the 3-value key. Verify every such exchange
+    // feeds from an aggregate, not the raw scan: in the root-first text
+    // an aggregate keyed (l_returnflag, bkt) must follow each one before
+    // the next FileScan does.
+    val soloFlag = "Exchange hashpartitioning\\(l_returnflag#\\d+, \\d+\\)".r
+    for (m <- soloFlag.findAllMatchIn(p)) {
+      val tail = p.substring(m.end)
+      val iAgg = tail.indexOf("HashAggregate(keys=[l_returnflag")
+      val iScan = tail.indexOf("FileScan")
+      assert(iAgg >= 0 && (iScan < 0 || iAgg < iScan),
+        s"flag-only exchange carries the raw corpus (3-task skew):\n$p")
+    }
+  }
+
   test("q_graph_triangles / q_pagerank_iter: edge builder is join-free (set explode)") {
     Seq("q_graph_triangles", "q_pagerank_iter").foreach { k =>
       val p = planOf(k)
