@@ -24,6 +24,8 @@ object Scans {
 
   val nationCsvPath = s"$fixDir/nation.tsv"
   val ordersJsonPath = s"$fixDir/orders100.jsonl"
+  val manifestTreePath = s"$fixDir/manifest_tree"
+  val manifestTsvPath = s"$fixDir/manifest_tree.tsv"
 
   val qs: Seq[(String, Q)] = Seq(
 
@@ -313,6 +315,58 @@ object Scans {
       Some("""SELECT source, COUNT(*) AS n_docs,
                      CAST(SUM(n_chars) AS BIGINT) AS total_chars
               FROM documents WHERE lang = 'en'
-              GROUP BY source ORDER BY source"""))
+              GROUP BY source ORDER BY source""")),
+
+    // Directory-walk file manifest — the reference's "walk dataset
+    // directories, build file manifests with sizes and checksums" ingest
+    // step (SURVEY §0.1), the one capability class with no key through
+    // round 5. Spark-native shape: the binaryFile source with
+    // recursiveFileLookup walks the tree in a distributed scan — one task
+    // per file group, no driver-side os.walk — and sha2(content, 256)
+    // checksums ride the same pass (a checksum manifest must read every
+    // byte no matter the engine, so the job is file-parallel by
+    // construction; a size-only manifest would instead read just the
+    // listing — `length` comes from file status, not content). binaryFile
+    // files are non-splittable, which is exactly right for whole-file
+    // digests. The fixture tree (25 files across 5 region dirs, fixed at
+    // every sf) is written deterministically each run; the oracle reads a
+    // manifest TSV whose sizes/digests are computed INDEPENDENTLY via
+    // java.security.MessageDigest at write time — a genuine cross-check
+    // of Spark's scan+sha2 against a second implementation.
+    "src_dir_manifest" -> Q(
+      (s, dir) => {
+        val rows = Tables.nation(s, dir).orderBy(col("n_nationkey"))
+          .collect() // 25 rows, fixed size at every sf — driver-side ok
+          .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val manifest = rows.map { case (k, name, r) =>
+          val rel = s"region_$r/$name.txt"
+          val bytes = s"nationkey=$k\nname=$name\nregionkey=$r\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val p = Paths.get(s"$manifestTreePath/$rel")
+          Files.createDirectories(p.getParent)
+          Files.write(p, bytes)
+          val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+          (rel, bytes.length.toLong, hex)
+        }.sortBy(_._1)
+        writeOnce(manifestTsvPath, "relative_path\tn_bytes\tsha256\n" +
+          manifest.map { case (p, n, h) => s"$p\t$n\t$h" }
+            .mkString("", "\n", "\n"))
+        s.read.format("binaryFile")
+          .option("recursiveFileLookup", "true")
+          .load(manifestTreePath)
+          .select(
+            regexp_extract(col("path"), "manifest_tree/(.*)$", 1)
+              .as("relative_path"),
+            col("length").as("n_bytes"),
+            sha2(col("content"), 256).as("sha256"))
+          .orderBy(col("relative_path"))
+      },
+      Some(s"""SELECT relative_path, n_bytes, sha256
+               FROM read_csv('$manifestTsvPath', delim='\t', header=true,
+                             columns={'relative_path': 'VARCHAR',
+                                      'n_bytes': 'BIGINT',
+                                      'sha256': 'VARCHAR'})
+               ORDER BY relative_path"""))
   )
 }
