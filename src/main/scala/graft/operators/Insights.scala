@@ -357,6 +357,132 @@ object Insights {
                           AS BIGINT) AS n_false_neg
               FROM probed JOIN truth USING (o_custkey)""")),
 
+    // Theta/KMV sketch set algebra — the mergeable-sketch family's set
+    // closer: HLL unions but cannot intersect; a bottom-k (KMV) theta
+    // sketch supports BOTH, which is how a 100 TB curation run answers
+    // "how many members do corpus A and corpus B share?" without joining
+    // the corpora — each side reduces to a k-row sketch and the algebra
+    // runs on ≤2k rows. Members hash to deterministic uniforms (tid60
+    // md5 kernel), the per-set bottom-64 is the declarative
+    // row_number()<=k spelling that TopKPerGroup rewrites to bounded
+    // partial/final buffers (no per-set sort, survivors-only shuffle —
+    // the q_topn_native plan), and the estimators are the classic KMV
+    // forms: |S| ≈ (k−1)/θ_k, |A∩B| ≈ |{common < θ}|/θ with
+    // θ = min(θ_a, θ_b). Every number is a pure function of the data, so
+    // the oracle pins the ESTIMATES bit-for-bit, with the exact counts
+    // beside them — sketch error is visible in the row, not asserted
+    // away. (A production pipeline would persist the k-row sketches and
+    // run only the algebra per query; the declared form recomputes the
+    // build because a declared query is one expression.)
+    "q_theta_sketch" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        graft.plans.TopK.install(s)
+        val k = 64
+        val o = Tables.orders(s, dir)
+        def members(p: String, t: String) =
+          o.filter(col("o_orderpriority") === p)
+            .select(col("o_custkey")).distinct()
+            .withColumn("tag", lit(t))
+        val m = members("1-URGENT", "a").unionByName(members("2-HIGH", "b"))
+          .withColumn("u",
+            (expr("tid60(CAST(o_custkey AS STRING)) % 1000000007") + lit(1L))
+              .cast("double") / lit(1000000008.0))
+        val wSet = Window.partitionBy(col("tag"))
+          .orderBy(col("u"), col("o_custkey"))
+        val sk = m.withColumn("rk", row_number().over(wSet))
+          .filter(col("rk") <= k)
+        // one row per sketched member, tag membership as flags — every
+        // downstream stat reads this ≤2k-row table
+        val skT = sk.groupBy(col("o_custkey"), col("u"))
+          .agg(max(when(col("tag") === "a", 1L).otherwise(0L)).as("ia"),
+               max(when(col("tag") === "b", 1L).otherwise(0L)).as("ib"))
+        val stats = skT.agg(
+          sum(col("ia")).as("nk_a"),
+          max(when(col("ia") === 1L, col("u"))).as("theta_a"),
+          sum(col("ib")).as("nk_b"),
+          max(when(col("ib") === 1L, col("u"))).as("theta_b"))
+        // union sketch = bottom-k of the merged distinct hashes (a
+        // member of both sets hashes once); the global window sees only
+        // the ≤2k sketch rows, never the data
+        val wU = Window.orderBy(col("u"), col("o_custkey"))
+        val pu = skT.withColumn("rk", row_number().over(wU))
+          .filter(col("rk") <= k)
+          .agg(count(lit(1)).as("nk_u"), max(col("u")).as("theta_u"))
+        val cc = skT.crossJoin(broadcast(stats))
+          .filter(col("ia") === 1L && col("ib") === 1L &&
+                  col("u") < least(col("theta_a"), col("theta_b")))
+          .agg(count(lit(1)).as("c"))
+        val ex = m.groupBy(col("o_custkey"))
+          .agg(max(when(col("tag") === "a", 1L).otherwise(0L)).as("xa"),
+               max(when(col("tag") === "b", 1L).otherwise(0L)).as("xb"))
+          .agg(sum(col("xa")).as("exact_a"), sum(col("xb")).as("exact_b"),
+               count(lit(1)).as("exact_union"),
+               sum(col("xa") * col("xb")).as("exact_intersect"))
+        stats.crossJoin(pu).crossJoin(cc).crossJoin(ex)
+          .select(
+            when(col("nk_a") < k, col("nk_a").cast("double"))
+              .otherwise(lit((k - 1).toDouble) / col("theta_a")).as("est_a"),
+            when(col("nk_b") < k, col("nk_b").cast("double"))
+              .otherwise(lit((k - 1).toDouble) / col("theta_b")).as("est_b"),
+            when(col("nk_u") < k, col("nk_u").cast("double"))
+              .otherwise(lit((k - 1).toDouble) / col("theta_u")).as("est_union"),
+            (col("c").cast("double") /
+              least(col("theta_a"), col("theta_b"))).as("est_intersect"),
+            col("exact_a"), col("exact_b"),
+            col("exact_union"), col("exact_intersect"))
+      },
+      Some("""WITH ma AS (SELECT DISTINCT o_custkey FROM orders
+                          WHERE o_orderpriority = '1-URGENT'),
+                   mb AS (SELECT DISTINCT o_custkey FROM orders
+                          WHERE o_orderpriority = '2-HIGH'),
+                   m AS (SELECT 'a' AS tag, o_custkey FROM ma
+                         UNION ALL SELECT 'b' AS tag, o_custkey FROM mb),
+                   h AS (SELECT tag, o_custkey,
+                                ((('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                                  1, 15))::BIGINT
+                                  % 1000000007) + 1) / 1000000008.0 AS u
+                         FROM m),
+                   sk AS (SELECT * FROM (
+                            SELECT tag, o_custkey, u,
+                                   row_number() OVER (PARTITION BY tag
+                                                      ORDER BY u, o_custkey) AS rk
+                            FROM h) WHERE rk <= 64),
+                   skt AS (SELECT o_custkey, u,
+                                  MAX(CASE WHEN tag = 'a' THEN 1 ELSE 0 END) AS ia,
+                                  MAX(CASE WHEN tag = 'b' THEN 1 ELSE 0 END) AS ib
+                           FROM sk GROUP BY 1, 2),
+                   stats AS (SELECT CAST(SUM(ia) AS BIGINT) AS nk_a,
+                                    MAX(CASE WHEN ia = 1 THEN u END) AS theta_a,
+                                    CAST(SUM(ib) AS BIGINT) AS nk_b,
+                                    MAX(CASE WHEN ib = 1 THEN u END) AS theta_b
+                             FROM skt),
+                   pu AS (SELECT COUNT(*) AS nk_u, MAX(u) AS theta_u FROM (
+                            SELECT * FROM (
+                              SELECT u, row_number() OVER
+                                          (ORDER BY u, o_custkey) AS rk
+                              FROM skt) z WHERE rk <= 64)),
+                   cc AS (SELECT COUNT(*) AS c FROM skt, stats
+                          WHERE ia = 1 AND ib = 1
+                            AND u < LEAST(theta_a, theta_b)),
+                   ex AS (SELECT CAST(SUM(xa) AS BIGINT) AS exact_a,
+                                 CAST(SUM(xb) AS BIGINT) AS exact_b,
+                                 COUNT(*) AS exact_union,
+                                 CAST(SUM(xa * xb) AS BIGINT) AS exact_intersect
+                          FROM (SELECT o_custkey,
+                                       MAX(CASE WHEN tag = 'a' THEN 1 ELSE 0 END) AS xa,
+                                       MAX(CASE WHEN tag = 'b' THEN 1 ELSE 0 END) AS xb
+                                FROM m GROUP BY 1) t)
+              SELECT CASE WHEN nk_a < 64 THEN CAST(nk_a AS DOUBLE)
+                          ELSE 63.0 / theta_a END AS est_a,
+                     CASE WHEN nk_b < 64 THEN CAST(nk_b AS DOUBLE)
+                          ELSE 63.0 / theta_b END AS est_b,
+                     CASE WHEN nk_u < 64 THEN CAST(nk_u AS DOUBLE)
+                          ELSE 63.0 / theta_u END AS est_union,
+                     CAST(c AS DOUBLE) / LEAST(theta_a, theta_b) AS est_intersect,
+                     exact_a, exact_b, exact_union, exact_intersect
+              FROM stats, pu, cc, ex""")),
+
     // Per-group OLS regression stats (price ~ quantity): slope,
     // intercept, R², n — the regr_* aggregate family in one
     // map-combined pass per group. Co-moment merges are double

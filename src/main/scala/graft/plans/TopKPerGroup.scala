@@ -110,11 +110,18 @@ case class TopKPerGroupExec(
     copy(child = newChild)
 }
 
-/** Optimizer rule: `Filter(rn ≤ lit, Window[rn := row_number() over
-  * (partition by … order by …)])` → [[TopKPerGroupNode]]. Fires only on
-  * the exact safe shape: a single bare row_number window expression, the
+/** Optimizer rule: `Filter(rn ≤ lit ∧ …, Window[rn := row_number() over
+  * (partition by … order by …)])` → [[TopKPerGroupNode]] (with any
+  * residual conjuncts kept as a Filter above the node). Fires only on
+  * the safe shape: a single bare row_number window expression, the
   * default running row frame, a literal bound ≤ 1000 (the bounded-buffer
   * sweet spot — past that the generic window path is the right plan).
+  * Handling conjunctions matters in practice: predicate inference loves
+  * to AND an `isnotnull(col)` (implied by a later join condition) into
+  * the rank filter, and a rule that only matches the bare bound silently
+  * falls back to the full sort — found via q_theta_sketch, whose
+  * sketch-vs-sketch join did exactly that. Residual conjuncts may even
+  * reference the rank column: the node emits it, so they filter above.
   *
   * Relationship to Spark's own `InferWindowGroupLimit` (3.5+): the
   * built-in inserts a WindowGroupLimit that PRUNES each side of the
@@ -123,7 +130,7 @@ case class TopKPerGroupExec(
   * operator subsumes both: bounded buffers instead of sorts, rank emitted
   * directly. The rule therefore strips the inferred WindowGroupLimit
   * (same partition/order keys) from below the matched Window. */
-object TopKRewrite extends Rule[LogicalPlan] {
+object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def boundOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
@@ -140,7 +147,13 @@ object TopKRewrite extends Rule[LogicalPlan] {
             WindowSpecDefinition(_, _,
               SpecifiedWindowFrame(org.apache.spark.sql.catalyst.expressions.RowFrame,
                                    UnboundedPreceding, CurrentRow))), _) =>
-          boundOf(cond, a.toAttribute) match {
+          val rn = a.toAttribute
+          val conjuncts = splitConjunctivePredicates(cond)
+          val bounds = conjuncts.flatMap(boundOf(_, rn))
+          // every bound conjunct is implied by the node's k = min(bounds);
+          // anything else stays as a residual filter above the node
+          val rest = conjuncts.filter(boundOf(_, rn).isEmpty)
+          bounds.reduceOption(_ min _) match {
             case Some(k) if k > 0 && k <= 1000 =>
               val child = w.child match {
                 case wgl: WindowGroupLimit
@@ -148,7 +161,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
                        wgl.orderSpec == w.orderSpec => wgl.child
                 case other => other
               }
-              TopKPerGroupNode(w.partitionSpec, w.orderSpec, k, a.toAttribute, child)
+              val node = TopKPerGroupNode(w.partitionSpec, w.orderSpec, k, rn, child)
+              if (rest.isEmpty) node else Filter(rest.reduce(And), node)
             case _ => f
           }
         case _ => f

@@ -522,6 +522,20 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q_theta_sketch: sketch builds ride TopKPerGroup bounded buffers, no WindowExec") {
+    val p = try {
+      val df = Registry.byName("q_theta_sketch").fn(spark, sf)
+      df.queryExecution.executedPlan.toString
+    } finally graft.plans.TopK.uninstall(spark) // shared session hygiene
+    // Every bottom-k (per-set AND union merge) must plan as the bounded
+    // partial/final operator pair — a WindowExec here would mean a full
+    // sort of the member table per set.
+    assert("TopKPerGroup".r.findAllIn(p).size >= 2,
+      s"bottom-k not planned as TopKPerGroup:\n$p")
+    assert(!p.contains("Window ["),
+      s"a window survived — per-set sort is back:\n$p")
+  }
+
   test("q_graph_triangles / q_pagerank_iter: edge builder is join-free (set explode)") {
     Seq("q_graph_triangles", "q_pagerank_iter").foreach { k =>
       val p = planOf(k)
