@@ -26,6 +26,52 @@ object Scans {
   val ordersJsonPath = s"$fixDir/orders100.jsonl"
   val manifestTreePath = s"$fixDir/manifest_tree"
   val manifestTsvPath = s"$fixDir/manifest_tree.tsv"
+  val manifestTree2Path = s"$fixDir/manifest_tree_v2"
+  val manifestTsv2Path = s"$fixDir/manifest_tree_v2.tsv"
+
+  /** Deterministic fixture tree off the 25 nation rows: one file per
+    * nation under its region dir. v2 applies a fixed drift — nations with
+    * key % 7 == 0 are dropped, key % 5 == 0 gain a revision line, and
+    * three new files appear under a new dir — so a v1→v2 diff exercises
+    * every status. Returns the (relative_path, n_bytes, sha256) manifest
+    * computed independently of Spark via MessageDigest; the target dir is
+    * wiped first so reruns converge even if the drift spec evolves. */
+  private def writeManifestTree(s: org.apache.spark.sql.SparkSession,
+                                dir: String, root: String,
+                                v2: Boolean): Seq[(String, Long, String)] = {
+    val rows = Tables.nation(s, dir).orderBy(col("n_nationkey"))
+      .collect() // 25 rows, fixed size at every sf — driver-side ok
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val rootP = Paths.get(root)
+    if (Files.exists(rootP)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(rootP).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(Files.delete(_))
+    }
+    val base = rows.toSeq.flatMap { case (k, name, r) =>
+      if (v2 && k % 7 == 0) None
+      else {
+        val extra = if (v2 && k % 5 == 0) "revision=2\n" else ""
+        Some((s"region_$r/$name.txt",
+              s"nationkey=$k\nname=$name\nregionkey=$r\n$extra"))
+      }
+    }
+    val added =
+      if (v2) (0 until 3).map(i => (s"region_9/extra_$i.txt", s"extra=$i\n"))
+      else Seq()
+    (base ++ added).map { case (rel, content) =>
+      val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val p = Paths.get(s"$root/$rel")
+      Files.createDirectories(p.getParent)
+      Files.write(p, bytes)
+      (rel, bytes.length.toLong, md.digest(bytes).map(b => f"$b%02x").mkString)
+    }.sortBy(_._1)
+  }
+
+  private def manifestTsv(m: Seq[(String, Long, String)]): String =
+    "relative_path\tn_bytes\tsha256\n" +
+      m.map { case (p, n, h) => s"$p\t$n\t$h" }.mkString("", "\n", "\n")
 
   val qs: Seq[(String, Q)] = Seq(
 
@@ -335,23 +381,8 @@ object Scans {
     // of Spark's scan+sha2 against a second implementation.
     "src_dir_manifest" -> Q(
       (s, dir) => {
-        val rows = Tables.nation(s, dir).orderBy(col("n_nationkey"))
-          .collect() // 25 rows, fixed size at every sf — driver-side ok
-          .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        val manifest = rows.map { case (k, name, r) =>
-          val rel = s"region_$r/$name.txt"
-          val bytes = s"nationkey=$k\nname=$name\nregionkey=$r\n"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val p = Paths.get(s"$manifestTreePath/$rel")
-          Files.createDirectories(p.getParent)
-          Files.write(p, bytes)
-          val hex = md.digest(bytes).map(b => f"$b%02x").mkString
-          (rel, bytes.length.toLong, hex)
-        }.sortBy(_._1)
-        writeOnce(manifestTsvPath, "relative_path\tn_bytes\tsha256\n" +
-          manifest.map { case (p, n, h) => s"$p\t$n\t$h" }
-            .mkString("", "\n", "\n"))
+        val manifest = writeManifestTree(s, dir, manifestTreePath, v2 = false)
+        writeOnce(manifestTsvPath, manifestTsv(manifest))
         s.read.format("binaryFile")
           .option("recursiveFileLookup", "true")
           .load(manifestTreePath)
@@ -367,6 +398,61 @@ object Scans {
                              columns={'relative_path': 'VARCHAR',
                                       'n_bytes': 'BIGINT',
                                       'sha256': 'VARCHAR'})
+               ORDER BY relative_path""")),
+
+    // Manifest drift report — the reference's walk-then-diff validation
+    // workflow (§3.1 archetype 2+3 composed): two dataset snapshots in,
+    // per-file added/removed/changed/unchanged out. Engine shape: two
+    // file-parallel binaryFile scans, one path-keyed full-outer hash join
+    // — content never co-locates, only (path, size, sha) rows shuffle. At
+    // real scale the manifests would be PERSISTED once per snapshot (the
+    // src_dir_manifest output) and the diff joins manifest parquet —
+    // metadata-sized, which is exactly what the TSV oracle models. The v2
+    // drift is deterministic (drop %7, revise %5, add 3), so every status
+    // appears and the oracle pins each row.
+    "src_manifest_diff" -> Q(
+      (s, dir) => {
+        val m1 = writeManifestTree(s, dir, manifestTreePath, v2 = false)
+        val m2 = writeManifestTree(s, dir, manifestTree2Path, v2 = true)
+        writeOnce(manifestTsvPath, manifestTsv(m1))
+        writeOnce(manifestTsv2Path, manifestTsv(m2))
+        def scan(root: String, seg: String, tag: String) =
+          s.read.format("binaryFile")
+            .option("recursiveFileLookup", "true").load(root)
+            .select(
+              regexp_extract(col("path"), seg + "/(.*)$", 1).as("relative_path"),
+              col("length").as(s"bytes_$tag"),
+              sha2(col("content"), 256).as(s"sha_$tag"))
+        val a = scan(manifestTreePath, "manifest_tree", "v1")
+        val b = scan(manifestTree2Path, "manifest_tree_v2", "v2")
+        a.join(b, Seq("relative_path"), "full")
+          .select(col("relative_path"),
+            when(col("sha_v1").isNull, "added")
+              .when(col("sha_v2").isNull, "removed")
+              .when(col("sha_v1") =!= col("sha_v2"), "changed")
+              .otherwise("unchanged").as("status"),
+            coalesce(col("bytes_v1"), lit(-1L)).as("bytes_v1"),
+            coalesce(col("bytes_v2"), lit(-1L)).as("bytes_v2"))
+          .orderBy(col("relative_path"))
+      },
+      Some(s"""WITH a AS (SELECT * FROM read_csv('$manifestTsvPath',
+                            delim='\t', header=true,
+                            columns={'relative_path': 'VARCHAR',
+                                     'n_bytes': 'BIGINT',
+                                     'sha256': 'VARCHAR'})),
+                    b AS (SELECT * FROM read_csv('$manifestTsv2Path',
+                            delim='\t', header=true,
+                            columns={'relative_path': 'VARCHAR',
+                                     'n_bytes': 'BIGINT',
+                                     'sha256': 'VARCHAR'}))
+               SELECT COALESCE(a.relative_path, b.relative_path) AS relative_path,
+                      CASE WHEN a.sha256 IS NULL THEN 'added'
+                           WHEN b.sha256 IS NULL THEN 'removed'
+                           WHEN a.sha256 <> b.sha256 THEN 'changed'
+                           ELSE 'unchanged' END AS status,
+                      COALESCE(a.n_bytes, -1) AS bytes_v1,
+                      COALESCE(b.n_bytes, -1) AS bytes_v2
+               FROM a FULL JOIN b ON a.relative_path = b.relative_path
                ORDER BY relative_path"""))
   )
 }
