@@ -277,5 +277,35 @@ class PropertySpec extends SparkSuite {
           s"merge shape changed the sketch at cut=$cut")
       }
     }
+
+    test(s"theta/KMV sketch union is lossless: bottomK(skA ∪ skB) == bottomK(A ∪ B) (seed=$seed)") {
+      // The law q_theta_sketch's union estimate rests on: any element of
+      // bottomK(A ∪ B) is among the k smallest of its OWN set, so merging
+      // the two k-row sketches and re-taking bottom-k reproduces the
+      // sketch of the full union exactly — union estimation from sketches
+      // is not an approximation ON TOP of the sketch; only the sketch
+      // itself approximates. Holds for any k, any overlap, any hash.
+      val rnd = new scala.util.Random(seed)
+      val k = 64
+      def u(x: Long): Double =
+        ((graft.functions.Sketches.md5Long60(
+          java.lang.Long.toString(x)
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          % 1000000007L) + 1L).toDouble / 1000000008.0
+      def bottomK(s: Set[Long]): Set[Long] =
+        s.toSeq.sortBy(x => (u(x), x)).take(k).toSet
+      val shared = Set.fill(300)(rnd.nextLong().abs % 100000)
+      val a = shared ++ Set.fill(800)(rnd.nextLong().abs % 100000)
+      val b = shared ++ Set.fill(600)(rnd.nextLong().abs % 100000)
+      val merged = bottomK(bottomK(a) ++ bottomK(b))
+      val direct = bottomK(a ++ b)
+      assert(merged == direct, "sketch merge diverged from direct union sketch")
+      // and the intersection support is contained in both sketches
+      val thetaA = bottomK(a).map(u).max
+      val thetaB = bottomK(b).map(u).max
+      val common = bottomK(a).intersect(bottomK(b))
+        .filter(x => u(x) < math.min(thetaA, thetaB))
+      assert(common.subsetOf(a.intersect(b)), "phantom intersection member")
+    }
   }
 }
