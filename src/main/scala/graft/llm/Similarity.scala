@@ -322,6 +322,108 @@ object Similarity {
                FROM p, t WHERE cos >= tau
                GROUP BY 1 ORDER BY tau""")),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    // CLUSTERING first, then near-dup pruning only within clusters —
+    // keeping, of each duplicate pair, the member FARTHER from its
+    // cluster centroid (low centroid-similarity examples carry the
+    // cluster's diversity; the ones nearest the centroid are the
+    // redundant core). Engine shape, all linear: the cluster is the
+    // 4-bit sign code (the same coarse quantizer the IVF probe uses, so
+    // cluster assignment is a projection, not an iteration); centroids
+    // are one posexplode + (bucket, pos) hash-agg — a 16×64-row
+    // broadcastable table; per-vector centroid similarity is one join
+    // back over the long form; candidate pairs block on the bucket (the
+    // learned-blocking complement of llm_dedup_embcos's label blocking).
+    // Decimal-laned sums follow the llm_emb_screen parity recipe
+    // (round-to-6 before DECIMAL(38,6), products rounded to 12), so every
+    // per-bucket count pins bit-exact against DuckDB.
+    "llm_semdedup" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val e = Tables.embeddings(s, dir)
+          .withColumn("bucket", expr(codeE))
+          .withColumn("nrm", expr(normE))
+        val ex = e.select(col("vec_id"), col("bucket"),
+                          posexplode(col("embedding")).as(Seq("pos", "v")))
+        val cent = ex.groupBy(col("bucket"), col("pos"))
+          .agg((sum(expr("CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(38,6))")) /
+                count(lit(1))).cast("decimal(38,6)").cast("double").as("cv"))
+        val csim = ex.join(cent, Seq("bucket", "pos"))
+          .groupBy(col("vec_id"))
+          .agg(round(sum(expr(
+                 "CAST(round(CAST(v AS DOUBLE) * cv, 12) AS DECIMAL(38,12))"))
+               .cast("double"), 6).as("csim"))
+        val a = e.select(col("bucket"), col("vec_id").as("id_a"),
+                         col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        val b = e.select(col("bucket"), col("vec_id").as("id_b"),
+                         col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+        val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+          .withColumn("cos", round(
+            expr(dotE("emb_a", "emb_b")) / (col("nrm_a") * col("nrm_b")), 6))
+          .filter(col("cos") >= 0.2)
+          .select(col("bucket"), col("id_a"), col("id_b"))
+        val withSim = pairs
+          .join(csim.select(col("vec_id").as("id_a"), col("csim").as("sim_a")),
+                Seq("id_a"))
+          .join(csim.select(col("vec_id").as("id_b"), col("csim").as("sim_b")),
+                Seq("id_b"))
+          .withColumn("drop_id",
+            when(col("sim_a") > col("sim_b"), col("id_a"))
+              .when(col("sim_b") > col("sim_a"), col("id_b"))
+              .otherwise(greatest(col("id_a"), col("id_b"))))
+        val dropped = withSim.select(col("bucket"), col("drop_id")).distinct()
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n_dropped"))
+        val np = withSim.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_dup_pairs"))
+        e.groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+          .join(np, Seq("bucket"), "left")
+          .join(dropped, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_vecs"),
+                  coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+                  coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+                  (col("n_vecs") - coalesce(col("n_dropped"), lit(0L)))
+                    .as("n_kept"))
+          .orderBy(col("bucket"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding, $duckNorm AS nrm,
+                                 $duckCode AS bucket
+                          FROM embeddings),
+               ex AS (SELECT vec_id, bucket, i AS pos,
+                             CAST(embedding[i] AS DOUBLE) AS v
+                      FROM n, LATERAL (SELECT unnest(generate_series(1,
+                             len(embedding))) AS i) u),
+               cent AS (SELECT bucket, pos,
+                               CAST(CAST(SUM(CAST(round(v, 6) AS DECIMAL(38,6)))
+                                         / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE)
+                                 AS cv
+                        FROM ex GROUP BY 1, 2),
+               cs AS (SELECT vec_id,
+                             round(CAST(SUM(CAST(round(v * cv, 12)
+                                               AS DECIMAL(38,12))) AS DOUBLE), 6)
+                               AS csim
+                      FROM ex JOIN cent USING (bucket, pos) GROUP BY 1),
+               p AS (SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b
+                     FROM n a JOIN n b
+                       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                     WHERE round(${duckDot("a.embedding", "b.embedding")}
+                                 / (a.nrm * b.nrm), 6) >= 0.2),
+               ws AS (SELECT p.bucket, id_a, id_b,
+                             CASE WHEN ca.csim > cb.csim THEN id_a
+                                  WHEN cb.csim > ca.csim THEN id_b
+                                  ELSE GREATEST(id_a, id_b) END AS drop_id
+                      FROM p JOIN cs ca ON ca.vec_id = id_a
+                             JOIN cs cb ON cb.vec_id = id_b),
+               d AS (SELECT bucket, COUNT(*) AS n_dropped FROM (
+                       SELECT DISTINCT bucket, drop_id FROM ws) z GROUP BY 1),
+               np AS (SELECT bucket, COUNT(*) AS n_dup_pairs FROM ws GROUP BY 1),
+               st AS (SELECT bucket, COUNT(*) AS n_vecs FROM n GROUP BY 1)
+               SELECT st.bucket AS bucket, n_vecs,
+                      COALESCE(n_dup_pairs, 0) AS n_dup_pairs,
+                      COALESCE(n_dropped, 0) AS n_dropped,
+                      n_vecs - COALESCE(n_dropped, 0) AS n_kept
+               FROM st LEFT JOIN np USING (bucket) LEFT JOIN d USING (bucket)
+               ORDER BY bucket""")),
+
     // RAG context assembly: the retrieval-side operator — top-4 neighbors
     // of the query vector, joined back to their documents, packed into
     // ONE ordered context string with per-doc character budgets. Composes
