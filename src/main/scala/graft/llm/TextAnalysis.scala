@@ -324,6 +324,69 @@ object TextAnalysis {
                GROUP BY doc_id
                ORDER BY doc_id""")),
 
+    // CCNet-style quality bucketing (Wenzek et al. 2020): rank each
+    // language's documents by LM score and cut into head/middle/tail
+    // thirds — the bucket label CCNet ships with every CommonCrawl doc,
+    // and the unit the mixing weights consume downstream. The LM is the
+    // per-LANG unigram model (CCNet trains per-language LMs; the
+    // lang-conditional proxy mirrors that), docs rank by mean log-prob
+    // (higher = more fluent = head) with doc_id tiebreak, and the output
+    // is the per-(lang, bucket) summary a curation run reads. Exact
+    // tertiles need the per-lang sort of the doc-STATS table (documents
+    // reduce first — the corpus text never reaches the window); at
+    // extreme per-lang cardinality the approx path swaps ntile for
+    // approx_percentile cutoffs, trading exactness for no sort — the
+    // same inherent trade q_rfm documents.
+    "llm_ccnet_bucket" -> Q(
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), explode(expr(toksE)).as("tok"))
+        val nl = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+        val lm = tok.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+          .join(broadcast(nl), Seq("lang"))
+          .select(col("lang"), col("tok"),
+                  round(log(col("tf").cast("double") / col("n_lang")), 6)
+                    .as("logp"))
+        val per = tok.join(broadcast(lm), Seq("lang", "tok"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg((sum(col("logp").cast("decimal(38,6)")) / count(lit(1)))
+                 .cast("decimal(38,6)").cast("double").as("mean_logp"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("mean_logp").desc, col("doc_id"))
+        per.withColumn("bucket", ntile(3).over(w))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+               (sum(col("mean_logp").cast("decimal(38,6)")) / count(lit(1)))
+                 .cast("decimal(38,6)").cast("double").as("avg_logp"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, lang, unnest($duckToks) AS tok
+                            FROM documents),
+               nl AS (SELECT lang, COUNT(*) AS n_lang FROM tok GROUP BY 1),
+               lm AS (SELECT tok.lang, tok.tok,
+                             round(ln(CAST(COUNT(*) AS DOUBLE) / n_lang), 6)
+                               AS logp
+                      FROM tok JOIN nl ON tok.lang = nl.lang
+                      GROUP BY tok.lang, tok.tok, n_lang),
+               per AS (SELECT doc_id, tok.lang AS lang,
+                              CAST(CAST(SUM(CAST(logp AS DECIMAL(38,6)))
+                                        / COUNT(*) AS DECIMAL(38,6)) AS DOUBLE)
+                                AS mean_logp
+                       FROM tok JOIN lm ON tok.lang = lm.lang
+                                       AND tok.tok = lm.tok
+                       GROUP BY 1, 2),
+               b AS (SELECT lang, mean_logp,
+                            NTILE(3) OVER (PARTITION BY lang
+                                           ORDER BY mean_logp DESC, doc_id)
+                              AS bucket
+                     FROM per)
+               SELECT lang, bucket, COUNT(*) AS n_docs,
+                      CAST(CAST(SUM(CAST(mean_logp AS DECIMAL(38,6))) / COUNT(*)
+                           AS DECIMAL(38,6)) AS DOUBLE) AS avg_logp
+               FROM b GROUP BY 1, 2
+               ORDER BY lang, bucket""")),
+
     // Document fingerprint: position-weighted rolling hash over
     // md5-derived token ids — deterministic across engines/runs, the
     // cheap near-identity key for incremental dedup.
