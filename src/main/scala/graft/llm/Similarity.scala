@@ -348,7 +348,9 @@ object Similarity {
         val cent = ex.groupBy(col("bucket"), col("pos"))
           .agg((sum(expr("CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(38,6))")) /
                 count(lit(1))).cast("decimal(38,6)").cast("double").as("cv"))
-        val csim = ex.join(cent, Seq("bucket", "pos"))
+        // broadcast: the corpus-sized long form must NOT shuffle to meet
+        // the 1024-row centroid table
+        val csim = ex.join(broadcast(cent), Seq("bucket", "pos"))
           .groupBy(col("vec_id"))
           .agg(round(sum(expr(
                  "CAST(round(CAST(v AS DOUBLE) * cv, 12) AS DECIMAL(38,12))"))
