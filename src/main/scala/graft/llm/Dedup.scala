@@ -92,6 +92,60 @@ object Dedup {
             FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
           WHERE jac >= 0.3)"""
 
+  /** MinHash+LSH candidate pairs (lang, id_a, id_b), distinct across
+    * band collisions — shared by llm_dedup_minhash and the recall probe.
+    * 16 md5-derived permutations, 4 bands of 4; the bucket join carries
+    * only (lang, band, bsig, doc_id). */
+  private[llm] def minhashCands(s: org.apache.spark.sql.SparkSession,
+                                dir: String) = {
+    graft.functions.Custom.register(s)
+    val P = 1000003L
+    val sigs = shingled(s, dir)
+      .withColumn("tids", expr(s"transform(sh, tok -> ${tidE("tok")} % $P)"))
+      .withColumn("sigs", expr("minhash16(tids)"))
+    val bands = sigs.select(
+        col("doc_id"), col("lang"),
+        explode(expr(
+          """transform(sequence(0, 3),
+             b -> struct(b AS band,
+                         concat_ws(',', transform(slice(sigs, b*4 + 1, 4),
+                                                  x -> cast(x AS STRING))) AS bsig))"""))
+          .as("bb"))
+      .select(col("doc_id"), col("lang"),
+              col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val a = bands.select(col("lang"), col("band"), col("bsig"),
+                         col("doc_id").as("id_a"))
+    val b = bands.select(col("lang").as("lang_b"), col("band").as("band_b"),
+                         col("bsig").as("bsig_b"), col("doc_id").as("id_b"))
+    a.join(b,
+        col("lang") === col("lang_b") && col("band") === col("band_b") &&
+        col("bsig") === col("bsig_b") && col("id_a") < col("id_b"))
+      .select(col("lang"), col("id_a"), col("id_b"))
+      .distinct() // a pair may collide in several bands
+  }
+
+  /** DuckDB spelling of the MinHash candidate set, as a CTE-list fragment
+    * ending in `mh_cand(lang, id_a, id_b)`. Expects an `s(doc_id, lang,
+    * sh)` CTE in scope (see [[duckNearPairsCtes]]). */
+  private[llm] val duckMinhashCandCtes: String =
+    """mh_ids AS (SELECT doc_id, lang,
+                 list_transform(sh, tok ->
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % 1000003) AS tids
+                 FROM s),
+       mh_sigs AS (SELECT doc_id, lang,
+                  list_transform(generate_series(0, 15), j ->
+                    list_min(list_transform(tids,
+                      h -> ((2*j + 3) * h + 5*j + 7) % 1000003))) AS sigs
+                  FROM mh_ids),
+       mh_bands AS (SELECT doc_id, lang, b AS band,
+                   array_to_string(sigs[b*4 + 1 : b*4 + 4], ',') AS bsig
+                   FROM mh_sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
+       mh_cand AS (SELECT DISTINCT a.lang AS lang, a.doc_id AS id_a,
+                          b.doc_id AS id_b
+                   FROM mh_bands a JOIN mh_bands b
+                     ON a.lang = b.lang AND a.band = b.band
+                    AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
+
   val qs: Seq[(String, Q)] = Seq(
 
     // Exact dedup by normalized-content fingerprint (first 40 chars — the
@@ -153,37 +207,14 @@ object Dedup {
     // even the banding has a DuckDB oracle twin.
     "llm_dedup_minhash" -> Q(
       (s, dir) => {
-        graft.functions.Custom.register(s)
-        val P = 1000003L
+        // Candidate generation lives in minhashCands (one codegen pass
+        // per doc for all 16 signatures; the bucket join carries only
+        // (lang, band, bsig, doc_id) — shingle arrays stay out of the
+        // shuffle and the distinct, candidates re-join them by id. At
+        // 100 TB the band-signature is the partition key and that join
+        // is the only corpus-wide shuffle.)
         val sh = shingled(s, dir)
-        // One codegen pass per doc for all 16 signatures (minhash16 is
-        // arithmetic-identical to the 16× array_min(transform(...)) fold).
-        val sigs = sh
-          .withColumn("tids", expr(s"transform(sh, tok -> ${tidE("tok")} % $P)"))
-          .withColumn("sigs", expr("minhash16(tids)"))
-        // Bucket join carries ONLY (lang, band, bsig, doc_id) — the shingle
-        // arrays stay out of the shuffle and the distinct; candidates
-        // re-join them by id afterwards. At 100 TB the band-signature is
-        // the partition key and this join is the only corpus-wide shuffle.
-        val bands = sigs.select(
-            col("doc_id"), col("lang"),
-            explode(expr(
-              """transform(sequence(0, 3),
-                 b -> struct(b AS band,
-                             concat_ws(',', transform(slice(sigs, b*4 + 1, 4),
-                                                      x -> cast(x AS STRING))) AS bsig))"""))
-              .as("bb"))
-          .select(col("doc_id"), col("lang"),
-                  col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-        val a = bands.select(col("lang"), col("band"), col("bsig"),
-                             col("doc_id").as("id_a"))
-        val b = bands.select(col("lang").as("lang_b"), col("band").as("band_b"),
-                             col("bsig").as("bsig_b"), col("doc_id").as("id_b"))
-        val cand = a.join(b,
-            col("lang") === col("lang_b") && col("band") === col("band_b") &&
-            col("bsig") === col("bsig_b") && col("id_a") < col("id_b"))
-          .select(col("lang"), col("id_a"), col("id_b"))
-          .distinct() // a pair may collide in several bands
+        val cand = minhashCands(s, dir)
         cand
           .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
           .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -221,6 +252,45 @@ object Dedup {
                  FROM cand)
                WHERE jac >= 0.3
                ORDER BY lang, id_a, id_b""")),
+
+    // LSH recall accounting — the lexical twin of the ANN path's
+    // multiprobe recall row: how many of the EXACT Jaccard-τ pairs does
+    // the 4×4 MinHash banding actually surface, and how many candidates
+    // does it spend to do it? recall = |cand ∩ exact| / |exact| is the
+    // number a curation run must watch when it swaps the inverted-index
+    // join for LSH at scale (banding probability 1−(1−j^4)^4 is steep in
+    // j, so planted high-j dups survive while τ-threshold pairs can
+    // slip); candidate_efficiency = |cand ∩ exact| / |cand| is the wasted
+    // verification work. Both pinned exactly — the sketch is
+    // deterministic, so recall is a fact, not a distribution.
+    "llm_minhash_recall" -> Q(
+      (s, dir) => {
+        val exact = nearPairs(s, dir)
+          .select(col("lang"), col("id_a"), col("id_b"))
+        val cand = minhashCands(s, dir)
+        val hit = exact.join(cand, Seq("lang", "id_a", "id_b"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_found")))
+          .select(col("n_exact"), col("n_candidates"), col("n_found"),
+                  (col("n_found").cast("double") / col("n_exact"))
+                    .as("recall"),
+                  (col("n_found").cast("double") / col("n_candidates"))
+                    .as("candidate_efficiency"))
+      },
+      Some(s"""WITH $duckNearPairsCtes,
+                    $duckMinhashCandCtes,
+                    ne AS (SELECT COUNT(*) AS n_exact FROM near_pairs),
+                    nc AS (SELECT COUNT(*) AS n_candidates FROM mh_cand),
+                    nf AS (SELECT COUNT(*) AS n_found
+                           FROM near_pairs p SEMI JOIN mh_cand c
+                             ON p.lang = c.lang AND p.id_a = c.id_a
+                            AND p.id_b = c.id_b)
+               SELECT n_exact, n_candidates, n_found,
+                      CAST(n_found AS DOUBLE) / n_exact AS recall,
+                      CAST(n_found AS DOUBLE) / n_candidates
+                        AS candidate_efficiency
+               FROM ne, nc, nf""")),
 
     // SimHash: 32-bit majority-vote fingerprint over distinct-token md5
     // ids (one codegen pass via simhash32), near-dup = hamming distance
