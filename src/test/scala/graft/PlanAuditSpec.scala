@@ -536,6 +536,45 @@ class PlanAuditSpec extends SparkSuite {
       s"a window survived — per-set sort is back:\n$p")
   }
 
+  test("llm_semdedup: centroids broadcast back; pairs block on the sign bucket") {
+    val p = planOf("llm_semdedup")
+    // the 1024-row centroid table must come to the exploded corpus, never
+    // the reverse
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid join not broadcast:\n$p")
+    // the only corpus-sized pair shuffle is keyed on the cluster bucket
+    assert("hashpartitioning\\(bucket#\\d+, \\d+\\)".r.findFirstIn(p).isDefined,
+      s"pair join not blocked on the bucket:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"unblocked pair explosion:\n$p")
+  }
+
+  test("llm_ccnet_bucket: LM broadcasts; ranking window sees only the doc-reduced table") {
+    val p = planOf("llm_ccnet_bucket")
+    assert(p.contains("BroadcastHashJoin"), s"LM join not broadcast:\n$p")
+    // every per-lang window exchange must feed from the (doc_id, lang)
+    // aggregate, never the raw token explosion
+    val langEx = "Exchange hashpartitioning\\(lang#\\d+, \\d+\\)".r
+    assert(langEx.findFirstIn(p).isDefined, s"no per-lang window exchange:\n$p")
+    // (the ntile exchange rides the (doc_id, lang) reduce; the per-lang
+    // totals exchange rides its own partial count — either way an
+    // aggregate must sit between any lang exchange and the scan)
+    for (m <- langEx.findAllMatchIn(p)) {
+      val tail = p.substring(m.end)
+      val iAgg = tail.indexOf("HashAggregate(keys=[")
+      val iScan = tail.indexOf("FileScan")
+      assert(iAgg >= 0 && (iScan < 0 || iAgg < iScan),
+        s"window exchange carries unreduced tokens:\n$p")
+    }
+  }
+
+  test("llm_minhash_recall: overlap is a semi join, no cartesian pair work") {
+    val p = planOf("llm_minhash_recall")
+    assert(p.contains("LeftSemi"), s"overlap not a semi join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian crept into the recall probe:\n$p")
+  }
+
   test("q_graph_triangles / q_pagerank_iter: edge builder is join-free (set explode)") {
     Seq("q_graph_triangles", "q_pagerank_iter").foreach { k =>
       val p = planOf(k)
