@@ -191,6 +191,97 @@ object Trends {
     // column records whether 4×8192 cells were enough at this SF. Cost:
     // the 4-row replicate is the only corpus expansion; every aggregate
     // is map-side combined, nothing ever materializes per-pair.
+    // Kaplan–Meier survival curve over customer lifetimes with right
+    // censoring — the survival-analysis estimator (churn curves, content
+    // half-life) the retention matrix can't express: lifetime = days
+    // between a customer's first and last order, censored (event=0) when
+    // the last order falls inside the final 90 days (still active, fate
+    // unknown). KM: S(t) = Π_{u≤t} (1 − d_u/n_u) with d = events at u,
+    // n = at-risk (lifetime ≥ u, censored included). Engine shape: the
+    // corpus reduces to one row per customer, then per-lifetime counts —
+    // every window (at-risk suffix sum, log-survival prefix sum) runs
+    // over the distinct-lifetime table, days-sized, never the orders.
+    // Numeric parity: the product runs in log space — per-term
+    // round(ln, 6) (libm ulp), DECIMAL(38,6) running sum (exact), one
+    // round(exp, 6) at the end (the q_decay_sum precedent); suffix-sum
+    // BIGINTs cast before emitting (DuckDB window SUM → HUGEINT). A
+    // whole-cohort death at the final lifetime would make ln(0) = −∞, so
+    // that row (and everything after) pins S = 0 via the zcum flag
+    // instead of arithmetic on infinities.
+    "q_survival" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val ref = o.agg(max(col("o_orderdate")).as("refd"))
+        val cust = o.groupBy(col("o_custkey"))
+          .agg(min(col("o_orderdate")).as("first_d"),
+               max(col("o_orderdate")).as("last_d"))
+          .crossJoin(broadcast(ref))
+          .select(datediff(col("last_d"), col("first_d")).as("t"),
+                  when(datediff(col("refd"), col("last_d")) < 90, 0L)
+                    .otherwise(1L).as("event"))
+        val byT = cust.groupBy(col("t"))
+          .agg(count(lit(1)).as("n_total"), sum(col("event")).as("d"))
+        val wRisk = Window.orderBy(col("t"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wCum = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byT
+          .withColumn("n_at_risk", sum(col("n_total")).over(wRisk))
+          .withColumn("term",
+            when(col("d") < col("n_at_risk"),
+              round(log(lit(1.0) -
+                col("d").cast("double") / col("n_at_risk")), 6))
+              .otherwise(lit(0.0)))
+          .withColumn("z", when(col("d") === col("n_at_risk"), 1L)
+                             .otherwise(0L))
+          .withColumn("zcum", sum(col("z")).over(wCum))
+          .withColumn("survival",
+            when(col("zcum") > 0, lit(0.0))
+              .otherwise(round(exp(
+                sum(col("term").cast("decimal(38,6)")).over(wCum)
+                  .cast("double")), 6)))
+          .select(col("t"), col("n_at_risk"), col("d").as("n_events"),
+                  (col("n_total") - col("d")).as("n_censored"),
+                  col("survival"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH r AS (SELECT MAX(o_orderdate) AS refd FROM orders),
+                   c AS (SELECT o_custkey,
+                                date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                                          CAST(MAX(o_orderdate) AS DATE)) AS t,
+                                CASE WHEN date_diff('day',
+                                            CAST(MAX(o_orderdate) AS DATE),
+                                            CAST(MIN(refd) AS DATE)) < 90
+                                     THEN 0 ELSE 1 END AS event
+                         FROM orders, r GROUP BY o_custkey),
+                   bt AS (SELECT t, COUNT(*) AS n_total,
+                                 CAST(SUM(event) AS BIGINT) AS d
+                          FROM c GROUP BY 1),
+                   k AS (SELECT t, n_total, d,
+                                CAST(SUM(n_total) OVER (ORDER BY t
+                                       ROWS BETWEEN CURRENT ROW AND
+                                       UNBOUNDED FOLLOWING) AS BIGINT)
+                                  AS n_at_risk
+                         FROM bt),
+                   j AS (SELECT t, n_total, d, n_at_risk,
+                                CASE WHEN d < n_at_risk
+                                     THEN round(ln(1.0 - CAST(d AS DOUBLE)
+                                                        / n_at_risk), 6)
+                                     ELSE 0.0 END AS term,
+                                CASE WHEN d = n_at_risk THEN 1 ELSE 0 END AS z
+                         FROM k)
+               SELECT t, n_at_risk, d AS n_events,
+                      n_total - d AS n_censored,
+                      CASE WHEN CAST(SUM(z) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                             AS BIGINT) > 0 THEN 0.0
+                           ELSE round(exp(CAST(SUM(CAST(term AS DECIMAL(38,6)))
+                                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                                        PRECEDING AND CURRENT ROW)
+                                  AS DOUBLE)), 6) END AS survival
+               FROM j
+               ORDER BY t""")),
+
     "q_f2_moment" -> Q(
       (s, dir) => {
         graft.functions.Custom.register(s)
