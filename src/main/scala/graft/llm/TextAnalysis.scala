@@ -324,6 +324,65 @@ object TextAnalysis {
                GROUP BY doc_id
                ORDER BY doc_id""")),
 
+    // Interpolated bigram LM scoring — the KenLM-shaped upgrade to
+    // llm_perplexity_proxy's unigram model: each doc scores by the mean
+    // ln(λ·P(w2|w1) + (1−λ)·P(w2)) over its bigrams, λ = 0.5, with the
+    // unigram term as the backoff mass so unseen-in-context continuations
+    // never hit ln(0). MLE ratios are exact integer fractions evaluated
+    // in identical operation order on both engines; ln rounds to 6 (libm
+    // ulp) before the exact decimal mean. Scale shape: the LM tables are
+    // vocab- and bigram-vocab-sized (broadcast); the corpus explodes once
+    // and aggregates per doc — no corpus-sized shuffle beyond the
+    // (doc_id) agg.
+    "llm_ngram_lm" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).withColumn("toks", expr(toksE))
+        val bg = docs.select(col("doc_id"), explode(expr(
+            """zip_with(slice(toks, 1, size(toks) - 1),
+                        slice(toks, 2, size(toks) - 1),
+                        (a, b) -> struct(a AS w1, b AS w2))""")).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        val uni = docs.select(explode(col("toks")).as("tok"))
+        val c1 = uni.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+        val nTot = uni.agg(count(lit(1)).as("n_total"))
+        val lm = c2
+          .join(broadcast(c1.select(col("tok").as("w1"), col("c1").as("c1a"))),
+                Seq("w1"))
+          .join(broadcast(c1.select(col("tok").as("w2"), col("c1").as("c1b"))),
+                Seq("w2"))
+          .crossJoin(broadcast(nTot))
+          .select(col("w1"), col("w2"),
+                  round(log(lit(0.5) * (col("c2").cast("double") / col("c1a")) +
+                            lit(0.5) * (col("c1b").cast("double") / col("n_total"))), 6)
+                    .as("logp"))
+        bg.join(broadcast(lm), Seq("w1", "w2"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+               (sum(col("logp").cast("decimal(38,6)")) / count(lit(1)))
+                 .cast("decimal(38,6)").cast("double").as("mean_logp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+               bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                      FROM t, LATERAL (SELECT unnest(generate_series(1,
+                             len(toks) - 1)) AS i) u),
+               c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+               uni AS (SELECT unnest(toks) AS tok FROM t),
+               c1 AS (SELECT tok, COUNT(*) AS c1 FROM uni GROUP BY 1),
+               n AS (SELECT COUNT(*) AS n_total FROM uni),
+               lm AS (SELECT w1, w2,
+                             round(ln(0.5 * (CAST(c2 AS DOUBLE) / a.c1) +
+                                      0.5 * (CAST(b.c1 AS DOUBLE) / n_total)), 6)
+                               AS logp
+                      FROM c2 JOIN c1 a ON c2.w1 = a.tok
+                              JOIN c1 b ON c2.w2 = b.tok, n)
+               SELECT doc_id, COUNT(*) AS n_bigrams,
+                      CAST(CAST(SUM(CAST(logp AS DECIMAL(38,6))) / COUNT(*)
+                           AS DECIMAL(38,6)) AS DOUBLE) AS mean_logp
+               FROM bg JOIN lm USING (w1, w2)
+               GROUP BY 1 ORDER BY doc_id""")),
+
     // CCNet-style quality bucketing (Wenzek et al. 2020): rank each
     // language's documents by LM score and cut into head/middle/tail
     // thirds — the bucket label CCNet ships with every CommonCrawl doc,
