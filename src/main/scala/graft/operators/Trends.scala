@@ -191,6 +191,51 @@ object Trends {
     // column records whether 4×8192 cells were enough at this SF. Cost:
     // the 4-row replicate is the only corpus expansion; every aggregate
     // is map-side combined, nothing ever materializes per-pair.
+    // CUSUM changepoint detection on the daily revenue series — the
+    // classic regime-shift locator: cumulative deviations from the global
+    // mean peak (in absolute value) exactly where the level shifts. All
+    // arithmetic stays in DECIMAL(38,4) (the H.D lane: deviations,
+    // prefix sums, the peak comparison — unscaled values stay far under
+    // 2^53, the scale-6 double-rounding trap q_rolling_corr documented),
+    // so the flag is an exact-decimal equality, identical per engine.
+    // Reduce-first: orders collapse to the day table before the one
+    // ordered window; emit casts to DOUBLE last.
+    "q_changepoint" -> Q(
+      (s, dir) => {
+        val day = Tables.orders(s, dir)
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(sum(col("o_totalprice").cast(H.D)).as("revd"))
+        val mu = day.agg((sum(col("revd")) / count(lit(1)))
+                           .cast(H.D).as("mu"))
+        val ord = Window.orderBy(col("day"))
+        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = ord.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+        day.crossJoin(broadcast(mu))
+          .withColumn("cusum", sum(col("revd") - col("mu")).over(cum))
+          .withColumn("is_changepoint",
+            abs(col("cusum")) === max(abs(col("cusum"))).over(all))
+          .select(col("day"), col("revd").cast("double").as("rev"),
+                  col("cusum").cast("double").as("cusum"),
+                  col("is_changepoint"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH day AS (SELECT date_trunc('day', o_orderdate) AS day,
+                                  SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                                    AS revd
+                           FROM orders GROUP BY 1),
+                   tot AS (SELECT CAST(SUM(revd) / COUNT(*) AS DECIMAL(38,4))
+                             AS mu FROM day),
+                   c AS (SELECT day, revd,
+                                SUM(revd - mu) OVER (ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND
+                                  CURRENT ROW) AS cusum
+                         FROM day, tot)
+              SELECT day, CAST(revd AS DOUBLE) AS rev,
+                     CAST(cusum AS DOUBLE) AS cusum,
+                     abs(cusum) = MAX(abs(cusum)) OVER () AS is_changepoint
+              FROM c ORDER BY day""")),
+
     // Kaplan–Meier survival curve over customer lifetimes with right
     // censoring — the survival-analysis estimator (churn curves, content
     // half-life) the retention matrix can't express: lifetime = days
