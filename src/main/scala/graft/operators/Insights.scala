@@ -55,6 +55,76 @@ object Insights {
               GROUP BY 1, 2 HAVING COUNT(*) >= 2
               ORDER BY n_orders DESC, p1, p2 LIMIT 100""")),
 
+    // Association rules over the basket pairs — the market-basket step
+    // AFTER q_basket_pairs's co-occurrence counts: per pair, both
+    // directed confidences conf(a→b) = supp(ab)/supp(a) and the
+    // symmetric lift = supp(ab)·N / (supp(a)·supp(b)), top-50 by lift.
+    // Shapes stay linear: baskets reduce in-row to C(k,2) pairs (the
+    // H.pairsE explode — no self-join), item supports are one hash-agg
+    // over the distinct (order, part) projection and BROADCAST back to
+    // the pair table (part-dim-sized), and the ratios are exact integer
+    // fractions in DECIMAL so the ranking never sees a float division.
+    "q_assoc_rules" -> Q(
+      (s, dir) => {
+        val items = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val nOrders = items.select(col("l_orderkey")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        val supp = items.groupBy(col("l_partkey"))
+          .agg(count(lit(1)).as("n_p"))
+        val pairs = items.groupBy(col("l_orderkey"))
+          .agg(array_sort(collect_set(col("l_partkey"))).as("items"))
+          .select(explode(expr(H.pairsE("items"))).as("pr"))
+          .groupBy(col("pr.a").as("p1"), col("pr.b").as("p2"))
+          .agg(count(lit(1)).as("n_both"))
+          .filter(col("n_both") >= 2)
+        pairs
+          .join(broadcast(supp.select(col("l_partkey").as("p1"),
+                                      col("n_p").as("n_p1"))), Seq("p1"))
+          .join(broadcast(supp.select(col("l_partkey").as("p2"),
+                                      col("n_p").as("n_p2"))), Seq("p2"))
+          .crossJoin(broadcast(nOrders))
+          .withColumn("conf_12", (col("n_both").cast("decimal(18,6)") /
+                                  col("n_p1")).cast("decimal(18,6)"))
+          .withColumn("conf_21", (col("n_both").cast("decimal(18,6)") /
+                                  col("n_p2")).cast("decimal(18,6)"))
+          .withColumn("liftd",
+            ((col("n_both") * col("n_orders")).cast("decimal(38,6)") /
+             (col("n_p1") * col("n_p2"))).cast("decimal(38,6)"))
+          .orderBy(col("liftd").desc, col("p1"), col("p2"))
+          .limit(50)
+          .select(col("p1"), col("p2"), col("n_p1"), col("n_p2"),
+                  col("n_both"),
+                  col("conf_12").cast("double").as("conf_12"),
+                  col("conf_21").cast("double").as("conf_21"),
+                  col("liftd").cast("double").as("lift"))
+          .orderBy(col("lift").desc, col("p1"), col("p2"))
+      },
+      Some("""WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+                   n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM i),
+                   s AS (SELECT l_partkey, COUNT(*) AS n_p FROM i GROUP BY 1),
+                   p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+                                COUNT(*) AS n_both
+                         FROM i a JOIN i b
+                           ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+                         GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+              SELECT p1, p2, n_p1, n_p2, n_both,
+                     CAST(conf_12 AS DOUBLE) AS conf_12,
+                     CAST(conf_21 AS DOUBLE) AS conf_21,
+                     CAST(liftd AS DOUBLE) AS lift
+              FROM (SELECT p.p1, p.p2, sa.n_p AS n_p1, sb.n_p AS n_p2, n_both,
+                           CAST(CAST(n_both AS DECIMAL(18,6)) / sa.n_p
+                                AS DECIMAL(18,6)) AS conf_12,
+                           CAST(CAST(n_both AS DECIMAL(18,6)) / sb.n_p
+                                AS DECIMAL(18,6)) AS conf_21,
+                           CAST(CAST(n_both * n_orders AS DECIMAL(38,6))
+                                / (sa.n_p * sb.n_p) AS DECIMAL(38,6)) AS liftd
+                    FROM p JOIN s sa ON p.p1 = sa.l_partkey
+                           JOIN s sb ON p.p2 = sb.l_partkey, n
+                    ORDER BY liftd DESC, p1, p2 LIMIT 50) z
+              ORDER BY lift DESC, p1, p2""")),
+
     // Event-sequence Markov transition matrix: P(next event type | this
     // event type), from per-user time-ordered chains. The window is
     // partitioned by user_id (corpus shuffles once, on the natural key);
