@@ -55,6 +55,43 @@ object Insights {
               GROUP BY 1, 2 HAVING COUNT(*) >= 2
               ORDER BY n_orders DESC, p1, p2 LIMIT 100""")),
 
+    // Gini coefficient of customer revenue concentration — the
+    // inequality number next to q_pareto's ABC bands: with x sorted
+    // ascending, G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx). Customers reduce
+    // first (the rank window sees the customer dim only — exact ranks
+    // need that sort, same inherent trade q_rfm documents); every product
+    // and sum stays in exact DECIMAL off the rank integers, so G is one
+    // deterministic decimal division cast to DOUBLE at the end.
+    "q_gini" -> Q(
+      (s, dir) => {
+        val cust = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast(H.D)).as("x"))
+        val rn = row_number().over(
+          Window.orderBy(col("x"), col("o_custkey")))
+        cust.withColumn("i", rn.cast("long"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("x")).as("s"),
+               sum(col("x") * col("i")).as("srx"))
+          .select(col("n"),
+                  col("s").cast("double").as("total_rev"),
+                  ((lit(2) * col("srx") - (col("n") + 1) * col("s")) /
+                   (col("n") * col("s"))).cast("decimal(38,6)")
+                    .cast("double").as("gini"))
+      },
+      Some("""WITH c AS (SELECT o_custkey,
+                                SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS x
+                         FROM orders GROUP BY 1),
+                   r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey)
+                                       AS BIGINT) AS i
+                         FROM c)
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(x) AS DOUBLE) AS total_rev,
+                     CAST(CAST((2 * SUM(x * i) - (COUNT(*) + 1) * SUM(x))
+                               / (COUNT(*) * SUM(x)) AS DECIMAL(38,6))
+                          AS DOUBLE) AS gini
+              FROM r""")),
+
     // Association rules over the basket pairs — the market-basket step
     // AFTER q_basket_pairs's co-occurrence counts: per pair, both
     // directed confidences conf(a→b) = supp(ab)/supp(a) and the
