@@ -191,6 +191,62 @@ object Trends {
     // column records whether 4×8192 cells were enough at this SF. Cost:
     // the 4-row replicate is the only corpus expansion; every aggregate
     // is map-side combined, nothing ever materializes per-pair.
+    // Simple exponential smoothing forecast (α = 0.5, an exact binary
+    // fraction) over the daily revenue series, with one-step-ahead error
+    // accounting: s_t = α·x_t + (1−α)·s_{t−1}, forecast_next = s_T, and
+    // MAE of the t≥2 prediction errors x_t − s_{t−1} — the level-only
+    // member of the forecasting family beside q_backtest's seasonal
+    // naive. The recurrence is inherently sequential, so it runs as an
+    // in-row left fold over the CALENDAR-bounded day array (the q_ewma
+    // technique — ~2.4k elements regardless of corpus size; the corpus
+    // itself reduces to the day table first). Both engines fold
+    // identically: the element list is pre-shaped as (s, serr) structs so
+    // DuckDB's first-element-seeded list_reduce and Spark's aggregate
+    // seeded with element 1 run the same op sequence.
+    "q_ses" -> Q(
+      (s, dir) => {
+        val day = Tables.orders(s, dir)
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(sum(col("o_totalprice").cast(H.D)).cast("double").as("rev"))
+        day.agg(array_sort(collect_list(struct(col("day"), col("rev"))))
+                  .as("a"))
+          .select(expr(
+            """transform(a, x ->
+                 named_struct('s', x.rev, 'serr', CAST(0.0 AS DOUBLE)))""")
+            .as("b"))
+          .select(size(col("b")).cast("bigint").as("n_days"),
+                  expr("""aggregate(slice(b, 2, size(b) - 1),
+                            element_at(b, 1),
+                            (acc, x) -> named_struct(
+                              's', acc.s * 0.5 + x.s * 0.5,
+                              'serr', acc.serr + abs(x.s - acc.s)))""")
+                    .as("r"))
+          .select(col("n_days"),
+                  round(col("r.s"), 6).as("forecast_next"),
+                  round(col("r.serr") / (col("n_days") - 1), 6).as("mae"))
+      },
+      // (oracle is a RECURSIVE CTE, not list_reduce: DuckDB 1.0's
+      // list_reduce evaluates every field of a struct_pack accumulator
+      // to the FIRST field's expression — probed directly; the recursion
+      // runs the same (s, serr) op sequence the Spark fold does)
+      Some("""WITH RECURSIVE day AS (
+                     SELECT date_trunc('day', o_orderdate) AS day,
+                            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                                 AS DOUBLE) AS rev
+                     FROM orders GROUP BY 1),
+                   d AS (SELECT CAST(row_number() OVER (ORDER BY day)
+                                     AS BIGINT) AS i, rev FROM day),
+                   n AS (SELECT COUNT(*) AS n_days FROM d),
+                   r AS (SELECT i, rev AS s, CAST(0.0 AS DOUBLE) AS serr
+                         FROM d WHERE i = 1
+                         UNION ALL
+                         SELECT d.i, r.s * 0.5 + d.rev * 0.5,
+                                r.serr + abs(d.rev - r.s)
+                         FROM r JOIN d ON d.i = r.i + 1)
+              SELECT n_days, round(s, 6) AS forecast_next,
+                     round(serr / (n_days - 1), 6) AS mae
+              FROM r, n WHERE i = n_days""")),
+
     // CUSUM changepoint detection on the daily revenue series — the
     // classic regime-shift locator: cumulative deviations from the global
     // mean peak (in absolute value) exactly where the level shifts. All
