@@ -56,6 +56,57 @@ object Trends {
                                        AS DECIMAL(38,4)) AS DOUBLE), 6) AS seasonal_idx
               FROM w ORDER BY dow""")),
 
+    // Classical additive decomposition of the daily revenue series:
+    // trend = centered 7-day moving mean, seasonal = day-of-week mean of
+    // the detrended series, residual = what's left — the three-lane
+    // series view behind anomaly triage (is the spike trend, weekday, or
+    // noise?). Orders reduce to the day table before the one ordered
+    // window; the 7-row DOW profile broadcasts back. Every lane stays in
+    // the proven DECIMAL(38,4) avg lanes (the q_seasonal_idx spelling) so
+    // all ~2.4k rows pin bit-exact; doubles appear only on emit.
+    "q_seasonal_decompose" -> Q(
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(sum(col("o_totalprice").cast(H.D)).as("revd"))
+        val fr = Window.orderBy(col("day")).rowsBetween(-3, 3)
+        val t = daily
+          .withColumn("trend", (sum(col("revd")).over(fr) /
+                                count(lit(1)).over(fr)).cast(H.D))
+          .withColumn("dow", dayofweek(col("day")))
+          .withColumn("det", col("revd") - col("trend"))
+        val seas = t.groupBy(col("dow"))
+          .agg((sum(col("det")) / count(lit(1))).cast(H.D).as("seasonal"))
+        t.join(broadcast(seas), Seq("dow"))
+          .select(col("day"), col("revd").cast("double").as("rev"),
+                  col("trend").cast("double").as("trend"),
+                  col("seasonal").cast("double").as("seasonal"),
+                  (col("det") - col("seasonal")).cast("double").as("residual"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
+                                SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                                  AS revd
+                         FROM orders GROUP BY 1),
+                   t AS (SELECT day, revd,
+                                CAST(SUM(revd) OVER w / COUNT(*) OVER w
+                                     AS DECIMAL(38,4)) AS trend,
+                                dayofweek(day) + 1 AS dow
+                         FROM d
+                         WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                                      AND 3 FOLLOWING)),
+                   t2 AS (SELECT day, revd, trend, dow,
+                                 revd - trend AS det FROM t),
+                   s AS (SELECT dow, CAST(SUM(det) / COUNT(*)
+                                          AS DECIMAL(38,4)) AS seasonal
+                         FROM t2 GROUP BY 1)
+              SELECT day, CAST(revd AS DOUBLE) AS rev,
+                     CAST(trend AS DOUBLE) AS trend,
+                     CAST(seasonal AS DOUBLE) AS seasonal,
+                     CAST(det - seasonal AS DOUBLE) AS residual
+              FROM t2 JOIN s USING (dow)
+              ORDER BY day""")),
+
     // Month-over-month revenue growth: the fact table reduces to one row
     // per month; lag + ratio run single-partition over that ~84-row
     // series. Growth is a double ratio of two H.dsum doubles, round 6;
