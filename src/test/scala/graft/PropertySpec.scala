@@ -141,7 +141,11 @@ class PropertySpec extends SparkSuite {
                    // ride the round-6 grain — the exact failure mode
                    // this test exists to catch
                    "q_autocorr", "q_regression", "q_chi2", "llm_zipf",
-                   "q_decay_sum", "q_weighted_median")
+                   "q_decay_sum", "q_weighted_median",
+                   // round-6 keys with ln/exp/ratio doubles or sketch
+                   // thetas that must not depend on partial-agg order
+                   "q_theta_sketch", "llm_ccnet_bucket", "llm_ngram_lm",
+                   "q_survival", "q_ses", "llm_semdedup")
     val conf = spark.conf
     val saved = conf.get("spark.sql.shuffle.partitions")
     def rows(key: String) =
