@@ -245,6 +245,60 @@ object EventsBatch {
               GROUP BY 1, 2
               ORDER BY 1, 2""")),
 
+    // Cohort lifetime value — the monetary companion of q_retention's
+    // activity matrix: customers group by first-order month, and each
+    // (cohort, months-since) cell reports cumulative revenue and LTV per
+    // cohort customer — the payback-curve table. The corpus reduces to
+    // the cohort×offset grid before the cumulative window (grid-sized,
+    // ~84² cells max); cohort sizes broadcast back; revenue lanes stay
+    // exact decimal until emit.
+    "q_cohort_ltv" -> Q(
+      (s, dir) => {
+        val om = Tables.orders(s, dir)
+          .select(col("o_custkey"),
+                  (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+                    .cast("long").as("m"),
+                  col("o_totalprice"))
+        val coh = om.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+        val grid = om.join(coh, Seq("o_custkey"))
+          .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("month_offset"))
+          .agg(sum(col("o_totalprice").cast(graft.H.D)).as("rev"))
+        val sizes = coh.groupBy(col("cohort_m")).agg(count(lit(1)).as("n_customers"))
+        val wc = Window.partitionBy(col("cohort_m")).orderBy(col("month_offset"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.withColumn("cum", sum(col("rev")).over(wc))
+          .join(broadcast(sizes), Seq("cohort_m"))
+          // LTV divides in DOUBLE on purpose: decimal division here would
+          // round HALF_UP at Spark's derived scale while DuckDB routes
+          // decimal/bigint through DOUBLE — a measured half-ulp tie
+          // hazard (13 rows at sf0.01). One IEEE division of the same
+          // two exact inputs is bit-identical on both engines.
+          .select(col("cohort_m"), col("month_offset"), col("n_customers"),
+                  col("cum").cast("double").as("cum_rev"),
+                  (col("cum").cast("double") / col("n_customers"))
+                    .as("ltv_per_customer"))
+          .orderBy(col("cohort_m"), col("month_offset"))
+      },
+      Some("""WITH om AS (SELECT o_custkey,
+                                 year(o_orderdate) * 12 + month(o_orderdate) AS m,
+                                 o_totalprice
+                          FROM orders),
+                   coh AS (SELECT o_custkey, MIN(m) AS cohort_m FROM om GROUP BY 1),
+                   grid AS (SELECT cohort_m, om.m - cohort_m AS month_offset,
+                                   SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS rev
+                            FROM om JOIN coh USING (o_custkey) GROUP BY 1, 2),
+                   sz AS (SELECT cohort_m, COUNT(*) AS n_customers FROM coh GROUP BY 1)
+              SELECT CAST(cohort_m AS BIGINT) AS cohort_m,
+                     CAST(month_offset AS BIGINT) AS month_offset, n_customers,
+                     CAST(cum AS DOUBLE) AS cum_rev,
+                     CAST(cum AS DOUBLE) / n_customers AS ltv_per_customer
+              FROM (SELECT g.cohort_m, g.month_offset, n_customers,
+                           SUM(rev) OVER (PARTITION BY g.cohort_m
+                             ORDER BY g.month_offset ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS cum
+                    FROM grid g JOIN sz USING (cohort_m)) z
+              ORDER BY cohort_m, month_offset""")),
+
     // Peak session concurrency per hour — interval overlap WITHOUT an
     // interval self-join (which is quadratic in the overlap degree). The
     // sweep-line shape: each session [start, end] becomes a +1 and a −1
