@@ -237,6 +237,62 @@ object Pipeline {
                     FROM documents)
               ORDER BY doc_id""")),
 
+    // Crawl URL canonicalization + dedup accounting — the step every web
+    // corpus runs before content dedup ever sees a byte: the same page
+    // arrives under case variants, tracking queries, fragments, and
+    // trailing slashes, and canonicalization collapses them without
+    // reading content. Fixture URLs are built deterministically with
+    // planted variants (shared doc-id slots plus %3/%5 decorations); the
+    // canonical form lowercases, strips the fragment, the utm tracking
+    // query, and the trailing slash — a stateless regexp projection
+    // pipelined in the scan (zero shuffle beyond the per-source count
+    // distinct). Per-source raw-vs-canonical distincts quantify the
+    // collapse.
+    "llm_url_canon_dedup" -> Q(
+      (s, dir) => {
+        val raw = Tables.documents(s, dir)
+          .withColumn("url", concat(
+            lit("https://"), col("source"), lit(".Example.com/"), col("lang"),
+            lit("/doc-"), (col("doc_id") % 400).cast("string"),
+            when(col("doc_id") % 5 === 0, lit("/")).otherwise(lit("")),
+            when(col("doc_id") % 3 === 0, lit("?utm_source=feed&ref=rss"))
+              .when(col("doc_id") % 3 === 1, lit("#section-2"))
+              .otherwise(lit(""))))
+        raw.withColumn("canon",
+            regexp_replace(regexp_replace(regexp_replace(lower(col("url")),
+              "#.*$", ""), "\\?utm_[a-z_]+=[^#]*", ""), "/$", ""))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(col("url")).as("n_raw"),
+               countDistinct(col("canon")).as("n_canonical"))
+          .withColumn("dup_rate",
+            round((col("n_raw") - col("n_canonical")).cast("double") /
+                  col("n_raw"), 6))
+          .orderBy(col("source"))
+      },
+      Some("""WITH u AS (SELECT source,
+                       'https://' || source || '.Example.com/' || lang
+                       || '/doc-' || (doc_id % 400)
+                       || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN '?utm_source=feed&ref=rss'
+                               WHEN doc_id % 3 = 1 THEN '#section-2'
+                               ELSE '' END AS url
+                     FROM documents),
+                   c AS (SELECT source, url,
+                       regexp_replace(regexp_replace(regexp_replace(
+                         lower(url), '#.*$', '', 'g'),
+                         '\?utm_[a-z_]+=[^#]*', '', 'g'),
+                         '/$', '', 'g') AS canon
+                     FROM u)
+              SELECT source, COUNT(*) AS n_docs,
+                     COUNT(DISTINCT url) AS n_raw,
+                     COUNT(DISTINCT canon) AS n_canonical,
+                     round(CAST(COUNT(DISTINCT url) - COUNT(DISTINCT canon)
+                                AS DOUBLE) / COUNT(DISTINCT url), 6)
+                       AS dup_rate
+              FROM c GROUP BY 1 ORDER BY source""")),
+
     // Duplicate-cluster resolution: connected components over the
     // near-dup pair graph (llm_dedup_near's edges), via iterative
     // min-label propagation — each step is one join+agg over the SPARSE
