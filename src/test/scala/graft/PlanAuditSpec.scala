@@ -534,6 +534,17 @@ class PlanAuditSpec extends SparkSuite {
       s"bottom-k not planned as TopKPerGroup:\n$p")
     assert(!p.contains("Window ["),
       s"a window survived — per-set sort is back:\n$p")
+    // The sketch subtree instantiates several times (stats, union, and
+    // intersection all read it); the initial plan duplicates it, but AQE
+    // must dedup the identical stages at runtime — otherwise the member
+    // sets get recomputed per consumer at 100 TB.
+    val df = try {
+      Registry.byName("q_theta_sketch").fn(spark, sf)
+    } finally graft.plans.TopK.uninstall(spark)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert("Reused".r.findAllIn(fin).nonEmpty,
+      s"AQE did not reuse the repeated sketch stages:\n$fin")
   }
 
   test("llm_semdedup: centroids broadcast back; pairs block on the sign bucket") {
