@@ -398,6 +398,78 @@ object Dedup {
                         ROW_NUMBER() OVER (ORDER BY n_occ DESC, span) AS rn
                  FROM agg)
                WHERE rn <= 20
-               ORDER BY rn"""))
+               ORDER BY rn""")),
+
+    // PPJoin-style PREFIX-FILTERED similarity join (Chaudhuri et al.
+    // SSJoin / Bayardo et al. WWW'07): same pair set as llm_dedup_near,
+    // but the inverted index holds only each doc's PREFIX — the first
+    // n - ceil(tau*n) + 1 shingles under a global rarest-first order —
+    // instead of all n. Losslessness: J(a,b) >= tau implies
+    // |a∩b| >= ceil(tau*n_a) (since |a∩b| >= tau*|a∪b| >= tau*n_a), and
+    // the smallest common shingle c under the canonical order must sit
+    // inside BOTH prefixes (if c were past a's prefix, the >= n_a - p_a + 1
+    // = ceil(tau*n_a) tokens before it would all be non-common, leaving
+    // room for at most ceil(tau*n_a) - 1 common ones — contradiction).
+    // So candidates = prefix-token collisions only: the indexed posting
+    // lists shrink from df to df_prefix and candidate cost drops from
+    // Σ df² to Σ df_prefix² — the 100 TB win over llm_dedup_near's full
+    // inverted index, with zero recall loss (PrefixJoinSpec pins output
+    // equality against the full-index plan and the candidate-count
+    // strict reduction). ceil(3n/10) is exact integer arithmetic
+    // ((3n + 9) div 10) — a float 0.3*n would mis-round the prefix
+    // boundary at multiples of 10 and silently drop true pairs. The
+    // per-doc prefix ranking windows on doc_id (corpus-cardinality key,
+    // scale-safe); the df table joins on (lang, tok) — the same shuffle
+    // key the explode already produced. Oracle: the dense self-join (the
+    // hash gate proves the pruned plan equals it).
+    "llm_dedup_prefix" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sized = shingled(s, dir).withColumn("n", size(col("sh")))
+        val ex = sized.select(col("lang"), col("doc_id"), col("n"),
+                              explode(col("sh")).as("tok"))
+        val dfTab = ex.groupBy(col("lang"), col("tok"))
+          .agg(count(lit(1)).as("df"))
+        val pre = ex.join(dfTab, Seq("lang", "tok"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+          .filter(col("pos") <= expr("n - ((3 * n + 9) div 10) + 1"))
+          .select(col("lang"), col("tok"), col("doc_id"))
+        val cand = pre.select(col("lang"), col("tok"), col("doc_id").as("id_a"))
+          .join(pre.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
+                           col("doc_id").as("id_b")),
+                col("lang") === col("lang_b") && col("tok") === col("tok_b") &&
+                col("id_a") < col("id_b"))
+          .select(col("lang"), col("id_a"), col("id_b"))
+          .distinct()
+        cand
+          .join(sized.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+                Seq("id_a"))
+          .join(sized.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+                Seq("id_b"))
+          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("n_union",
+            size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+          .withColumn("jac", (col("n_inter").cast("decimal(18,6)") /
+                              col("n_union")).cast("decimal(18,6)"))
+          .filter(col("jac") >= 0.3)
+          .select(col("lang"), col("id_a"), col("id_b"),
+                  col("n_inter").cast("int").as("n_inter"),
+                  col("n_union").cast("int").as("n_union"),
+                  col("jac").cast("double").as("jac"))
+          .orderBy(col("lang"), col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents)
+               SELECT lang, id_a, id_b, n_inter, n_union,
+                      CAST(jac AS DOUBLE) AS jac FROM (
+                 SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                        len(list_intersect(a.sh, b.sh)) AS n_inter,
+                        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union,
+                        CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
+                             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                             AS DECIMAL(18,6)) AS jac
+                 FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+               WHERE jac >= 0.3
+               ORDER BY lang, id_a, id_b"""))
   )
 }

@@ -550,6 +550,58 @@ object Analytics {
                                         * sqrt(n * syy - sy * sy)), 6)
                           ELSE 0.0 END AS r50
               FROM d WHERE n = 50
-              ORDER BY l_returnflag, l_orderkey, l_linenumber, r50"""))
+              ORDER BY l_returnflag, l_orderkey, l_linenumber, r50""")),
+
+    // Transitive closure over a part hierarchy (BOM-style root/depth
+    // resolution) by POINTER DOUBLING: the synthetic forest parent(k) =
+    // k div 7 (roots k < 7) stands in for the reference's category
+    // hierarchies. Each round joins the state table to itself on the
+    // current-ancestor key, doubling every node's jump distance
+    // (1, 2, 4, ... hops), so a depth-d hierarchy resolves in
+    // O(log d) shuffles — the scale-critical difference from naive BFS
+    // chaining (O(d) shuffles; a retail taxonomy is shallow but a
+    // thread/reply or org graph is not). The self-join keys on node id
+    // (full hierarchy cardinality, no skew: each node has exactly one
+    // outgoing pointer and converged rows stop probing). Convergence is
+    // a driver-side count per round — O(log d) tiny jobs, the same
+    // memoized-iteration contract as llm_dedup_cluster. Oracle: DuckDB
+    // WITH RECURSIVE descends the same forest.
+    "q_transitive_closure" -> Q(
+      (s, dir) => {
+        val nodes = Tables.part(s, dir).select(col("p_partkey").as("id"))
+        var state = nodes.select(
+            col("id"),
+            when(col("id") >= 7, expr("id div 7")).otherwise(col("id")).as("anc"),
+            when(col("id") >= 7, lit(1)).otherwise(lit(0)).cast("int").as("depth"),
+            (col("id") < 7).as("done"))
+          .cache()
+        var pending = state.filter(!col("done")).count()
+        while (pending > 0) {
+          val j = state.select(col("id").as("jid"), col("anc").as("janc"),
+                               col("depth").as("jdepth"), col("done").as("jdone"))
+          val next = state.join(j, col("anc") === col("jid"), "left")
+            .select(
+              col("id"),
+              when(col("done"), col("anc")).otherwise(col("janc")).as("anc"),
+              when(col("done"), col("depth"))
+                .otherwise(col("depth") + col("jdepth")).cast("int").as("depth"),
+              when(col("done"), lit(true)).otherwise(col("jdone")).as("done"))
+            .cache()
+          pending = next.filter(!col("done")).count()
+          state.unpersist()
+          state = next
+        }
+        state.select(col("id"), col("anc").as("root"), col("depth"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE anc AS (
+                SELECT p_partkey AS id, p_partkey AS root, 0 AS depth
+                FROM part WHERE p_partkey < 7
+                UNION ALL
+                SELECT p.p_partkey, a.root, a.depth + 1
+                FROM part p JOIN anc a ON p.p_partkey // 7 = a.id
+                WHERE p.p_partkey >= 7)
+              SELECT id, root, CAST(depth AS INTEGER) AS depth
+              FROM anc ORDER BY id"""))
   )
 }

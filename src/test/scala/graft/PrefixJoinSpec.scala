@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** llm_dedup_prefix (PPJoin-style prefix filtering) and
+  * q_transitive_closure (pointer doubling) — the two round-6 additions
+  * whose correctness rests on a nontrivial algebraic claim, each pinned
+  * here independently of the DuckDB oracle.
+  */
+class PrefixJoinSpec extends SparkSuite {
+
+  test("llm_dedup_prefix: prefix pruning is LOSSLESS vs the full inverted index") {
+    // The prefix filter indexes only n - ceil(0.3 n) + 1 shingles per doc;
+    // the theorem says the surviving pair set is identical to
+    // llm_dedup_near's full-index pair set. Assert exact equality.
+    val pruned = Registry.byName("llm_dedup_prefix").fn(spark, sf)
+    val full = Registry.byName("llm_dedup_near").fn(spark, sf)
+    assertSameRows(pruned, full)
+  }
+
+  test("llm_dedup_prefix: the index it builds is strictly smaller than the full one") {
+    // Recompute both index sizes from the public shingle grain: full
+    // inverted index posts n rows per doc, the prefix index posts
+    // n - ceil(3n/10) + 1. With the fixture's shingle counts (docs have
+    // >= 10 shingles) the reduction must be strict for every doc.
+    val d = Tables.documents(spark, sf)
+      .withColumn("toks", expr("split(lower(trim(text)), ' ')"))
+      .withColumn("n", expr(
+        """size(array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                            element_at(toks, i + 2)))))"""))
+      .agg(sum(col("n")).as("full"),
+           sum(expr("n - ((3 * n + 9) div 10) + 1")).as("prefix"),
+           min(col("n")).as("min_n"), count(lit(1)).as("docs"))
+      .collect()(0)
+    val (fullIdx, prefixIdx, minN, docs) =
+      (d.getLong(0), d.getLong(1), d.getInt(2), d.getLong(3))
+    // ceil(3n/10) >= 2 as soon as n >= 4, so every doc saves >= 1 posting.
+    assert(minN >= 4, s"fixture assumption broken: min shingle count $minN")
+    assert(prefixIdx <= fullIdx - docs,
+      s"prefix index ($prefixIdx) saves less than 1 posting/doc vs full ($fullIdx, $docs docs)")
+  }
+
+  test("q_transitive_closure: pointer doubling matches the scalar parent chain") {
+    // Ground truth by direct iteration of parent(k) = k div 7 on the
+    // driver — O(depth) per node, fine at fixture scale.
+    def chase(k: Long): (Long, Int) = {
+      var id = k; var d = 0
+      while (id >= 7) { id = id / 7; d += 1 }
+      (id, d)
+    }
+    val got = Registry.byName("q_transitive_closure").fn(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (root, depth) = chase(r.getLong(0))
+      assert(r.getLong(1) == root && r.getInt(2) == depth,
+        s"node ${r.getLong(0)}: got (${r.getLong(1)}, ${r.getInt(2)}), want ($root, $depth)")
+    }
+  }
+}
