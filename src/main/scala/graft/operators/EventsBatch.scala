@@ -376,6 +376,89 @@ object EventsBatch {
                           AS BIGINT) AS n_starts
               FROM swept
               GROUP BY hour
-              ORDER BY hour"""))
+              ORDER BY hour""")),
+
+    // Interval-overlap JOIN, bucket-blocked: user sessions (30-min-gap
+    // sessionization, the q_concurrent_sessions grain) joined to
+    // "incident windows" (hours with >= 5 error events) they overlap.
+    // The naive plan is a theta-join (sess_start < win_end AND sess_end
+    // > win_start) — a cartesian at scale. Instead each session explodes
+    // into the hour buckets it spans (sessions are 30-min-gap-bounded, so
+    // the fan-out is small) and the join is an EQUI-join on the bucket
+    // key: sessions shuffle-partition by hour, incidents are a reduced
+    // hour-level table (broadcastable at any scale — there are only
+    // 8760 hours/year). Exactness: a window is exactly one bucket, so an
+    // overlapping pair meets in precisely that bucket (no dup pairs, no
+    // distinct needed), and the exact theta predicate re-checks on the
+    // candidates to drop same-bucket non-overlaps (the zero-length point
+    // touch). Overlap length in integer microseconds — no double leaves
+    // the plan. Oracle: DuckDB keeps the dense theta-join.
+    "q_join_interval" -> Q(
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+                 unix_micros(col("ts").cast("timestamp")) -
+                 unix_micros(col("prev_ts").cast("timestamp")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+        val inc = Tables.events(s, dir)
+          .filter(col("event_type") === "error")
+          .groupBy(date_trunc("hour", col("ts")).as("win_start"))
+          .agg(count(lit(1)).as("n_err"))
+          .filter(col("n_err") >= 5)
+          .withColumn("win_end", col("win_start") + expr("INTERVAL 1 HOUR"))
+        sess
+          .withColumn("hour", explode(expr(
+            """sequence(date_trunc('hour', sess_start),
+                        date_trunc('hour', sess_end), interval 1 hour)""")))
+          .join(broadcast(inc), col("hour") === col("win_start"))
+          .filter(col("sess_start") < col("win_end") &&
+                  col("sess_end") > col("win_start"))
+          .select(col("win_start"), col("user_id"), col("sess_id"),
+                  (least(unix_micros(col("sess_end").cast("timestamp")),
+                         unix_micros(col("win_end").cast("timestamp"))) -
+                   greatest(unix_micros(col("sess_start").cast("timestamp")),
+                            unix_micros(col("win_start").cast("timestamp"))))
+                    .as("overlap_us"),
+                  col("n_err"))
+          .orderBy(col("win_start"), col("user_id"), col("sess_id"))
+      },
+      Some("""WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              numbered AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id
+                                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW) AS BIGINT) AS sess_id
+                FROM flagged),
+              sess AS (
+                SELECT user_id, sess_id, MIN(ts) AS sess_start, MAX(ts) AS sess_end
+                FROM numbered GROUP BY user_id, sess_id),
+              inc AS (
+                SELECT win_start, win_start + INTERVAL '1 hour' AS win_end, n_err
+                FROM (SELECT date_trunc('hour', ts) AS win_start,
+                             COUNT(*) AS n_err
+                      FROM events WHERE event_type = 'error'
+                      GROUP BY 1 HAVING COUNT(*) >= 5))
+              SELECT i.win_start, s.user_id, s.sess_id,
+                     epoch_us(least(s.sess_end, i.win_end))
+                       - epoch_us(greatest(s.sess_start, i.win_start)) AS overlap_us,
+                     i.n_err
+              FROM sess s JOIN inc i
+                ON s.sess_start < i.win_end AND s.sess_end > i.win_start
+              ORDER BY i.win_start, s.user_id, s.sess_id"""))
   )
 }
