@@ -602,6 +602,63 @@ object Analytics {
                 FROM part p JOIN anc a ON p.p_partkey // 7 = a.id
                 WHERE p.p_partkey >= 7)
               SELECT id, root, CAST(depth AS INTEGER) AS depth
-              FROM anc ORDER BY id"""))
+              FROM anc ORDER BY id""")),
+
+    // Subtree rollup along the same part hierarchy: for every node, the
+    // count and total retail price of its DESCENDANT-OR-SELF set — the
+    // classic BOM / category-tree aggregation. Needs the full closure
+    // PAIRS (node, ancestor), not just roots, so the loop here is
+    // level-by-level BFS chaining: the frontier (node, cur) advances one
+    // hop per round and emits a pair row per hop — O(d) tiny shuffles
+    // over frontier-sized tables (d ~ log7 |part|; pointer doubling
+    // would halve the rounds but materializes the same Σ depth pairs —
+    // the pair OUTPUT, not the rounds, is the asymptotic cost here).
+    // The rollup is then one hash agg keyed on ancestor — map-side
+    // combined, corpus-cardinality key. Money stays DECIMAL(38,4) until
+    // the final cast (H.dsum discipline). Oracle: WITH RECURSIVE closure
+    // + join-aggregate.
+    "q_hierarchy_rollup" -> Q(
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .select(col("p_partkey").as("id"),
+                  col("p_retailprice").cast(H.D).as("price"))
+          .cache()
+        // closure pairs (node, anc): every proper ancestor of every node
+        var frontier = p.select(col("id"),
+            when(col("id") >= 7, expr("id div 7")).as("cur"))
+          .filter(col("cur").isNotNull)
+          .cache()
+        var pairs = frontier
+        var n = frontier.count()
+        while (n > 0) {
+          val next = frontier
+            .filter(col("cur") >= 7)
+            .select(col("id"), expr("cur div 7").as("cur"))
+            .cache()
+          n = next.count()
+          frontier.unpersist()
+          if (n > 0) pairs = pairs.unionByName(next)
+          frontier = next
+        }
+        val descOrSelf = pairs.select(col("cur").as("anc"), col("id"))
+          .unionByName(p.select(col("id").as("anc"), col("id")))
+        descOrSelf
+          .join(p.select(col("id"), col("price")), Seq("id"))
+          .groupBy(col("anc"))
+          .agg(count(lit(1)).as("n_desc"), sum(col("price")).as("subtotal"))
+          .select(col("anc").as("id"), col("n_desc"),
+                  col("subtotal").cast("double").as("subtree_price"))
+          .orderBy(col("id"))
+      },
+      Some("""WITH RECURSIVE cl AS (
+                SELECT p_partkey AS id, p_partkey AS anc FROM part
+                UNION ALL
+                SELECT cl.id, cl.anc // 7 AS anc FROM cl WHERE cl.anc >= 7)
+              SELECT cl.anc AS id, COUNT(*) AS n_desc,
+                     CAST(SUM(CAST(p.p_retailprice AS DECIMAL(38,4)))
+                          AS DOUBLE) AS subtree_price
+              FROM cl JOIN part p ON p.p_partkey = cl.id
+              GROUP BY cl.anc
+              ORDER BY id"""))
   )
 }

@@ -806,6 +806,35 @@ object Insights {
                           FROM f QUALIFY rank <= 200)
               SELECT round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
                      COUNT(*) AS n_terms
-              FROM rk"""))
+              FROM rk""")),
+
+    // Deterministic hash sampling: keep a row iff tid60(key) % 20 = 0 — a
+    // reproducible ~5% sample that is a pure function of the row key, so
+    // it is STABLE across runs, engines, partitionings, and re-ingests
+    // (rand()-based TABLESAMPLE is none of these, and at 100 TB an
+    // unstable sample poisons every downstream A/B of pipeline changes).
+    // The filter is scan-pipelined codegen (tid60 kernel) ahead of the
+    // aggregation shuffle, so the sample never materializes; per-flag
+    // sums stay exact-decimal until the final cast, and the sampled
+    // count rides along so consumers can compute the realized rate.
+    "q_sample_hash" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s) // tid60 kernel
+        Tables.lineitem(s, dir)
+          .filter(expr("""tid60(concat(CAST(l_orderkey AS STRING), '-',
+                                       CAST(l_linenumber AS STRING))) % 20 = 0"""))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_sampled"),
+               H.dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n_sampled,
+                      ${H.oSum("l_extendedprice")} AS sum_price
+               FROM lineitem
+               WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                         CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+                     % 20 = 0
+               GROUP BY l_returnflag
+               ORDER BY l_returnflag"""))
   )
 }

@@ -41,6 +41,21 @@ class PrefixJoinSpec extends SparkSuite {
       s"prefix index ($prefixIdx) saves less than 1 posting/doc vs full ($fullIdx, $docs docs)")
   }
 
+  test("q_hierarchy_rollup: root subtrees partition the forest") {
+    // Conservation law: the six roots' descendant-or-self sets are a
+    // disjoint cover of all parts, so their n_desc and subtree_price
+    // must sum to the whole table's count and total.
+    val roll = Registry.byName("q_hierarchy_rollup").fn(spark, sf)
+      .filter(col("id") < 7).collect()
+    val tot = Tables.part(spark, sf)
+      .agg(count(lit(1)), sum(col("p_retailprice").cast(H.D)).cast("double"))
+      .collect()(0)
+    assert(roll.map(_.getLong(1)).sum == tot.getLong(0),
+      "root n_desc does not cover the part table")
+    assert(math.abs(roll.map(_.getDouble(2)).sum - tot.getDouble(1)) < 1e-6,
+      "root subtree_price does not cover the total retail price")
+  }
+
   test("q_transitive_closure: pointer doubling matches the scalar parent chain") {
     // Ground truth by direct iteration of parent(k) = k div 7 on the
     // driver — O(depth) per node, fine at fixture scale.
