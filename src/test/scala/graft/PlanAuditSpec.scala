@@ -619,4 +619,30 @@ class PlanAuditSpec extends SparkSuite {
     assert(iWin < 0 || iWin < iTake,
       s"llm_pmi: window below the limit — corpus-wide single-partition sort:\n$p")
   }
+
+  test("q_join_interval: hour-level incident windows broadcast; no nested-loop theta join") {
+    val p = planOf("q_join_interval")
+    assert(p.contains("BroadcastHashJoin"),
+      s"incident windows not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join fell back to a theta plan:\n$p")
+  }
+
+  test("q_sample_hash: sample filter runs before the aggregation shuffle") {
+    val p = planOf("q_sample_hash")
+    assert(p.contains("partial_count"), s"no map-side partial agg:\n$p")
+    // One hash-partitioned exchange (groupBy) + one range exchange
+    // (orderBy) — a third would mean the filter forced its own shuffle.
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n <= 2, s"unexpected extra exchange ($n):\n$p")
+  }
+
+  test("llm_dedup_prefix: candidate generation is equi-join only, windows keyed per doc") {
+    val p = planOf("llm_dedup_prefix")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix candidate join not an equi-join:\n$p")
+    // The per-doc prefix ranking must partition by doc_id, never globally.
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"prefix ranking window not partitioned by doc_id:\n$p")
+  }
 }

@@ -145,7 +145,13 @@ class PropertySpec extends SparkSuite {
                    // round-6 keys with ln/exp/ratio doubles or sketch
                    // thetas that must not depend on partial-agg order
                    "q_theta_sketch", "llm_ccnet_bucket", "llm_ngram_lm",
-                   "q_survival", "q_ses", "llm_semdedup")
+                   "q_survival", "q_ses", "llm_semdedup",
+                   // round-6 third-session keys: iterative closure state,
+                   // prefix-pruned candidate sets, bucket-blocked interval
+                   // pairs, and the hash sample's decimal sums must all be
+                   // partitioning-independent
+                   "q_transitive_closure", "q_hierarchy_rollup",
+                   "llm_dedup_prefix", "q_join_interval", "q_sample_hash")
     val conf = spark.conf
     val saved = conf.get("spark.sql.shuffle.partitions")
     def rows(key: String) =
