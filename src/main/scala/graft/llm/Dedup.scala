@@ -425,7 +425,20 @@ object Dedup {
     "llm_dedup_prefix" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val sized = shingled(s, dir).withColumn("n", size(col("sh")))
+        // The shingle table feeds FOUR subtrees (df build, prefix index,
+        // and both verification array joins); uncached, the shingles3
+        // kernel re-runs for each (measured ~5.0 s vs ~4.3 s at sf0.1) —
+        // the standard "materialize the signature table once" step, sized
+        // by the corpus' shingle footprint, never by pairs. NOTE the
+        // fixture-scale economics: this plan runs ~2x llm_dedup_near here
+        // because it pays two extra posting-volume LINEAR shuffles (df
+        // build, prefix rank) to shrink the index join's QUADRATIC term
+        // from Σ df² to Σ df_prefix². At sf0.1 the quadratic term is
+        // tiny, so the linear overhead shows; at corpus scale Σ df² is
+        // the term that kills the full index and the linear passes are
+        // the cheap part. Both keys are kept precisely to document the
+        // crossover.
+        val sized = shingled(s, dir).withColumn("n", size(col("sh"))).cache()
         val ex = sized.select(col("lang"), col("doc_id"), col("n"),
                               explode(col("sh")).as("tok"))
         val dfTab = ex.groupBy(col("lang"), col("tok"))
