@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share ONE SparkSession (SparkSuite.getOrCreate), and two of them
+// mutate session-global state the others assert on: KernelSubstitutionSpec
+// removes/restores optimizer rules while PlanAuditSpec reads plan shapes,
+// and PropertySpec flips shuffle-partition counts. Under sbt's default
+// parallel suite execution those interleave into spurious plan-audit
+// failures (seen once the 10th suite landed); suite-sequential is the
+// correct model for a shared-session fixture.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

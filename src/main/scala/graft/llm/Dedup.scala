@@ -426,10 +426,17 @@ object Dedup {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         // The shingle table feeds FOUR subtrees (df build, prefix index,
-        // and both verification array joins); uncached, the shingles3
-        // kernel re-runs for each (measured ~5.0 s vs ~4.3 s at sf0.1) —
-        // the standard "materialize the signature table once" step, sized
-        // by the corpus' shingle footprint, never by pairs. NOTE the
+        // and both verification array joins), so the shingles3 kernel
+        // re-runs per subtree (~5.0 s vs ~4.3 s at sf0.1 if cached). A
+        // session `.cache()` here is deliberately NOT used: CacheManager
+        // substitutes the cached subtree into every SIBLING query whose
+        // plan sameResult-matches it (llm_dedup_near et al. share this
+        // exact subtree), making their audited plans depend on whether
+        // this key ran first — and a cache inside a declared query has no
+        // unpersist point, pinning executor memory for the rest of a
+        // 227-key sweep. At corpus scale the signature table is
+        // materialized explicitly (write once, read four times), which is
+        // a pipeline step, not part of the declared query. NOTE the
         // fixture-scale economics: this plan runs ~2x llm_dedup_near here
         // because it pays two extra posting-volume LINEAR shuffles (df
         // build, prefix rank) to shrink the index join's QUADRATIC term
@@ -438,7 +445,7 @@ object Dedup {
         // the term that kills the full index and the linear passes are
         // the cheap part. Both keys are kept precisely to document the
         // crossover.
-        val sized = shingled(s, dir).withColumn("n", size(col("sh"))).cache()
+        val sized = shingled(s, dir).withColumn("n", size(col("sh")))
         val ex = sized.select(col("lang"), col("doc_id"), col("n"),
                               explode(col("sh")).as("tok"))
         val dfTab = ex.groupBy(col("lang"), col("tok"))

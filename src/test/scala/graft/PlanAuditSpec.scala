@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
 class PlanAuditSpec extends SparkSuite {
 
   private def planOf(key: String): String = {
+    // Deterministic baseline regardless of suite order: q_topn_native /
+    // q_theta_sketch install the TopK rewrite session-wide when ANY suite
+    // evaluates them (a declared fn can only install, never uninstall —
+    // planning is lazy), which would silently rewrite the plain-window
+    // plans pinned below. Keys that need the rewrite re-install it inside
+    // their own fn, so resetting here is always safe.
+    graft.plans.TopK.uninstall(spark)
     val df = Registry.byName(key).fn(spark, sf)
     df.queryExecution.executedPlan.toString
   }
