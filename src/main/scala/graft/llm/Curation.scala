@@ -209,6 +209,98 @@ object Curation {
                           AS DECIMAL(38,6)) AS DOUBLE) AS entropy
               FROM t
               GROUP BY source
-              ORDER BY source"""))
+              ORDER BY source""")),
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    // arXiv:2302.03169): score every raw document by how much its hashed
+    // n-gram feature distribution looks like a target domain vs the raw
+    // corpus, then keep the high-importance tail. Feature space is
+    // hash-BUCKETED (tid60 % 8192) exactly so the two unigram LMs stay
+    // bounded at B buckets NO MATTER the corpus vocabulary — that bound
+    // is the whole scale story: both smoothed bucket tables broadcast
+    // (≤ B rows each, independent of the 100 TB corpus), the token
+    // stream joins map-side, and one doc-keyed agg folds the per-token
+    // log ratios. Target here = the 'en' slice (the fixture's largest
+    // lang); α = 0.5 Laplace smoothing over all B buckets keeps every
+    // log finite. Parity lane per llm_ngram_lm: the log ratio collapses
+    // to ONE libm ln of one exactly-reproducible double product, rounds
+    // at 6, sums in DECIMAL, and casts to DOUBLE once at the end.
+    "llm_dsir" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), explode(expr(toksE)).as("tok"))
+          .withColumn("b", expr("tid60(tok) % 8192"))
+        val cq = tok.groupBy(col("b")).agg(count(lit(1)).as("cq"))
+        val cp = tok.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("cp"))
+        val totals = cq.agg(sum(col("cq")).as("nq"))
+          .crossJoin(cp.agg(sum(col("cp")).as("np")))
+        val lm = cq
+          .join(cp, Seq("b"), "left")
+          .na.fill(0L, Seq("cp"))
+          .crossJoin(broadcast(totals))
+          .select(col("b"), round(log(
+              ((col("cp") + lit(0.5)) * (col("nq") + lit(4096.0))) /
+              ((col("cq") + lit(0.5)) * (col("np") + lit(4096.0)))), 6)
+            .as("logr"))
+        val stats = tok.join(broadcast(lm), Seq("b"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(count(lit(1)).as("n_toks"),
+               sum(col("logr").cast("decimal(38,6)"))
+                 .cast("decimal(38,6)").cast("double").as("log_iw"))
+          .withColumn("norm_iw", round(col("log_iw") / col("n_toks"), 6))
+        // Selection is top-k by normalized weight (k = the resample
+        // budget, a pipeline constant) — NOT a sign test: on a corpus
+        // whose domains share most of their vocabulary every doc's
+        // E[log ratio] is ≤ 0 (it's a −KL), so "weight > 0" selects
+        // nothing. The k-th (weight, id) pair is found by two nested
+        // TakeOrdered limits (per-partition heaps, no global sort or
+        // window) and broadcast back; the tuple compare keeps ties exact.
+        val thr = stats
+          .orderBy(col("norm_iw").desc, col("doc_id")).limit(150)
+          .orderBy(col("norm_iw"), col("doc_id").desc).limit(1)
+          .select(col("norm_iw").as("t_iw"), col("doc_id").as("t_id"))
+        stats.crossJoin(broadcast(thr))
+          .withColumn("selected",
+            col("norm_iw") > col("t_iw") ||
+              (col("norm_iw") === col("t_iw") && col("doc_id") <= col("t_id")))
+          .drop("t_iw", "t_id")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, lang,
+                                   ('0x' || substr(md5(t.tok), 1, 15))::BIGINT
+                                     % 8192 AS b
+                            FROM (SELECT doc_id, lang,
+                                         unnest($duckToks) AS tok
+                                  FROM documents) t),
+                    cq AS (SELECT b, COUNT(*) AS cq FROM tok GROUP BY 1),
+                    cp AS (SELECT b, COUNT(*) AS cp FROM tok
+                           WHERE lang = 'en' GROUP BY 1),
+                    tot AS (SELECT (SELECT CAST(SUM(cq) AS BIGINT) FROM cq) AS nq,
+                                   (SELECT CAST(SUM(cp) AS BIGINT) FROM cp) AS np),
+                    lm AS (SELECT cq.b,
+                                  round(ln(((COALESCE(cp.cp, 0) + 0.5) *
+                                            (tot.nq + 4096.0)) /
+                                           ((cq.cq + 0.5) *
+                                            (tot.np + 4096.0))), 6) AS logr
+                           FROM cq LEFT JOIN cp ON cq.b = cp.b, tot),
+                    stats AS (SELECT doc_id, lang, COUNT(*) AS n_toks,
+                                     CAST(CAST(SUM(CAST(logr AS DECIMAL(38,6)))
+                                          AS DECIMAL(38,6)) AS DOUBLE) AS log_iw
+                              FROM tok JOIN lm USING (b)
+                              GROUP BY doc_id, lang),
+                    norm AS (SELECT doc_id, lang, n_toks, log_iw,
+                                    round(log_iw / n_toks, 6) AS norm_iw
+                             FROM stats),
+                    thr AS (SELECT norm_iw AS t_iw, doc_id AS t_id FROM
+                              (SELECT norm_iw, doc_id FROM norm
+                               ORDER BY norm_iw DESC, doc_id LIMIT 150)
+                            ORDER BY norm_iw, doc_id DESC LIMIT 1)
+               SELECT doc_id, lang, n_toks, log_iw, norm_iw,
+                      norm_iw > t_iw OR
+                        (norm_iw = t_iw AND doc_id <= t_id) AS selected
+               FROM norm, thr
+               ORDER BY doc_id"""))
   )
 }

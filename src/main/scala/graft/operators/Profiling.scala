@@ -115,6 +115,111 @@ object Profiling {
                      CAST(CAST(CAST(n AS DECIMAL(38,6)) / n_total
                                AS DECIMAL(38,6)) AS DOUBLE) AS p_obs,
                      round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS p_benford
-              FROM g, t ORDER BY digit"""))
+              FROM g, t ORDER BY digit""")),
+
+    // Functional-dependency audit — the schema-integrity half of the
+    // validation report: for each candidate FD lhs → rhs, how many lhs
+    // groups exist, how many violate (distinct rhs > 1), and the worst
+    // fan-out. This is how an ingest gate discovers that a column the
+    // downstream model assumes is determined (name → brand) actually
+    // isn't. Each FD is one two-level hash agg (groupBy lhs with a
+    // map-side-combined distinct, then a 1-row summary); the four
+    // summaries union into the 4-row report — no joins, no windows,
+    // linear in each audited table regardless of scale. The violation
+    // share is one double division of exact integer inputs (SURVEY §7.4:
+    // never decimal/bigint division for new ratio columns).
+    "q_fd_check" -> Q(
+      (s, dir) => {
+        def audit(df: org.apache.spark.sql.DataFrame, fd: String,
+                  lhs: String, rhs: String) =
+          df.groupBy(col(lhs))
+            .agg(countDistinct(col(rhs)).as("nd"))
+            .agg(count(lit(1)).as("n_groups"),
+                 sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+                 max(col("nd")).as("max_fanout"))
+            .select(lit(fd).as("fd"), col("n_groups"), col("n_violating"),
+                    col("max_fanout"),
+                    round((col("n_violating") * 100).cast("double") /
+                          col("n_groups"), 6).as("violation_pct"))
+        val p = Tables.part(s, dir)
+        val o = Tables.orders(s, dir)
+        audit(p, "p_name->p_brand", "p_name", "p_brand")
+          .unionByName(audit(p, "p_name->p_type", "p_name", "p_type"))
+          .unionByName(audit(o, "o_custkey->o_orderpriority",
+                             "o_custkey", "o_orderpriority"))
+          .unionByName(audit(o, "o_orderkey->o_orderstatus",
+                             "o_orderkey", "o_orderstatus"))
+          .orderBy(col("fd"))
+      },
+      Some("""WITH a AS (
+                SELECT 'p_name->p_brand' AS fd, COUNT(*) AS n_groups,
+                       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_violating,
+                       MAX(nd) AS max_fanout
+                FROM (SELECT p_name, COUNT(DISTINCT p_brand) AS nd
+                      FROM part GROUP BY 1)
+                UNION ALL
+                SELECT 'p_name->p_type', COUNT(*),
+                       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                       MAX(nd)
+                FROM (SELECT p_name, COUNT(DISTINCT p_type) AS nd
+                      FROM part GROUP BY 1)
+                UNION ALL
+                SELECT 'o_custkey->o_orderpriority', COUNT(*),
+                       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                       MAX(nd)
+                FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS nd
+                      FROM orders GROUP BY 1)
+                UNION ALL
+                SELECT 'o_orderkey->o_orderstatus', COUNT(*),
+                       CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                       MAX(nd)
+                FROM (SELECT o_orderkey, COUNT(DISTINCT o_orderstatus) AS nd
+                      FROM orders GROUP BY 1))
+              SELECT fd, n_groups, n_violating, max_fanout,
+                     round(CAST(n_violating * 100 AS DOUBLE) / n_groups, 6)
+                       AS violation_pct
+              FROM a ORDER BY fd""")),
+
+    // Shuffle-balance audit — the pre-flight skew report you read BEFORE
+    // picking a join/agg key at scale: hash the candidate key into 32
+    // buckets (one per would-be reducer), report per-bucket row load,
+    // key cardinality, and load ratio vs the uniform ideal, flagging
+    // buckets past 1.3x. The bucket hash is the engine-portable md5
+    // lane (tid60 kernel ≡ the oracle's hex-prefix spelling), NOT
+    // Spark's Murmur3 hashpartitioning — a diagnostic an engine can't
+    // reproduce elsewhere can't be compared or acted on; md5 buckets
+    // make the report identical across engines, runs, and partition
+    // counts. One scan, one 32-group agg with map-side distinct
+    // partials; the hot flag is exact integer arithmetic (n_rows*320 >
+    // n_total*13 avoids ever comparing floats).
+    "q_shuffle_balance" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val li = Tables.lineitem(s, dir)
+          .withColumn("bucket", expr("tid60(CAST(l_partkey AS STRING)) % 32"))
+        li.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+               countDistinct(col("l_partkey")).as("n_keys"))
+          .crossJoin(broadcast(li.agg(count(lit(1)).as("n_total"))))
+          .select(col("bucket"), col("n_rows"), col("n_keys"),
+                  round((col("n_rows") * 32).cast("double") /
+                        col("n_total"), 6).as("load_ratio"),
+                  (col("n_rows") * 320 > col("n_total") * 13).as("hot"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                                               1, 15))::BIGINT % 32 AS bucket,
+                                l_partkey
+                         FROM lineitem),
+                   g AS (SELECT bucket, COUNT(*) AS n_rows,
+                                COUNT(DISTINCT l_partkey) AS n_keys
+                         FROM b GROUP BY 1),
+                   t AS (SELECT COUNT(*) AS n_total FROM b)
+              SELECT bucket, n_rows, n_keys,
+                     round(CAST(n_rows * 32 AS DOUBLE) / n_total, 6)
+                       AS load_ratio,
+                     n_rows * 320 > n_total * 13 AS hot
+              FROM g, t ORDER BY bucket"""))
   )
 }

@@ -284,4 +284,44 @@ class OperatorSpec extends SparkSuite {
       assert(meanCos >= -1.0 && meanCos <= 1.0, s"$lbl: mean cosine $meanCos")
     }
   }
+
+  test("llm_dsir: importance weights actually separate the target domain") {
+    val rows = Registry.byName("llm_dsir").fn(spark, sf)
+      .select("lang", "log_iw", "selected").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val en = rows.filter(_._1 == "en").map(_._2).toSeq
+    val rest = rows.filter(_._1 != "en").map(_._2).toSeq
+    assert(en.nonEmpty && rest.nonEmpty)
+    // The whole point of the estimator: target-domain docs must score
+    // higher on average than the rest of the corpus.
+    assert(mean(en) > mean(rest),
+      s"en mean ${mean(en)} not above non-en mean ${mean(rest)}")
+    val kept = rows.count(_._3)
+    assert(kept > 0 && kept < rows.length, "selection must be a proper subset")
+  }
+
+  test("q_shuffle_balance: bucket loads cover the table and ratios are consistent") {
+    val rows = Registry.byName("q_shuffle_balance").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+                 r.getBoolean(4)))
+    val total = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_._2).sum == total, "bucket rows must partition the table")
+    assert(rows.length <= 32 && rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (b, n, k, ratio, hot) =>
+      assert(k <= n, s"bucket $b: $k keys > $n rows")
+      assert(math.abs(ratio - n.toDouble * 32 / total) < 1e-6)
+      assert(hot == (n * 320 > total * 13), s"bucket $b hot flag inconsistent")
+    }
+  }
+
+  test("q_fd_check: key FD holds, name FDs are violated") {
+    val rows = Registry.byName("q_fd_check").fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // o_orderkey is the table key — its FD can never be violated.
+    assert(rows("o_orderkey->o_orderstatus") == 0L)
+    // 64 two-word names over 2000 parts guarantee brand/type fan-out.
+    assert(rows("p_name->p_brand") > 0L)
+    assert(rows("p_name->p_type") > 0L)
+  }
 }

@@ -652,4 +652,33 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("windowspecdefinition(doc_id"),
       s"prefix ranking window not partitioned by doc_id:\n$p")
   }
+
+  test("llm_dsir: both LM bucket tables broadcast; token stream never sort-merges") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("llm_dsir")
+    // The B-bounded lm table and the 1-row totals both ride broadcasts —
+    // the corpus-sized token stream must never be the build side of a
+    // shuffle join. (DSIR's point: the models stay broadcast-sized at
+    // any corpus scale.)
+    assert(p.contains("BroadcastHashJoin"), s"lm join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream reached a sort-merge join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"doc fold not map-side combined:\n$p")
+  }
+
+  test("q_fd_check / q_shuffle_balance: single-scan aggs, no joins beyond the 1-row anchor") {
+    val fd = planOf("q_fd_check")
+    assert(!fd.contains("Join"), s"FD audit should be join-free:\n$fd")
+    assert(fd.contains("partial_count") || fd.contains("partial_sum"),
+      s"FD audit not map-side combined:\n$fd")
+    graft.functions.Custom.register(spark)
+    val sb = planOf("q_shuffle_balance")
+    // The only join is the 1-row total broadcast back onto the 32-row
+    // bucket table (nested-loop on a broadcast single row is the cheap,
+    // correct plan — same shape q_decay_sum pins).
+    assert(sb.contains("BroadcastNestedLoopJoin") || sb.contains("BroadcastHashJoin"),
+      s"total not broadcast:\n$sb")
+    assert(!sb.contains("SortMergeJoin"), s"unexpected shuffle join:\n$sb")
+  }
 }

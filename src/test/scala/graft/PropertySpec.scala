@@ -151,7 +151,10 @@ class PropertySpec extends SparkSuite {
                    // pairs, and the hash sample's decimal sums must all be
                    // partitioning-independent
                    "q_transitive_closure", "q_hierarchy_rollup",
-                   "llm_dedup_prefix", "q_join_interval", "q_sample_hash")
+                   "llm_dedup_prefix", "q_join_interval", "q_sample_hash",
+                   // round-6 fourth-session keys: DSIR's decimal ln-sum,
+                   // the balance audit's ratio, the FD audit's distincts
+                   "llm_dsir", "q_shuffle_balance", "q_fd_check")
     val conf = spark.conf
     val saved = conf.get("spark.sql.shuffle.partitions")
     def rows(key: String) =
