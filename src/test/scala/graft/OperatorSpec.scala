@@ -315,6 +315,24 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_zorder_layout: buckets cover the table and bound BOTH dimensions") {
+    val rows = Registry.byName("q_zorder_layout").fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val li = Tables.lineitem(spark, sf)
+      .agg(count(lit(1)), max(col("l_partkey")) - min(col("l_partkey")),
+           max(col("l_suppkey")) - min(col("l_suppkey"))).collect()(0)
+    val (total, pRange, sRange) = (li.getLong(0), li.getLong(1), li.getLong(2))
+    assert(rows.map(_._2).sum == total, "bucket rows must partition the table")
+    assert(rows.forall { case (zb, _, _, _) => zb >= 0 && zb < 64 })
+    // The clustering claim: every z-bucket confines each dimension to a
+    // fraction of its global range (8x8 grid → 1/8 per cell; assert the
+    // loose 1/4 so quantization edges never flake).
+    rows.foreach { case (zb, _, pSpan, sSpan) =>
+      assert(pSpan * 4 <= pRange + 4, s"bucket $zb partkey span $pSpan")
+      assert(sSpan * 4 <= sRange + 4, s"bucket $zb suppkey span $sSpan")
+    }
+  }
+
   test("q_fd_check: key FD holds, name FDs are violated") {
     val rows = Registry.byName("q_fd_check").fn(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(2)).toMap

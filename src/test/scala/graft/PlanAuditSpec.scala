@@ -681,4 +681,15 @@ class PlanAuditSpec extends SparkSuite {
       s"total not broadcast:\n$sb")
     assert(!sb.contains("SortMergeJoin"), s"unexpected shuffle join:\n$sb")
   }
+
+  test("q_zorder_layout: morton math is scan-pipelined; one agg exchange") {
+    val p = planOf("q_zorder_layout")
+    // min/max anchors broadcast; the interleave is row-local integer
+    // math, so the only hash exchange is the 64-bucket aggregation.
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bounds not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"more than the bucket-agg exchange:\n$p")
+  }
 }

@@ -154,7 +154,8 @@ class PropertySpec extends SparkSuite {
                    "llm_dedup_prefix", "q_join_interval", "q_sample_hash",
                    // round-6 fourth-session keys: DSIR's decimal ln-sum,
                    // the balance audit's ratio, the FD audit's distincts
-                   "llm_dsir", "q_shuffle_balance", "q_fd_check")
+                   "llm_dsir", "q_shuffle_balance", "q_fd_check",
+                   "q_zorder_layout")
     val conf = spark.conf
     val saved = conf.get("spark.sql.shuffle.partitions")
     def rows(key: String) =
