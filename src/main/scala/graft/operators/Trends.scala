@@ -576,6 +576,47 @@ object Trends {
                  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
                GROUP BY 1 ORDER BY revenue DESC, n_name""")),
 
+    // TPC-H Q10 shape (returned-item reporting): which customers sent
+    // the most revenue back this quarter. The quarter filter prunes
+    // orders first; the returnflag filter prunes lineitem at the scan
+    // (both reach PushedFilters); nation broadcasts into customer. The
+    // customer dim is explicitly broadcast here because the grouping key
+    // IS the customer — at a scale where customer itself stops being
+    // broadcastable this becomes a shuffle join on o_custkey, and the
+    // plan degrades gracefully (AQE picks it) rather than wrongly.
+    // Top-20 via TakeOrdered; revenue in the exact-decimal lane.
+    "q_tpch_q10" -> Q(
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-10-01") &&
+                  col("o_orderdate") < lit("1997-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val cust = Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+                  .select(col("n_nationkey"), col("n_name"))),
+                col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                 .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+                      ${H.oSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+               FROM customer, orders, lineitem, nation
+               WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                 AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+                 AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                 AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+               GROUP BY 1, 2, 3, 4
+               ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
     // Parquet zstd codec round-trip: the storage-efficiency path a 100 TB
     // lake actually runs (zstd ≈ 30-50% smaller than snappy at similar
     // scan speed). Write-with-codec + read-back + aggregate must be
