@@ -56,11 +56,15 @@ object Bench {
     // line, so the snapshot's last line is never bare JSON (BENCH_r1–r5 all
     // landed parsed:null). Persist the full line to a repo file as well —
     // scripts/bench_minima.py and the judge read the file when the stdout
-    // artifact fails to parse. Best-effort: a read-only checkout must not
-    // fail the bench itself.
+    // artifact fails to parse. Relative to the working directory (sbt runs
+    // from the project root), so any checkout location gets the artifact
+    // next to its own BASELINE.md. Best-effort, but LOUD on failure: a
+    // read-only checkout must not fail the bench itself, yet a silently
+    // missing artifact defeats the file's purpose.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), full + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN: could not write BENCH_LOCAL.json: $e") }
     // The harness that snapshots this run keeps only the LAST ~2000 chars
     // of stdout; with 140+ keys the full line above starts outside that
     // window and can never parse from the tail. Emit a final compact line

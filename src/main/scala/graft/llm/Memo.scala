@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session+dataset-keyed memo for shared PIPELINE STAGES.
+  *
+  * Several declared queries derive from the same intermediate table (the
+  * 3-shingle signature table feeds near/prefix/containment/novelty/
+  * dup_degree; the component-label table feeds cluster/survivors). In a
+  * real curation DAG those are materialized once and read many times —
+  * a pipeline step, not part of any one query. This memo models that:
+  * the first consumer in a (session, dataset) computes and pins the
+  * stage, later consumers reuse the same DataFrame.
+  *
+  * The stage MUST be handed in as an eager `localCheckpoint` (or
+  * `checkpoint` when the session has a checkpoint dir): a `.cache()`
+  * here would register the subtree in CacheManager, which
+  * sameResult-substitutes it into every SIBLING query's plan that
+  * derives the same shingles — making plan audits order-dependent (the
+  * r6-s4 bug) — and has no unpersist point inside a declared query.
+  * Checkpointed stages have neither problem: the RDD is owned by the
+  * returned DataFrame alone and is GC'd (ContextCleaner) when the memo
+  * entry is evicted.
+  *
+  * Eviction: entries are keyed by (session token, dataset dir, stage
+  * name, dataset mtime); computing a stage for a new mtime evicts the
+  * superseded entry so a regenerated fixture can't pin stale checkpoint
+  * blocks for the JVM's life. */
+private[llm] object Memo {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Unique per-session token (identityHashCode is NOT unique — a GC'd
+    * session's slot can be reused): a UUID minted once and stored in the
+    * session's own conf, so the cache key dies with the session. */
+  private[llm] def sessionToken(s: SparkSession): String = synchronized {
+    val key = "spark.graft.session.token"
+    s.conf.getOption(key).getOrElse {
+      val t = java.util.UUID.randomUUID().toString
+      s.conf.set(key, t); t
+    }
+  }
+
+  /** Max mtime of the dataset's documents parquet — regenerated fixtures
+    * get a new cache key, and the stale entry (plus its pinned checkpoint
+    * blocks) is evicted. */
+  private[llm] def dataVersion(dir: String): Long = {
+    val f = new java.io.File(dir, "documents.parquet")
+    val files = if (f.isDirectory) f.listFiles() else Array(f)
+    if (files == null || files.isEmpty) 0L else files.map(_.lastModified).max
+  }
+
+  /** The memoized stage: compute-once per (session, dataset, name,
+    * data version). `compute` must return an already-materialized
+    * (checkpointed) DataFrame — see the class doc. */
+  def stage(s: SparkSession, dir: String, name: String)
+           (compute: => DataFrame): DataFrame = {
+    val prefix = s"${sessionToken(s)}:$dir:$name:"
+    val key = s"$prefix${dataVersion(dir)}"
+    cache.computeIfAbsent(key, _ => {
+      // evict superseded versions of the same (session, dataset, stage)
+      cache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
+      compute
+    })
+  }
+}

@@ -33,53 +33,23 @@ object Pipeline {
   private val toksFunnel = "split(lower(trim(text)), ' ')"
 
   /** Connected-component labels over the near-dup pair graph: (doc_id →
-    * min doc_id of its component), via iterative min-label propagation.
-    * Shared by llm_dedup_cluster and llm_dedup_survivors. The edge list —
-    * not the corpus — is the loop's working set, so it is repartitioned
-    * to its own size class and lineage is cut per step (localCheckpoint;
-    * a checkpoint dir at real scale). Converges in O(component diameter)
-    * steps; near-dup components are shallow in practice.
+    * min doc_id of its component), via min-label propagation + pointer
+    * doubling ([[components]]). Shared by llm_dedup_cluster and
+    * llm_dedup_survivors. The edge list — not the corpus — is the loop's
+    * working set, so it is repartitioned to its own size class and
+    * lineage is cut per step (localCheckpoint; a checkpoint dir at real
+    * scale).
     *
     * The labels are a shared PIPELINE STAGE, not a per-query scratch
     * value — a curation DAG computes components once and feeds both the
     * cluster report and the survivor materialization from the same
     * artifact. So the final (already-checkpointed) label table is
-    * memoized per (session, dataset): the first consumer pays the
-    * propagation, later consumers read the materialized stage (the same
-    * one-time-cost amortization the bucketed-join layout declares). */
-  private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  /** Unique per-session token (identityHashCode is NOT unique — a GC'd
-    * session's slot can be reused): a UUID minted once and stored in the
-    * session's own conf, so the cache key dies with the session. */
-  private def sessionToken(s: SparkSession): String = synchronized {
-    val key = "spark.graft.session.token"
-    s.conf.getOption(key).getOrElse {
-      val t = java.util.UUID.randomUUID().toString
-      s.conf.set(key, t); t
-    }
-  }
-
-  /** Max mtime of the dataset's documents parquet — regenerated fixtures
-    * get a new cache key, and the stale entry (plus its pinned checkpoint
-    * blocks) is evicted below. */
-  private def dataVersion(dir: String): Long = {
-    val f = new java.io.File(dir, "documents.parquet")
-    val files = if (f.isDirectory) f.listFiles() else Array(f)
-    if (files == null || files.isEmpty) 0L else files.map(_.lastModified).max
-  }
-
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val prefix = s"${sessionToken(s)}:$dir:"
-    val key = s"$prefix${dataVersion(dir)}"
-    labelCache.computeIfAbsent(key, _ => {
-      // evict superseded versions of the same (session, dataset) so their
-      // localCheckpoint blocks don't pin executor memory for the JVM's life
-      labelCache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
-      computeLabels(s, dir)
-    })
-  }
+    * memoized per (session, dataset) via [[Memo.stage]]: the first
+    * consumer pays the propagation, later consumers read the
+    * materialized stage (the same one-time-cost amortization the
+    * bucketed-join layout declares). */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    Memo.stage(s, dir, "cluster_labels") { computeLabels(s, dir) }
 
   private def computeLabels(s: SparkSession, dir: String): DataFrame = {
     // Lineage cut per step: reliable checkpoint when the session has a
@@ -100,14 +70,45 @@ object Pipeline {
                                       nEdges / 1000000L + 1L)).toInt
     val edges = if (first.rdd.getNumPartitions == parts) first
                 else cut(first.repartition(parts))
+    components(edges, cut)._1
+  }
+
+  /** Connected-component min labels over an undirected edge list (both
+    * directions present as (src, dst)), by min-label propagation PLUS
+    * POINTER DOUBLING: each round first takes the neighborhood minimum
+    * (lbl'(v) = min(lbl(v), min over neighbors' lbl)), then shortcuts
+    * through the label table itself (lbl''(v) = lbl'(lbl'(v))) — every
+    * round roughly doubles the distance a minimum has traveled, so a
+    * diameter-d component converges in O(log d) rounds instead of plain
+    * propagation's O(d) (the r6 loop, capped at 20 rounds, which went
+    * silently non-converged on deeper graphs — PropertySpec now pins a
+    * depth-100 chain at exact labels and the log bound).
+    *
+    * Correctness needs no round cap: labels are monotone non-increasing,
+    * always name a node of the same component (propagation moves along
+    * edges, shortcutting through a member's own label), and are bounded
+    * below by the component minimum m. At the no-change fixpoint,
+    * lbl(v) ≤ lbl(u) across every edge (v,u) — so labels are constant
+    * per component — and the constant c satisfies lbl(c) = c; applying
+    * the fixpoint at the member m itself gives lbl(m) = c ≤ m, hence
+    * c = m exactly. Per-round cost: two equi-joins + one agg on
+    * edge/label-sized tables (never the corpus); the shortcut join's
+    * build side is the label table keyed by id — same cardinality class
+    * as the propagation join, and Catalyst's ReuseExchange dedups the
+    * repeated `prop` subtree inside one round's job. Convergence check
+    * is the same driver-side count contract as before, but O(log d)
+    * tiny jobs instead of O(d). Returns (labels(id, lbl), rounds). */
+  private[graft] def components(edges0: DataFrame,
+                                cut: DataFrame => DataFrame): (DataFrame, Int) = {
+    val edges = edges0.select(col("src"), col("dst"))
     // seed with the direct-neighborhood minimum — one propagation step
     // fused into initialization
     var lbl = cut(edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("lbl"))
       .select(col("src").as("id"), col("lbl")))
     var changed = 1L
-    var steps = 0
-    while (changed > 0 && steps < 20) {
+    var rounds = 0
+    while (changed > 0) {
       // one pass computes BOTH the new label and whether it moved: the
       // own-label row carries `old`, neighbor rows don't, so the agg can
       // compare min(cand) against max(old) without a second join
@@ -115,14 +116,22 @@ object Pipeline {
       val nb = edges.join(lbl.select(col("id").as("dst"), col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl").as("cand"),
                 lit(null).cast("long").as("old"))
-      val next = cut(own.union(nb)
+      val prop = own.union(nb)
         .groupBy(col("id"))
-        .agg(min(col("cand")).as("lbl"), max(col("old")).as("old")))
+        .agg(min(col("cand")).as("plbl"), max(col("old")).as("old"))
+      // pointer doubling: chase the propagated label's own label. Every
+      // label names a member node (ids and labels share the src domain),
+      // so the left join's miss arm never fires on a well-formed edge
+      // list — coalesce kept for degenerate inputs.
+      val ptr = prop.select(col("id").as("ptr_key"), col("plbl").as("lbl2"))
+      val next = cut(prop.join(ptr, col("plbl") === col("ptr_key"), "left")
+        .select(col("id"), coalesce(col("lbl2"), col("plbl")).as("lbl"),
+                col("old")))
       changed = next.filter(col("lbl") =!= col("old")).count()
       lbl = next.select(col("id"), col("lbl"))
-      steps += 1
+      rounds += 1
     }
-    lbl
+    (lbl, rounds)
   }
 
   /** DuckDB CTE fragment computing the same component labels (appended

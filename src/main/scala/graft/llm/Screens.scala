@@ -20,14 +20,11 @@ object Screens {
     s"""list_distinct(list_transform(generate_series(1, len($duckToks) - 2),
         i -> $duckToks[i] || ' ' || $duckToks[i+1] || ' ' || $duckToks[i+2]))"""
 
-  /** (doc_id, lang, sh) via the shingles3 kernel (see Dedup.shingled —
-    * same spelling; the kernel is immune to the lambda-inlining
-    * re-split trap documented on Sketches.Shingles3). */
-  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    graft.functions.Custom.register(s)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"), expr(s"shingles3($toksE)").as("sh"))
-  }
+  /** (doc_id, lang, sh) — the SAME memoized pipeline stage as
+    * [[Dedup.shingled]] (one localCheckpoint per session+dataset shared
+    * by containment/novelty/dup_degree and the whole dedup family). */
+  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Dedup.shingled(s, dir)
 
   val qs: Seq[(String, Q)] = Seq(
 

@@ -290,14 +290,19 @@ object Analytics {
     // OOMing one task on an unbounded array. The cap is part of the
     // declared semantics (both engines apply the identical prefix
     // filter) and sits far above the fixture max (99 events/user at
-    // sf0.1), so oracle values are unchanged. A truly unbounded key
-    // stream moves this exact fold to flatMapGroupsWithState — the
-    // streaming sessionize path already holds O(1) state.
+    // sf0.1), so oracle values are unchanged. The SAME cap now bounds
+    // the streaming twin's fold (Streams.EWMA_STATE_CAP — one shared
+    // constant), so batch == streaming on ANY input, not just fixtures
+    // under the cap; StreamingSpec pins the boundary with a 5000-event
+    // hot key. The cap's prefix ordering tiebreaks through `value`
+    // (r7): (ts, event_id) uniqueness is a fixture fact, not a schema
+    // guarantee, and without the full-row tiebreak WHICH duplicates
+    // survive the cap would be engine-nondeterministic.
     "q_ewma" -> Q(
       (s, dir) => {
-        val STATE_CAP = 4096
+        val STATE_CAP = graft.streaming.Streams.EWMA_STATE_CAP
         val wu = Window.partitionBy(col("user_id"))
-          .orderBy(col("ts"), col("event_id"))
+          .orderBy(col("ts"), col("event_id"), col("value"))
         Tables.events(s, dir)
           .withColumn("rn", row_number().over(wu))
           .filter(col("rn") <= STATE_CAP)
@@ -312,9 +317,10 @@ object Analytics {
                         6).as("ewma"))
           .orderBy(col("user_id"))
       },
-      Some("""WITH capped AS (SELECT user_id, ts, event_id, value FROM events
+      Some(s"""WITH capped AS (SELECT user_id, ts, event_id, value FROM events
                               QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) <= 4096),
+                                        ORDER BY ts, event_id, value)
+                                <= ${graft.streaming.Streams.EWMA_STATE_CAP}),
                    u AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
                          FROM capped GROUP BY 1)
               SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
@@ -568,13 +574,21 @@ object Analytics {
     // WITH RECURSIVE descends the same forest.
     "q_transitive_closure" -> Q(
       (s, dir) => {
+        // Per-round materialization is localCheckpoint, NOT .cache():
+        // the checkpoint cuts the doubling lineage (cache would let it
+        // grow to the full O(log d) join tree on recompute), never
+        // registers in CacheManager (a cached part subtree would
+        // sameResult-substitute into sibling queries' audited plans
+        // with no unpersist point — the r6-s4 hazard class), and
+        // superseded rounds are reclaimed by ContextCleaner when the
+        // loop drops the reference.
         val nodes = Tables.part(s, dir).select(col("p_partkey").as("id"))
         var state = nodes.select(
             col("id"),
             when(col("id") >= 7, expr("id div 7")).otherwise(col("id")).as("anc"),
             when(col("id") >= 7, lit(1)).otherwise(lit(0)).cast("int").as("depth"),
             (col("id") < 7).as("done"))
-          .cache()
+          .localCheckpoint()
         var pending = state.filter(!col("done")).count()
         while (pending > 0) {
           val j = state.select(col("id").as("jid"), col("anc").as("janc"),
@@ -586,9 +600,8 @@ object Analytics {
               when(col("done"), col("depth"))
                 .otherwise(col("depth") + col("jdepth")).cast("int").as("depth"),
               when(col("done"), lit(true)).otherwise(col("jdone")).as("done"))
-            .cache()
+            .localCheckpoint()
           pending = next.filter(!col("done")).count()
-          state.unpersist()
           state = next
         }
         state.select(col("id"), col("anc").as("root"), col("depth"))
@@ -619,24 +632,26 @@ object Analytics {
     // + join-aggregate.
     "q_hierarchy_rollup" -> Q(
       (s, dir) => {
+        // localCheckpoint, not .cache(), for the same three reasons as
+        // q_transitive_closure above (lineage cut, no CacheManager
+        // sibling-plan substitution, ContextCleaner reclamation).
         val p = Tables.part(s, dir)
           .select(col("p_partkey").as("id"),
                   col("p_retailprice").cast(H.D).as("price"))
-          .cache()
+          .localCheckpoint()
         // closure pairs (node, anc): every proper ancestor of every node
         var frontier = p.select(col("id"),
             when(col("id") >= 7, expr("id div 7")).as("cur"))
           .filter(col("cur").isNotNull)
-          .cache()
+          .localCheckpoint()
         var pairs = frontier
         var n = frontier.count()
         while (n > 0) {
           val next = frontier
             .filter(col("cur") >= 7)
             .select(col("id"), expr("cur div 7").as("cur"))
-            .cache()
+            .localCheckpoint()
           n = next.count()
-          frontier.unpersist()
           if (n > 0) pairs = pairs.unionByName(next)
           frontier = next
         }

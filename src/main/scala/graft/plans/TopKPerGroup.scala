@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNo
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Whole-operator extension (SURVEY §7.3(c)): native bounded top-k per
   * group replacing the `row_number().over(...) <= k` rank-and-filter
@@ -132,12 +132,38 @@ case class TopKPerGroupExec(
   * (same partition/order keys) from below the matched Window. */
 object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def boundOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
-    case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v)
-    case LessThan(a: Attribute, Literal(v: Int, IntegerType)) if a.semanticEquals(rn) => Some(v - 1)
-    case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v)
-    case GreaterThan(Literal(v: Int, IntegerType), a: Attribute) if a.semanticEquals(rn) => Some(v - 1)
+  /** `rn <= 5L` analyzes as `Cast(rn AS BIGINT) <= 5L` (row_number is
+    * IntegerType, so a wider literal widens the attribute side) — unwrap
+    * that implicit widening cast, or the intended top-k silently falls
+    * back to the full window sort with no audit signal. */
+  private def rankSide(e: Expression, rn: Attribute): Boolean = e match {
+    case a: Attribute => a.semanticEquals(rn)
+    case Cast(a: Attribute, dt, _, _)
+        if dt == LongType || dt == IntegerType || dt == ShortType =>
+      a.semanticEquals(rn)
+    case _ => false
+  }
+
+  private def intLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Short, ShortType) => Some(v.toLong)
+    case Literal(v: Byte, ByteType) => Some(v.toLong)
     case _ => None
+  }
+
+  private def boundOf(cond: Expression, rn: Attribute): Option[Int] = {
+    // k > 1000 is rejected by the caller anyway; clamping here just keeps
+    // the Long→Int narrowing total.
+    def toK(v: Long): Option[Int] =
+      if (v < 1 || v > Int.MaxValue) None else Some(v.toInt)
+    cond match {
+      case LessThanOrEqual(a, l) if rankSide(a, rn) => intLit(l).flatMap(toK)
+      case LessThan(a, l) if rankSide(a, rn) => intLit(l).flatMap(v => toK(v - 1))
+      case GreaterThanOrEqual(l, a) if rankSide(a, rn) => intLit(l).flatMap(toK)
+      case GreaterThan(l, a) if rankSide(a, rn) => intLit(l).flatMap(v => toK(v - 1))
+      case _ => None
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {

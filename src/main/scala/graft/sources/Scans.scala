@@ -16,7 +16,10 @@ object Scans {
 
   private val fixDir = "/root/repo/target/graft_fixtures"
 
-  private def writeOnce(path: String, content: String): Unit = {
+  /** Deterministic fixture write: same bytes every run, overwriting any
+    * prior copy (NOT write-once — a stale fixture from an older code
+    * version must never survive a rerun). */
+  private def writeFixture(path: String, content: String): Unit = {
     val p = Paths.get(path)
     Files.createDirectories(p.getParent)
     Files.writeString(p, content)
@@ -93,7 +96,7 @@ object Scans {
           .orderBy(col("n_nationkey"))
           .collect()  // 25 rows, fixed size at every sf — driver-side ok
           .map(r => s"${r.getInt(0)}\t${r.getString(1)}\t${r.getInt(2)}")
-        writeOnce(nationCsvPath,
+        writeFixture(nationCsvPath,
           "n_nationkey\tn_name\tn_regionkey\n" + rows.mkString("", "\n", "\n"))
         val st = StructType(Seq(
           StructField("n_nationkey", IntegerType),
@@ -121,7 +124,7 @@ object Scans {
         val rows = Tables.nation(s, dir).orderBy(col("n_nationkey"))
           .collect() // 25 rows, fixed size at every sf — driver-side ok
           .map(r => s"${r.getInt(0)}|${r.getString(1)}|${r.getInt(2)}")
-        writeOnce(path, rows.mkString("", "\n", "\n"))
+        writeFixture(path, rows.mkString("", "\n", "\n"))
         s.read.text(path).orderBy(col("value"))
       },
       Some(s"""SELECT line AS value FROM (
@@ -144,7 +147,7 @@ object Scans {
           .map(r => s"${r.getInt(0)}\t${r.getString(1)}\t${r.getInt(2)}")
         // 3 deliberately broken lines: non-numeric key, truncated, garbage
         val broken = Seq("not_a_number\tBADLAND\t9", "99\tTRUNCATED", "###")
-        writeOnce(path, "n_nationkey\tn_name\tn_regionkey\n" +
+        writeFixture(path, "n_nationkey\tn_name\tn_regionkey\n" +
           (rows.take(10) ++ broken ++ rows.drop(10)).mkString("", "\n", "\n"))
         val st = StructType(Seq(
           StructField("n_nationkey", IntegerType),
@@ -175,7 +178,7 @@ object Scans {
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
           .collect()
           .map(r => s"""{"o_orderkey": ${r.getLong(0)}, "o_orderstatus": "${r.getString(1)}", "o_totalprice": ${r.getDouble(2)}}""")
-        writeOnce(ordersJsonPath, rows.mkString("", "\n", "\n"))
+        writeFixture(ordersJsonPath, rows.mkString("", "\n", "\n"))
         val st = StructType(Seq(
           StructField("o_orderkey", LongType),
           StructField("o_orderstatus", StringType),
@@ -382,7 +385,7 @@ object Scans {
     "src_dir_manifest" -> Q(
       (s, dir) => {
         val manifest = writeManifestTree(s, dir, manifestTreePath, v2 = false)
-        writeOnce(manifestTsvPath, manifestTsv(manifest))
+        writeFixture(manifestTsvPath, manifestTsv(manifest))
         s.read.format("binaryFile")
           .option("recursiveFileLookup", "true")
           .load(manifestTreePath)
@@ -414,8 +417,8 @@ object Scans {
       (s, dir) => {
         val m1 = writeManifestTree(s, dir, manifestTreePath, v2 = false)
         val m2 = writeManifestTree(s, dir, manifestTree2Path, v2 = true)
-        writeOnce(manifestTsvPath, manifestTsv(m1))
-        writeOnce(manifestTsv2Path, manifestTsv(m2))
+        writeFixture(manifestTsvPath, manifestTsv(m1))
+        writeFixture(manifestTsv2Path, manifestTsv(m2))
         def scan(root: String, seg: String, tag: String) =
           s.read.format("binaryFile")
             .option("recursiveFileLookup", "true").load(root)

@@ -34,6 +34,13 @@ case class UserSession(user_id: Long, sess_start: java.sql.Timestamp,
   *    batchId; the REST sink reuses the same idempotent-batch pattern. */
 object Streams {
 
+  /** Shared batch/stream per-key EWMA state cap: both q_ewma (batch) and
+    * [[ewmaState]] fold exactly the first EWMA_STATE_CAP events per user
+    * in (ts, event_id, value) order, so the two stay equal on any input
+    * — the declared-contract bound, pinned at the boundary by
+    * StreamingSpec's 5000-event hot key. */
+  val EWMA_STATE_CAP = 4096
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -340,10 +347,14 @@ object Streams {
             (userId, -1L, 0.0) // filtered by n > 0 below
           } else {
             var (n, s) = state.getOption.getOrElse((0L, 0.0))
-            val evs = it.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+            val evs = it.toSeq.sortBy(e => (usOf(e.ts), e.event_id, e.value))
+            // Fold stops at the shared cap — the batch twin's declared
+            // prefix bound, so the equality holds past 4096 events/user.
             evs.foreach { e =>
-              s = if (n == 0) e.value else s * 0.5 + e.value * 0.5
-              n += 1
+              if (n < EWMA_STATE_CAP) {
+                s = if (n == 0) e.value else s * 0.5 + e.value * 0.5
+                n += 1
+              }
             }
             state.update((n, s))
             // The idle horizon anchors to the user's OWN event time, not

@@ -653,6 +653,32 @@ class PlanAuditSpec extends SparkSuite {
       s"prefix ranking window not partitioned by doc_id:\n$p")
   }
 
+  test("shingle memo rides localCheckpoint, never CacheManager — no sibling-plan leakage") {
+    // The shared shingle stage is memoized per (session, dataset) via an
+    // eager localCheckpoint. A `.cache()` there would make CacheManager
+    // sameResult-substitute the subtree into EVERY sibling plan that
+    // derives the same shingles (near/prefix/containment/novelty/
+    // dup_degree), turning plan audits order-dependent — the r6-s4 bug.
+    graft.functions.Custom.register(spark)
+    Registry.byName("llm_dedup_prefix").fn(spark, sf) // builds + memoizes
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "shared shingle stage registered in CacheManager")
+    val p = planOf("llm_dedup_near")
+    assert(!p.contains("InMemoryTableScan"),
+      s"sibling plan reads a cached subtree:\n$p")
+  }
+
+  test("iterative keys leave no CacheManager residue (transitive_closure, hierarchy_rollup)") {
+    // Both loops cut lineage with localCheckpoint (not .cache()), so a
+    // 232-key sweep never pins their subtrees into sibling plans or
+    // executor memory with no unpersist point.
+    Seq("q_transitive_closure", "q_hierarchy_rollup").foreach { k =>
+      Registry.byName(k).fn(spark, sf).count()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "iterative key left a cached subtree in the shared session")
+  }
+
   test("llm_dsir: both LM bucket tables broadcast; token stream never sort-merges") {
     graft.functions.Custom.register(spark)
     val p = planOf("llm_dsir")

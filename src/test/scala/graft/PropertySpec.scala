@@ -101,6 +101,41 @@ class PropertySpec extends SparkSuite {
     members.foreach { case (c, ms) => assert(ms.contains(c), s"label $c not a member") }
   }
 
+  test("components: pointer doubling converges on a depth-100 chain in O(log d) rounds") {
+    // A 100-hop chain is the graph the old <=20-round min-label loop
+    // could NOT converge on (labels move one hop per plain propagation
+    // step). Pointer doubling must resolve every node to the chain head
+    // and do it in ~log2(depth) rounds, not depth rounds.
+    val depth = 100
+    val chain = (0 until depth).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (chain ++ chain.map(_.swap)).toDF("src", "dst")
+    val (lbl, rounds) =
+      graft.llm.Pipeline.components(edges, df => df.localCheckpoint())
+    val out = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == depth + 1)
+    out.foreach { case (id, c) => assert(c == 0L, s"node $id labeled $c") }
+    val bound = math.ceil(math.log(depth) / math.log(2)).toInt + 1
+    assert(rounds <= bound, s"$rounds rounds > O(log d) bound $bound")
+  }
+
+  test("components: exact minima on a forest of mixed component shapes") {
+    // chain 0-1-2-3, star centered at 10, isolated edge 20-21, and a
+    // triangle 30-31-32: labels must be the exact component minima.
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L),
+                  (10L, 11L), (10L, 12L), (10L, 13L),
+                  (20L, 21L),
+                  (30L, 31L), (31L, 32L), (30L, 32L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val (lbl, _) =
+      graft.llm.Pipeline.components(edges, df => df.localCheckpoint())
+    val out = lbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+                   10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+                   20L -> 20L, 21L -> 20L,
+                   30L -> 30L, 31L -> 30L, 32L -> 30L)
+    assert(out == want, s"labels $out != $want")
+  }
+
   test("topn_native == window row_number spelling on random data") {
     graft.plans.TopK.install(spark)
     try testTopnNative()
@@ -108,6 +143,25 @@ class PropertySpec extends SparkSuite {
                                               // leak the rewrite into
                                               // suites pinning the plain
                                               // window plan
+  }
+
+  test("topn_native: a Long-typed rank bound (rn <= 5L) still hits the rewrite") {
+    // rn is IntegerType, so `rn <= 5L` analyzes as Cast(rn AS BIGINT) <= 5L
+    // — boundOf must see through the cast and the Long literal, or the
+    // intended top-k silently falls back to the full window sort.
+    graft.plans.TopK.install(spark)
+    try {
+      val df = randomKv(7, 500)
+      val w = Window.partitionBy($"k").orderBy($"v".desc, $"s")
+      val viaOp = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5L).select($"k", $"rn", $"v", $"s")
+      val p = viaOp.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroup"),
+        s"Long-literal bound missed the rewrite:\n$p")
+      assert(viaOp.count() ==
+        df.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+          .count())
+    } finally graft.plans.TopK.uninstall(spark)
   }
 
   private def testTopnNative(): Unit = {

@@ -150,6 +150,49 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("st_ewma_state: batch == streaming at the 4096-event state-cap boundary") {
+    // 5000 events on one hot user — past the declared STATE_CAP. The
+    // batch operator folds only the first 4096 by (ts, event_id); the
+    // streaming fold caps its O(1) state at the same constant, so the
+    // two stay equal on ANY input, not just fixtures under the cap.
+    val n = 5000
+    val cap = Streams.EWMA_STATE_CAP
+    assert(n > cap, "test must cross the cap boundary")
+    val evs = (0 until n).map { i =>
+      Ev(i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), 7L,
+         "click", (i % 13).toDouble)
+    }
+    // Batch side: the declared key reads $dir/events.parquet with a raw
+    // int64-ns ts (the fixture encoding) — synthesize one.
+    val dir = java.nio.file.Files.createTempDirectory("ewma_cap").toString
+    evDf(evs)
+      .select(col("event_id"), expr("unix_micros(ts) * 1000").as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.Registry.byName("q_ewma").fn(spark, dir).collect()
+    assert(batch.length == 1)
+    assert(batch.head.getLong(1) == cap.toLong,
+      s"batch n_events ${batch.head.getLong(1)} != cap $cap")
+    // Streaming side: same events, in-order chunks.
+    val ms = MemoryStream[Ev]
+    val q = Streams.ewmaState(ms.toDS())
+      .toDF("user_id", "n", "ewma")
+      .writeStream.format("memory").queryName("t_ewma_cap")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      evs.grouped(1000).foreach { chunk =>
+        ms.addData(chunk); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val fin = spark.table("t_ewma_cap")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).maxBy(_._1)
+    assert(fin._1 == cap.toLong, s"streamed n ${fin._1} != cap $cap")
+    val rounded = BigDecimal(fin._2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rounded == batch.head.getDouble(2),
+      s"streamed $rounded != batch ${batch.head.getDouble(2)}")
+  }
+
   test("st_hll_sketch: TypedImperativeAggregate sketches work under streaming agg") {
     // The custom HLL rides the same ObjectHashAggregate machinery in a
     // complete-mode streaming aggregation; replayed in chunks it must
