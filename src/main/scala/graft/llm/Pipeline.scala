@@ -521,6 +521,47 @@ object Pipeline {
                        ${duckU("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS u,
                        ${duckU("'shuffle:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
                      FROM documents)
+               ORDER BY shard, pos""")),
+
+    // The MATERIALIZED half of llm_global_shuffle: the shuffled corpus
+    // written as a partitioned shard layout (shard=N directories, rows
+    // run-ordered by pos within each shard file) and read back — the
+    // pipeline step a trainer's data loader actually consumes, not just
+    // the query that models it. Writer parallelism = shard cardinality
+    // (8 here; the 100 TB run uses O(cluster-cores) shards, each a
+    // sequential-read run for one loader worker — the shard count IS the
+    // scale knob, there is no salt because a shard must stay one ordered
+    // run). Oracle recomputes from the unpartitioned source, so the hash
+    // gate proves the layout round-trips losslessly with pos intact.
+    "snk_shuffle_shards" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s) // tid60 kernel
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val out = s"/root/repo/target/graft_fixtures/shuffle_shards_$tag"
+        val w = Window.partitionBy(col("shard")).orderBy(col("u"), col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("u", expr(uE("concat('shuffle:', CAST(doc_id AS STRING))")))
+          .withColumn("shard", col("u") % 8)
+          .withColumn("pos", row_number().over(w))
+          .select(col("shard"), col("pos"), col("doc_id"), col("lang"))
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("pos"))
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+        s.read.parquet(out)
+          // partition-dir column comes back as the inferred partition
+          // type — cast to the source's BIGINT so the round-trip is
+          // schema-exact
+          .select(col("shard").cast("long").as("shard"), col("pos"),
+                  col("doc_id"), col("lang"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some(s"""SELECT shard, ROW_NUMBER() OVER (PARTITION BY shard
+                                                ORDER BY u, doc_id) AS pos,
+                      doc_id, lang
+               FROM (SELECT doc_id, lang,
+                       ${duckU("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS u,
+                       ${duckU("'shuffle:' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+                     FROM documents)
                ORDER BY shard, pos"""))
   )
 }

@@ -170,6 +170,39 @@ class OperatorSpec extends SparkSuite {
       src.select($"n_nationkey".cast("int"), $"n_name", $"n_regionkey".cast("int")))
   }
 
+  test("snk_rest: retry policy re-posts a flaky batch until it lands") {
+    import graft.sources.RestSink
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rest_retry").toString
+    val src = Tables.nation(spark, sf)
+    RestSink.post(src, batchSize = 7,
+        retry = RestSink.RetryPolicy(maxAttempts = 3, backoffMs = 1))(
+      (pid, attempt) => new RestTestTransports.Flaky(tmp, pid, attempt))
+    val back = spark.read.json(s"$tmp/*.jsonl")
+    assert(back.count() == src.count(), "retried batches must land exactly once")
+  }
+
+  test("snk_rest: exhausted retries quarantine to dead-letter, pipeline continues") {
+    import graft.sources.RestSink
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rest_main").toString
+    val dl = java.nio.file.Files.createTempDirectory("graft_rest_dl").toString
+    val src = Tables.nation(spark, sf)
+    // endpoint permanently down + dead-letter: no task failure, every row
+    // quarantined
+    RestSink.post(src, batchSize = 7,
+        retry = RestSink.RetryPolicy(maxAttempts = 2, backoffMs = 1),
+        deadLetter = Some((pid, attempt) =>
+          new RestSink.FileTransport(dl, pid, attempt)))(
+      (pid, attempt) => new RestTestTransports.Down(tmp, pid, attempt))
+    assert(spark.read.json(s"$dl/*.jsonl").count() == src.count(),
+      "every batch must reach the dead-letter path")
+    // same endpoint, NO dead-letter: the task (and job) must fail
+    intercept[org.apache.spark.SparkException] {
+      RestSink.post(src, batchSize = 7,
+          retry = RestSink.RetryPolicy(maxAttempts = 2, backoffMs = 1))(
+        (pid, attempt) => new RestTestTransports.Down(tmp, pid, attempt))
+    }
+  }
+
   test("snk_partitioned: partition pruning prunes files read back") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.lineitem(spark, sf)
@@ -341,5 +374,30 @@ class OperatorSpec extends SparkSuite {
     // 64 two-word names over 2000 parts guarantee brand/type fan-out.
     assert(rows("p_name->p_brand") > 0L)
     assert(rows("p_name->p_type") > 0L)
+  }
+}
+
+/** Transports for the snk_rest retry tests, top-level so the
+  * mkTransport lambdas capture only a path string (a suite-inner class
+  * would drag the non-serializable suite instance into the closure). */
+object RestTestTransports {
+  import graft.sources.RestSink
+
+  /** Fails the first 2 post() calls per instance (= per partition), then
+    * delegates — with maxAttempts=3 every batch lands exactly once. */
+  class Flaky(dir: String, pid: Int, attempt: Long)
+      extends RestSink.FileTransport(dir, pid, attempt) {
+    private var fails = 2
+    override def post(batch: Seq[String]): Unit = {
+      if (fails > 0) { fails -= 1; throw new java.io.IOException("503") }
+      super.post(batch)
+    }
+  }
+
+  /** Permanently down endpoint. */
+  class Down(dir: String, pid: Int, attempt: Long)
+      extends RestSink.FileTransport(dir, pid, attempt) {
+    override def post(batch: Seq[String]): Unit =
+      throw new java.io.IOException("endpoint down")
   }
 }
