@@ -376,4 +376,67 @@ class PropertySpec extends SparkSuite {
       assert(common.subsetOf(a.intersect(b)), "phantom intersection member")
     }
   }
+
+  // ---- codegen-kernel equivalence fuzz (r7) ------------------------------
+  // Each custom Catalyst kernel declares a pure-SQL spelling in its
+  // Scaladoc as the semantic reference; these tests hold the kernel to
+  // that spelling on adversarial random inputs (empty / single-element /
+  // negative / duplicate-heavy), so a future kernel edit that drifts from
+  // the documented semantics fails here instead of surfacing as a
+  // hash-mismatch in a downstream dedup key.
+
+  test("simhash32 kernel == 32-pass SQL majority vote on random id arrays") {
+    graft.functions.Custom.register(spark)
+    val rnd = new scala.util.Random(29)
+    val rows = Seq(Array.empty[Long], Array(0L), Array(-1L), Array(Long.MinValue)) ++
+      Seq.fill(200)(Array.fill(rnd.nextInt(40))(rnd.nextLong()))
+    val df = rows.toDF("ids")
+    val bad = df.filter(expr(
+      """simhash32(ids) !=
+         aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+           (acc, b) -> acc + CASE
+             WHEN 2 * size(filter(ids, h -> (shiftrightunsigned(h, b) & 1) = 1))
+                  > size(ids)
+             THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""))
+      .count()
+    assert(bad == 0, s"simhash32 diverged from the SQL spelling on $bad rows")
+  }
+
+  test("minhash16 kernel == 16-pass transform/array_min SQL spelling") {
+    graft.functions.Custom.register(spark)
+    val rnd = new scala.util.Random(31)
+    // contract domain: ids already reduced into [0, 1000003)
+    val rows = Seq(Array.empty[Long], Array(0L), Array(1000002L)) ++
+      Seq.fill(200)(Array.fill(rnd.nextInt(50))(rnd.nextLong().abs % 1000003L))
+    val df = rows.toDF("ids")
+    val bad = df.filter(expr(
+      """minhash16(ids) !=
+         transform(sequence(0, 15), j -> coalesce(
+           array_min(transform(ids, h -> ((2*j + 3) * h + 5*j + 7) % 1000003)),
+           9223372036854775807))"""))
+      .count()
+    assert(bad == 0, s"minhash16 diverged from the SQL spelling on $bad rows")
+  }
+
+  test("shingles3 kernel == array_distinct/transform SQL spelling") {
+    graft.functions.Custom.register(spark)
+    val rnd = new scala.util.Random(37)
+    // tiny vocab forces duplicate shingles; include unicode + empty tokens
+    val vocab = Vector("a", "bb", "é☃", "", "tok", "x")
+    val rows = Seq.fill(300)(Array.fill(3 + rnd.nextInt(20))(
+      vocab(rnd.nextInt(vocab.size))))
+    val df = rows.toDF("toks")
+    val bad = df.filter(expr(
+      """shingles3(toks) !=
+         array_distinct(transform(sequence(1, size(toks) - 2),
+           i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                          element_at(toks, i + 2))))"""))
+      .count()
+    assert(bad == 0, s"shingles3 diverged from the SQL spelling on $bad rows")
+    // short inputs: the SQL form is undefined (element_at(_, 0) under a
+    // descending sequence); the kernel's declared behavior is []
+    val short = Seq(Array.empty[String], Array("a"), Array("a", "b")).toDF("toks")
+    val nonEmpty = short.filter(expr("size(shingles3(toks)) != 0")).count()
+    assert(nonEmpty == 0, "shingles3 must return [] for < 3 tokens")
+  }
 }
