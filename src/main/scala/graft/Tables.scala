@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * (FIXTURES.md). Every entry point (SparkEntry/Verify/Bench/tests) reads
   * tables through here so session hazards are fixed in exactly one place:
   *
-  *  - `events.ts` is parquet TIMESTAMP(NANOS): Spark 4 throws
-  *    [PARQUET_TYPE_ILLEGAL] unless `spark.sql.legacy.parquet.nanosAsLong`
-  *    is set, and then reads LongType nanoseconds. DuckDB reads the same
-  *    column truncated to microsecond TIMESTAMP. We convert with integer
-  *    division (`ts DIV 1000` — NOT float division, which loses precision
-  *    above 2^53 ns) and cast to TIMESTAMP_NTZ under the UTC session so
-  *    both engines see identical wall-clock microseconds. SURVEY §7.4.1.
+  *  - `events.ts` layout varies by fixture generation: up to r6 it was
+  *    parquet TIMESTAMP(NANOS) (Spark 4 throws [PARQUET_TYPE_ILLEGAL]
+  *    unless `spark.sql.legacy.parquet.nanosAsLong` is set, then reads
+  *    LongType nanoseconds — converted here with integer division
+  *    `ts DIV 1000`, NOT float division which loses precision above
+  *    2^53 ns); the r7 regeneration writes native timestamp[us] (read as
+  *    TIMESTAMP_NTZ directly). `events()` dispatches on the read schema
+  *    so both layouts yield the same µs TIMESTAMP_NTZ column that DuckDB
+  *    sees. SURVEY §7.4.1.
   *  - session timezone pinned UTC for TimestampNTZ parity with DuckDB.
   */
 object Tables {
@@ -39,13 +41,34 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** events with `ts` converted ns→µs TIMESTAMP_NTZ, exactly matching what
-    * DuckDB reads from the same parquet (truncation, not rounding). */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
-      .withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+  /** events with `ts` as µs TIMESTAMP_NTZ, exactly matching what DuckDB
+    * reads from the same parquet. Schema-adaptive: fixture generations up
+    * to r6 wrote TIMESTAMP(NANOS) (read as LongType ns under the
+    * `nanosAsLong` flag — converted here by truncating integer division),
+    * while the r7 regeneration (2026-08-13) writes native timestamp[us]
+    * (read as TIMESTAMP_NTZ directly). Both converge to identical
+    * wall-clock microseconds under the UTC session. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+  }
 
-  /** events with the raw LongType nanosecond `ts` (for ops that want the
-    * exact value, e.g. streaming tests that re-derive their own time). */
-  def eventsRawNs(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** events with `ts` as raw LongType epoch-nanoseconds (for ops that want
+    * the exact value, e.g. streaming tests that re-derive their own time).
+    * Under the µs fixture layout the nanos are reconstructed as µs×1000 —
+    * lossless, since the column holds no sub-µs precision. */
+  def eventsRawNs(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts",
+          expr("unix_micros(CAST(CAST(ts AS TIMESTAMP_NTZ) AS TIMESTAMP)) * CAST(1000 AS BIGINT)"))
+    }
+  }
 }
