@@ -49,26 +49,21 @@ object Tables {
     * (read as TIMESTAMP_NTZ directly). Both converge to identical
     * wall-clock microseconds under the UTC session. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = load(spark, dir, "events")
     df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType => // pre-r7 layout: TIMESTAMP(NANOS) read as ns under nanosAsLong
         df.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
-      case _ =>
+      case TimestampNTZType => df // r7+ layout: native timestamp[us], isAdjustedToUTC=false
+      case TimestampType => // µs layout tagged isAdjustedToUTC=true; NTZ-reinterpret is
+        // wall-clock-exact because configure() pins the session to UTC
         df.withColumn("ts", col("ts").cast("timestamp_ntz"))
-    }
-  }
-
-  /** events with `ts` as raw LongType epoch-nanoseconds (for ops that want
-    * the exact value, e.g. streaming tests that re-derive their own time).
-    * Under the µs fixture layout the nanos are reconstructed as µs×1000 —
-    * lossless, since the column holds no sub-µs precision. */
-  def eventsRawNs(spark: SparkSession, dir: String): DataFrame = {
-    val df = load(spark, dir, "events")
-    df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => df
-      case _ =>
-        df.withColumn("ts",
-          expr("unix_micros(CAST(CAST(ts AS TIMESTAMP_NTZ) AS TIMESTAMP)) * CAST(1000 AS BIGINT)"))
+      case other => // fail FAST on a fixture regression instead of silently
+        // casting (e.g. a string ts would become all-NULL and every
+        // downstream window would return empty-but-green-looking rows)
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (dir=$dir); expected " +
+          "LongType (nanosAsLong), TIMESTAMP_NTZ, or TIMESTAMP")
     }
   }
 }

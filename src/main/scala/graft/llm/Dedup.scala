@@ -70,11 +70,21 @@ object Dedup {
       else stage.localCheckpoint()
     }
 
-  /** Near-dup pairs (3-shingle Jaccard ≥ 0.3 within lang) via the
-    * inverted-index join — shared by llm_dedup_near and the clustering
-    * operator in [[Pipeline]]. Columns: lang, id_a, id_b, n_a, n_b,
-    * n_inter, n_union, jac (exact DECIMAL(18,6)). */
-  private[llm] def nearPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** Full-inverted-index near-pair plan — every distinct shingle posts to
+    * the index; pairs aggregate collision counts into the exact
+    * intersection. This WAS [[nearPairs]]'s plan through r7; since r8 the
+    * shared helper rides the PPJoin prefix filter ([[prefixNearPairs]])
+    * and this twin is kept, un-exported from any declared key, to
+    * (a) pin the prefix filter's losslessness theorem in PrefixJoinSpec
+    * (hardened output == full-index output, row-exact), and (b) document
+    * the crossover: at fixture scale the full index is CHEAPER (measured
+    * max shingle df = 14, so Σ df² is tiny and the df/rank passes are
+    * pure overhead), but it has no defense against posting-list skew —
+    * one boilerplate shingle with df = 10⁶ at corpus scale makes the
+    * candidate join a 10¹² row fan-out. Columns: lang, id_a, id_b, n_a,
+    * n_b, n_inter, n_union, jac (exact DECIMAL(18,6)). */
+  private[graft] def fullIndexNearPairs(s: org.apache.spark.sql.SparkSession,
+                                        dir: String) = {
     val sized = shingled(s, dir).withColumn("n", size(col("sh")))
     val ex = sized.select(col("lang"), col("doc_id"), col("n"),
                           explode(col("sh")).as("tok"))
@@ -91,6 +101,77 @@ object Dedup {
                           col("n_union")).cast("decimal(18,6)"))
       .filter(col("jac") >= 0.3)
   }
+
+  /** PPJoin prefix-filtered near-pair plan, un-memoized (the shared
+    * memoized stage is [[nearPairs]]): candidate pairs come only from
+    * collisions among each doc's PREFIX — its first n - ceil(τ·n) + 1
+    * shingles under the global rarest-first (df, tok) order — then exact
+    * Jaccard verifies candidates against the full shingle arrays.
+    * Lossless vs [[fullIndexNearPairs]] (PrefixJoinSpec pins row-exact
+    * output equality; the theorem lives on llm_dedup_prefix's scaladoc),
+    * and skew-hardened: a boilerplate shingle with huge df sorts LAST in
+    * every doc's rarest-first order, so it only enters a prefix when a
+    * doc consists almost entirely of such shingles — in which case the
+    * docs are true near-duplicates and the pairs are OUTPUT, not waste.
+    * Posting volume drops from Σ df to Σ df_prefix and candidate cost
+    * from Σ df² to Σ df_prefix² — the r7 verdict's named scale-killer
+    * (unpruned posting lists under adversarial skew) closed with zero
+    * recall loss. Columns: lang, id_a, id_b, n_a, n_b, n_inter, n_union,
+    * jac (exact DECIMAL(18,6)) — schema-identical to the full-index
+    * twin (n_inter cast to long to match its count()). */
+  private[graft] def prefixNearPairs(s: org.apache.spark.sql.SparkSession,
+                                     dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = shingled(s, dir).withColumn("n", size(col("sh")))
+    val ex = sized.select(col("lang"), col("doc_id"), col("n"),
+                          explode(col("sh")).as("tok"))
+    val dfTab = ex.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val pre = ex.join(dfTab, Seq("lang", "tok"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .filter(col("pos") <= expr("n - ((3 * n + 9) div 10) + 1"))
+      .select(col("lang"), col("tok"), col("doc_id"))
+    val cand = pre.select(col("lang"), col("tok"), col("doc_id").as("id_a"))
+      .join(pre.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
+                       col("doc_id").as("id_b")),
+            col("lang") === col("lang_b") && col("tok") === col("tok_b") &&
+            col("id_a") < col("id_b"))
+      .select(col("lang"), col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sized.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+                         col("n").as("n_a")), Seq("id_a"))
+      .join(sized.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),
+                         col("n").as("n_b")), Seq("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jac", (col("n_inter").cast("decimal(18,6)") /
+                          col("n_union")).cast("decimal(18,6)"))
+      .filter(col("jac") >= 0.3)
+      .select(col("lang"), col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+              col("n_inter"), col("n_union"), col("jac"))
+  }
+
+  /** Near-dup pairs (3-shingle Jaccard ≥ 0.3 within lang) — the SHARED
+    * pair table behind llm_dedup_near, llm_minhash_recall, the component
+    * labels in [[Pipeline]] (→ cluster/survivors/thresholds) and
+    * llm_dup_degree in [[Screens]]. Since r8 it rides the skew-hardened
+    * [[prefixNearPairs]] plan and, like the shingle table it derives
+    * from, is memoized per (session, dataset) as an eagerly-materialized
+    * checkpoint ([[Memo.stage]]): a real curation DAG writes the
+    * verified pair table ONCE and feeds every downstream consumer from
+    * it — the same write-once/read-many pipeline-stage shape, and the
+    * bench's first consumer pays the build exactly once per dataset.
+    * Columns: lang, id_a, id_b, n_a, n_b, n_inter, n_union, jac (exact
+    * DECIMAL(18,6)). */
+  private[llm] def nearPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Memo.stage(s, dir, "near_pairs") {
+      val stage = prefixNearPairs(s, dir)
+      if (s.sparkContext.getCheckpointDir.isDefined) stage.checkpoint()
+      else stage.localCheckpoint()
+    }
 
   /** DuckDB spelling of the dense near-dup pair set, as a CTE-list
     * fragment (no WITH prefix — the cluster oracle prepends
@@ -192,15 +273,16 @@ object Dedup {
               ORDER BY k.doc_id""")),
 
     // Near-dup pairs: 3-token-shingle Jaccard >= 0.3 inside lang blocks,
-    // via an INVERTED-INDEX join — explode distinct shingles, self-join on
-    // (lang, shingle), count co-occurrences per pair. Only pairs sharing
-    // ≥1 shingle materialize (identical output: a zero-intersection pair
-    // can't reach τ=0.3), so the cost is Σ_shingle group², not corpus²
-    // — the sparse-similarity-join layout that holds at 100 TB, where the
-    // dense blocked self-join (382 s at sf0.1) is quadratic death. The
-    // oracle keeps the dense formulation: DuckDB only verifies at sf0.01.
-    // Jaccard is an exact integer ratio cast to DECIMAL so the hash gate
-    // never sees a raw double division.
+    // read from the shared [[nearPairs]] pipeline stage — since r8 the
+    // PPJoin PREFIX-FILTERED inverted index (only each doc's rarest
+    // n - ceil(τn) + 1 shingles post; see llm_dedup_prefix for the
+    // losslessness theorem), which keeps the sparse-similarity-join
+    // shape that holds at 100 TB (the dense blocked self-join was 382 s
+    // at sf0.1; the UNPRUNED full index — kept as fullIndexNearPairs for
+    // the spec pin — dies instead on one df=10⁶ boilerplate shingle).
+    // The oracle keeps the dense formulation: DuckDB only verifies at
+    // sf0.01. Jaccard is an exact integer ratio cast to DECIMAL so the
+    // hash gate never sees a raw double division.
     "llm_dedup_near" -> Q(
       (s, dir) => nearPairs(s, dir)
         // threshold on the exact decimal, DECLARE as double (driver's
@@ -440,52 +522,25 @@ object Dedup {
     // hash gate proves the pruned plan equals it).
     "llm_dedup_prefix" -> Q(
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        // The shingle table feeds FOUR subtrees here (df build, prefix
-        // index, and both verification array joins). Since r7 it arrives
-        // via the [[Memo.stage]] localCheckpoint (see [[shingled]]), so
-        // one materialized read replaces four kernel recomputes — the
-        // explicit write-once/read-many pipeline step the r6 comment
-        // only described. (A session `.cache()` remains deliberately
-        // banned: CacheManager would substitute the subtree into sibling
-        // queries' audited plans — the r6-s4 order-dependence bug — and
-        // has no unpersist point; the checkpointed stage has neither
-        // problem.) NOTE the fixture-scale economics: this plan still
-        // pays two posting-volume LINEAR shuffles (df build, prefix
-        // rank) to shrink the index join's QUADRATIC term from Σ df² to
-        // Σ df_prefix². At sf0.1 the quadratic term is tiny, so the
-        // linear overhead shows against llm_dedup_near; at corpus scale
-        // Σ df² is the term that kills the full index and the linear
-        // passes are the cheap part. Both keys are kept precisely to
-        // document the crossover.
-        val sized = shingled(s, dir).withColumn("n", size(col("sh")))
-        val ex = sized.select(col("lang"), col("doc_id"), col("n"),
-                              explode(col("sh")).as("tok"))
-        val dfTab = ex.groupBy(col("lang"), col("tok"))
-          .agg(count(lit(1)).as("df"))
-        val pre = ex.join(dfTab, Seq("lang", "tok"))
-          .withColumn("pos", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
-          .filter(col("pos") <= expr("n - ((3 * n + 9) div 10) + 1"))
-          .select(col("lang"), col("tok"), col("doc_id"))
-        val cand = pre.select(col("lang"), col("tok"), col("doc_id").as("id_a"))
-          .join(pre.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
-                           col("doc_id").as("id_b")),
-                col("lang") === col("lang_b") && col("tok") === col("tok_b") &&
-                col("id_a") < col("id_b"))
-          .select(col("lang"), col("id_a"), col("id_b"))
-          .distinct()
-        cand
-          .join(sized.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
-                Seq("id_a"))
-          .join(sized.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
-                Seq("id_b"))
-          .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-          .withColumn("n_union",
-            size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
-          .withColumn("jac", (col("n_inter").cast("decimal(18,6)") /
-                              col("n_union")).cast("decimal(18,6)"))
-          .filter(col("jac") >= 0.3)
+        // The plan lives in [[prefixNearPairs]] — since r8 it is ALSO the
+        // plan behind the shared nearPairs stage (r7 verdict: harden the
+        // shared helper against posting-list skew), so this key now
+        // documents and bench-prices the builder itself: it runs the
+        // full un-memoized computation every time, while llm_dedup_near
+        // reads the memoized stage the first consumer materialized. The
+        // shingle table feeds four subtrees here (df build, prefix
+        // index, both verification array joins) and arrives via the
+        // [[Memo.stage]] localCheckpoint (see [[shingled]]) — one
+        // materialized read replaces four kernel recomputes. NOTE the
+        // fixture-scale economics: this plan pays two posting-volume
+        // LINEAR shuffles (df build, prefix rank) to shrink the index
+        // join's QUADRATIC term from Σ df² to Σ df_prefix². At sf0.1
+        // the quadratic term is tiny, so the linear overhead shows
+        // against the full-index twin (fullIndexNearPairs, kept for the
+        // PrefixJoinSpec equality pin); at corpus scale Σ df² is the
+        // term that kills the full index and the linear passes are the
+        // cheap part.
+        prefixNearPairs(s, dir)
           .select(col("lang"), col("id_a"), col("id_b"),
                   col("n_inter").cast("int").as("n_inter"),
                   col("n_union").cast("int").as("n_union"),

@@ -537,7 +537,7 @@ object Pipeline {
       (s, dir) => {
         graft.functions.Custom.register(s) // tid60 kernel
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-        val out = s"/root/repo/target/graft_fixtures/shuffle_shards_$tag"
+        val out = s"${graft.Fixtures.dir}/shuffle_shards_$tag"
         val w = Window.partitionBy(col("shard")).orderBy(col("u"), col("doc_id"))
         Tables.documents(s, dir)
           .withColumn("u", expr(uE("concat('shuffle:', CAST(doc_id AS STRING))")))

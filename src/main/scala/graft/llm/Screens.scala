@@ -219,7 +219,7 @@ object Screens {
 
     // Near-dup graph degree distribution: how many docs have 0, 1, 2…
     // near-duplicates (Jaccard ≥ 0.3 neighbors, both directions). The
-    // pair list reuses Dedup.nearPairs' inverted-index plan; degrees
+    // pair list reads Dedup.nearPairs' memoized prefix-filtered stage; degrees
     // reduce per doc, then per degree — a two-level reduce over the
     // SPARSE edge list, the shape that tells a curation run whether its
     // dup structure is a few big clusters (high max degree) or many

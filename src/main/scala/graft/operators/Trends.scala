@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * day/month/dow/sketch-row tables. */
 object Trends {
 
-  private val fixDir = "/root/repo/target/graft_fixtures"
+  private val fixDir = graft.Fixtures.dir
 
   val qs: Seq[(String, Q)] = Seq(
 

@@ -8,13 +8,13 @@ import java.nio.file.{Files, Paths}
 /** SURVEY §2a — scans / sources / sinks.
   *
   * CSV/JSON fixtures are materialized deterministically (sorted, fixed
-  * formatting) under /root/repo/target/graft_fixtures so both Spark and the
+  * formatting) under [[graft.Fixtures.dir]] so both Spark and the
   * DuckDB oracle read the exact same bytes. The reference's primary input
   * is curator TSV spreadsheets; JSON-lines is its metadata-document form.
   */
 object Scans {
 
-  private val fixDir = "/root/repo/target/graft_fixtures"
+  private val fixDir = graft.Fixtures.dir
 
   /** Deterministic fixture write: same bytes every run, overwriting any
     * prior copy (NOT write-once — a stale fixture from an older code

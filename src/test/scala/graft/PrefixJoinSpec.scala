@@ -11,11 +11,20 @@ class PrefixJoinSpec extends SparkSuite {
 
   test("llm_dedup_prefix: prefix pruning is LOSSLESS vs the full inverted index") {
     // The prefix filter indexes only n - ceil(0.3 n) + 1 shingles per doc;
-    // the theorem says the surviving pair set is identical to
-    // llm_dedup_near's full-index pair set. Assert exact equality.
+    // the theorem says the surviving pair set is identical to the full
+    // inverted index's. Since r8 the shared nearPairs stage ITSELF rides
+    // the prefix plan, so the reference twin is the un-exported
+    // fullIndexNearPairs — assert exact equality against it, and that
+    // the declared llm_dedup_near key (stage reader) agrees too.
     val pruned = Registry.byName("llm_dedup_prefix").fn(spark, sf)
-    val full = Registry.byName("llm_dedup_near").fn(spark, sf)
+    val full = graft.llm.Dedup.fullIndexNearPairs(spark, sf)
+      .select(col("lang"), col("id_a"), col("id_b"),
+              col("n_inter").cast("int").as("n_inter"),
+              col("n_union").cast("int").as("n_union"),
+              col("jac").cast("double").as("jac"))
     assertSameRows(pruned, full)
+    val staged = Registry.byName("llm_dedup_near").fn(spark, sf)
+    assertSameRows(staged, full)
   }
 
   test("llm_dedup_prefix: the index it builds is strictly smaller than the full one") {
