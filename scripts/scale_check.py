@@ -7,6 +7,9 @@ minima across repeated runs at each sf, and computes the growth exponent
 
     e = log(t_big / t_small) / log(10)
 
+(--sf-small / --sf-big override the two fixture dirs; the 10x data ratio
+is assumed — e.g. sf0.1 vs a ScaleGen-built sf1.)
+
 e ~ 1 is linear scaling, e < 1 is fixed-overhead-dominated (expected for
 sub-second keys), e > FLAG (default 1.35 — linear plus log-factor
 headroom) is super-linear and gets flagged: at 1000x more data a flagged
@@ -29,8 +32,8 @@ import subprocess
 import sys
 from datetime import date
 
-SF_SMALL = "/root/testdata/sf0.01"
-SF_BIG = "/root/testdata/sf0.1"
+SF_SMALL = "/root/testdata/sf0.01"   # --sf-small overrides
+SF_BIG = "/root/testdata/sf0.1"      # --sf-big overrides
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -87,6 +90,8 @@ def main():
         return default
 
     keys_arg = opt("--keys")
+    sf_small = opt("--sf-small", SF_SMALL)
+    sf_big = opt("--sf-big", SF_BIG)
     top = int(opt("--top", "15"))
     runs = int(opt("--runs", "3"))
     flag = float(opt("--flag", "1.35"))
@@ -100,15 +105,15 @@ def main():
         keys = sorted(floor, key=floor.get, reverse=True)[:top]
     print(f"keys: {','.join(keys)}", file=sys.stderr)
 
-    small = bench_minima_env(keys, SF_SMALL, runs)
-    big = bench_minima_env(keys, SF_BIG, runs)
+    small = bench_minima_env(keys, sf_small, runs)
+    big = bench_minima_env(keys, sf_big, runs)
 
     header = (
         f"## Scale exponents {tag} ({date.today().isoformat()}, "
-        f"{runs} runs/sf, sf0.01 vs sf0.1, flag > {flag})\n\n"
-        f"e = log10(t_sf0.1 / t_sf0.01): ~1 linear, <1 overhead-bound, "
+        f"{runs} runs/sf, {sf_small} vs {sf_big}, flag > {flag})\n\n"
+        f"e = log10(t_big / t_small): ~1 linear, <1 overhead-bound, "
         f">{flag} super-linear (needs adjudication or a fix).\n\n"
-        "| key | t(sf0.01) | t(sf0.1) | exponent | verdict |\n"
+        "| key | t(small) | t(big) | exponent | verdict |\n"
         "| --- | --- | --- | --- | --- |\n"
     )
     rows, flagged = [], []

@@ -107,7 +107,7 @@ class OperatorSpec extends SparkSuite {
     val corrupt = spark.read.option("sep", "\t").option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .schema(st).csv("/root/repo/target/graft_fixtures/nation_malformed.tsv")
+      .schema(st).csv(s"${graft.Fixtures.dir}/nation_malformed.tsv")
       .collect()
       .flatMap(r => Option(r.getAs[String]("_corrupt_record")))
     assert(corrupt.length == 3, s"expected 3 corrupt rows, got ${corrupt.toSeq}")

@@ -78,7 +78,7 @@ class TrendsSpec extends SparkSuite {
            H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       .orderBy(col("l_returnflag"))
     assertSameRows(out, direct)
-    val files = new java.io.File("/root/repo/target/graft_fixtures/lineitem_zstd")
+    val files = new java.io.File(s"${graft.Fixtures.dir}/lineitem_zstd")
       .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
     assert(files.nonEmpty && files.forall(_.contains("zstd")),
       s"expected zstd-coded parquet parts: ${files.toSeq}")
