@@ -84,8 +84,14 @@ object Dedup {
     * candidate join a 10¹² row fan-out. Columns: lang, id_a, id_b, n_a,
     * n_b, n_inter, n_union, jac (exact DECIMAL(18,6)). */
   private[graft] def fullIndexNearPairs(s: org.apache.spark.sql.SparkSession,
-                                        dir: String) = {
-    val sized = shingled(s, dir).withColumn("n", size(col("sh")))
+                                        dir: String) =
+    fullIndexPairsOf(shingled(s, dir))
+
+  /** [[fullIndexNearPairs]] parameterized on an arbitrary
+    * (doc_id, lang, sh) shingle table — lets the adversarial-skew spec
+    * drive both plans over a boilerplate-injected corpus. */
+  private[graft] def fullIndexPairsOf(shingles: org.apache.spark.sql.DataFrame) = {
+    val sized = shingles.withColumn("n", size(col("sh")))
     val ex = sized.select(col("lang"), col("doc_id"), col("n"),
                           explode(col("sh")).as("tok"))
     val a = ex.select(col("lang"), col("doc_id").as("id_a"),
@@ -120,18 +126,33 @@ object Dedup {
     * jac (exact DECIMAL(18,6)) — schema-identical to the full-index
     * twin (n_inter cast to long to match its count()). */
   private[graft] def prefixNearPairs(s: org.apache.spark.sql.SparkSession,
-                                     dir: String) = {
+                                     dir: String) =
+    prefixPairsOf(shingled(s, dir))
+
+  /** The PPJoin PREFIX INDEX of a (doc_id, lang, sh) shingle table: only
+    * each doc's first n - ceil(0.3n) + 1 shingles under the global
+    * rarest-first (df, tok) order post to it. Split out so the
+    * adversarial-skew spec can measure Σ df² of exactly the posting
+    * lists the candidate join consumes. */
+  private[graft] def prefixIndexOf(shingles: org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val sized = shingled(s, dir).withColumn("n", size(col("sh")))
+    val sized = shingles.withColumn("n", size(col("sh")))
     val ex = sized.select(col("lang"), col("doc_id"), col("n"),
                           explode(col("sh")).as("tok"))
     val dfTab = ex.groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("df"))
-    val pre = ex.join(dfTab, Seq("lang", "tok"))
+    ex.join(dfTab, Seq("lang", "tok"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .filter(col("pos") <= expr("n - ((3 * n + 9) div 10) + 1"))
       .select(col("lang"), col("tok"), col("doc_id"))
+  }
+
+  /** [[prefixNearPairs]] parameterized on an arbitrary (doc_id, lang, sh)
+    * shingle table (see [[fullIndexPairsOf]]). */
+  private[graft] def prefixPairsOf(shingles: org.apache.spark.sql.DataFrame) = {
+    val sized = shingles.withColumn("n", size(col("sh")))
+    val pre = prefixIndexOf(shingles)
     val cand = pre.select(col("lang"), col("tok"), col("doc_id").as("id_a"))
       .join(pre.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
                        col("doc_id").as("id_b")),

@@ -50,6 +50,36 @@ class PrefixJoinSpec extends SparkSuite {
       s"prefix index ($prefixIdx) saves less than 1 posting/doc vs full ($fullIdx, $docs docs)")
   }
 
+  test("prefix filter survives an adversarial boilerplate stop-shingle (df = corpus)") {
+    // The r7 verdict's named scale-killer: one boilerplate shingle with
+    // df = |corpus| turns the FULL inverted index's candidate join into a
+    // Σ df² ≈ |corpus|² fan-out. Append a fixed sentence to EVERY doc —
+    // its 3-shingles all get df = 500 at sf0.001 — and check the prefix
+    // plan (a) still produces EXACTLY the full-index pair set and (b)
+    // keeps the quadratic candidate term Σ df² at least 10× below the
+    // full index's, because corpus-df shingles sort LAST in the
+    // rarest-first order and drop out of (almost) every prefix.
+    graft.functions.Custom.register(spark)
+    val boiler = " common footer boilerplate text appended to every single document here"
+    val docs = Tables.documents(spark, sf)
+      .withColumn("text", concat(col("text"), lit(boiler)))
+    val sh = docs.select(col("doc_id"), col("lang"),
+      expr("shingles3(split(lower(trim(text)), ' '))").as("sh"))
+    val pruned = graft.llm.Dedup.prefixPairsOf(sh)
+    val full = graft.llm.Dedup.fullIndexPairsOf(sh)
+    assertSameRows(pruned, full)
+
+    def sumDfSq(index: org.apache.spark.sql.DataFrame): Long = index
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("df"))
+      .agg(sum(col("df") * col("df"))).collect()(0).getLong(0)
+    val fullIdx = sh.select(col("lang"), col("doc_id"), explode(col("sh")).as("tok"))
+    val fullSq = sumDfSq(fullIdx)
+    val preSq = sumDfSq(graft.llm.Dedup.prefixIndexOf(sh))
+    assert(preSq * 10 <= fullSq,
+      s"prefix index did not defuse the boilerplate skew: sum df^2 " +
+      s"prefix=$preSq vs full=$fullSq")
+  }
+
   test("q_hierarchy_rollup: root subtrees partition the forest") {
     // Conservation law: the six roots' descendant-or-self sets are a
     // disjoint cover of all parts, so their n_desc and subtree_price
