@@ -299,6 +299,66 @@ object Similarity {
                FROM approx a LEFT JOIN exact e USING (vec_id)
                ORDER BY cos DESC, vec_id""")),
 
+    // The MATERIALIZED half of the multiprobe story: every comment above
+    // says "at real scale the bucket is the partition key, so a probe is
+    // partition-pruned I/O" — this key does it. The corpus is written as
+    // a bucket=N partitioned parquet layout (the 100 TB ANN lake shape:
+    // one directory per coarse cell, written once, probed forever), the
+    // query's hamming-1 probe set arrives as a broadcast JOIN on the
+    // partition column — so Spark's dynamic partition pruning turns the
+    // probe into a 5-of-16-directory read with NO driver-side bucket
+    // literal (the probe list is data, not code). PlanAuditSpec pins
+    // dynamicpruning on the partition column. Hamming-1 is deliberate
+    // here (vs the declared multiprobe's recall-SLA hamming-3): this row
+    // declares the LAYOUT + pruning mechanics, and 5/16 partitions is
+    // the fraction where pruning is visible; results match the oracle's
+    // dense recompute over the same probe set exactly.
+    "llm_ann_partitioned" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val out = s"${graft.Fixtures.dir}/emb_by_bucket_$tag"
+        Tables.embeddings(s, dir)
+          .withColumn("bucket", expr(codeE))
+          .write.mode("overwrite").partitionBy("bucket").parquet(out)
+        // partition column comes back as inferred INT — use it raw: a
+        // cast wrapper on the join key would hide it from DPP detection
+        val lake = s.read.parquet(out)
+        val q = lake.filter(col("vec_id") === 0)
+          .withColumn("q_nrm", expr(normE))
+          .select(col("embedding").as("q_emb"), col("q_nrm"),
+                  explode(array(lit(0), lit(1), lit(2), lit(4), lit(8)))
+                    .as("flip"),
+                  col("bucket").as("q_bucket"))
+          .select(col("q_emb"), col("q_nrm"),
+                  col("q_bucket").bitwiseXOR(col("flip")).as("probe"))
+        lake.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("probe"))
+          .withColumn("nrm", expr(normE))
+          .withColumn("cos", round(
+            expr(dotE("embedding", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+          .select(col("vec_id"), col("label"), col("bucket"), col("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm,
+                                 $duckCode AS bucket
+                          FROM embeddings),
+               q AS (SELECT embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+                     FROM n WHERE vec_id = 0),
+               probes AS (SELECT q_emb, q_nrm,
+                                 unnest([q_bucket, xor(q_bucket, 1),
+                                         xor(q_bucket, 2), xor(q_bucket, 4),
+                                         xor(q_bucket, 8)]) AS probe
+                          FROM q)
+               SELECT vec_id, label, bucket,
+                      round(${duckDot("n.embedding", "probes.q_emb")}
+                            / (n.nrm * probes.q_nrm), 6) AS cos
+               FROM n, probes
+               WHERE vec_id <> 0 AND bucket = probe
+               ORDER BY cos DESC, vec_id
+               LIMIT 10""")),
+
     // All pairs with cosine >= 0.2 inside label blocks (measured: 709 of
     // 12 344 within-label pairs at sf0.01 — the threshold does real work).
     // Candidates come from the angle-banded join (see cosPairs) — the

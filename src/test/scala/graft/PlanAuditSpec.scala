@@ -112,6 +112,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(rec >= 0.9, s"multiprobe recall $rec below 0.9 SLA")
   }
 
+  test("llm_ann_partitioned: probe join prunes bucket partitions dynamically") {
+    // The bucket-partitioned ANN lake must be probed via dynamic
+    // partition pruning — the broadcast probe join's values reach the
+    // scan as a runtime PartitionFilter, so 5 of 16 bucket directories
+    // are read with no driver-side bucket literal.
+    graft.functions.Custom.register(spark)
+    val df = Registry.byName("llm_ann_partitioned").fn(spark, sf)
+    df.collect() // DPP shows on the executed (final adaptive) plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning") || p.contains("dynamicpruningexpression"),
+      s"probe join does not dynamically prune bucket partitions:\n$p")
+    assert(p.contains("PartitionFilters"), s"no partition filters at all:\n$p")
+  }
+
   test("llm_sim_pairs: angle-banded candidate join, no nested loop, payload re-attached by id") {
     graft.functions.Custom.register(spark)
     val p = planOf("llm_sim_pairs")
