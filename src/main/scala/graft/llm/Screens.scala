@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * linear inverted-index joins (Σ df², never n²). */
 object Screens {
 
+  /** Absolute posting-list cap for the tf-idf similarity join (see
+    * llm_tfidf_pairs): terms with df above it are excluded from the
+    * pair index, bounding the join's Σ df² at #terms · CAP² (linear in
+    * corpus). Chosen above every driver fixture's maximum
+    * post-relative-gate df (500 at sf0.1) so it never changes declared
+    * outputs; at deploy scale it is the executor-sizing knob. */
+  val TFIDF_DF_CAP = 2000L
+
   private val toksE = "split(lower(trim(text)), ' ')"
   private val duckToks = "string_split(lower(trim(text)), ' ')"
   private val duckShingles =
@@ -146,12 +154,21 @@ object Screens {
     // the third representation next to shingle-Jaccard and embedding
     // cosine: docs as SPARSE weighted term vectors, paired via the
     // inverted index on (lang, term) so cost is Σ_term df², never
-    // corpus². The df ≤ N/10 cutoff drops stopword-grade terms — on
-    // this fixture's tiny shared vocabulary that pruning is what keeps
-    // the posting lists (and at 100 TB, the join) economical; it is
-    // also standard IR practice, not a fixture hack. All dot/norm sums
-    // ride rounded-decimal lanes (order-free); only the final ratio is
-    // a double, rounded once.
+    // corpus². TWO df gates, both standard IR practice: the RELATIVE
+    // cutoff df ≤ N/10 drops stopword-grade terms (semantic: such terms
+    // carry no tf-idf signal), and since r8 an ABSOLUTE posting-list cap
+    // df ≤ TFIDF_DF_CAP bounds the join's quadratic term — without it a
+    // term sitting just under the relative cutoff (df = N/10 − 1) costs
+    // (N/10)² join rows, i.e. the plan is corpus-quadratic in the worst
+    // case, and the r8 sf1 scale check measured exactly that (e = 1.94,
+    // 146 s: ScaleGen's replica-0 stopwords kept their absolute df while
+    // N grew ×10 and slid under the relative gate). With the cap,
+    // Σ df² ≤ #terms · CAP² ∝ N. The cap never binds at driver fixtures
+    // (max post-relative-gate df at sf0.1 is 500), so declared outputs
+    // are bit-identical; at deploy scale it is the knob that keeps
+    // posting lists executor-sized (Lucene's maxDocFreq analog). All
+    // dot/norm sums ride rounded-decimal lanes (order-free); only the
+    // final ratio is a double, rounded once.
     "llm_tfidf_pairs" -> Q(
       (s, dir) => {
         val d = Tables.documents(s, dir)
@@ -163,7 +180,8 @@ object Screens {
           .agg(count(lit(1)).as("tf"))
         val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         val w = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
-          .filter(col("df") * 10 <= col("n_docs"))
+          .filter(col("df") * 10 <= col("n_docs") &&
+                  col("df") <= Screens.TFIDF_DF_CAP)
           .withColumn("w", round(col("tf") *
             log(col("n_docs").cast("double") / col("df")), 6))
         val nrm = w.groupBy(col("doc_id"))
@@ -197,7 +215,7 @@ object Screens {
                     w AS (SELECT doc_id, lang, tf.tok,
                                  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS w
                           FROM tf JOIN dfr ON tf.tok = dfr.tok, nn
-                          WHERE df * 10 <= n_docs),
+                          WHERE df * 10 <= n_docs AND df <= 2000),
                     nrm AS (SELECT doc_id,
                                    sqrt(CAST(SUM(CAST(round(w * w, 6)
                                         AS DECIMAL(28,6))) AS DOUBLE)) AS nrm
