@@ -52,6 +52,13 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, out, factor)
+    spark.stop()
+  }
+
+  /** Session-injected core (ScaleGenSpec drives it on the shared test
+    * session; main owns session lifecycle). */
+  def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     Tables.configure(spark)
 
     val replicas = broadcast(
@@ -119,6 +126,5 @@ object ScaleGen {
 
     val sec = (System.nanoTime() - t0) / 1e9
     println(s"""{"scalegen":"done","src":"$src","out":"$out","factor":$factor,"sec":${math.round(sec)}}""")
-    spark.stop()
   }
 }
