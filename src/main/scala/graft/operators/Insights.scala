@@ -24,6 +24,28 @@ object Insights {
     * in r6 so the co-supply edge builders in Analytics reuse it). */
   private def pairsE(arr: String) = H.pairsE(arr)
 
+  /** Exact all-pairs jaro_winkler ≥ 0.93 top-100 within
+    * (mktsegment, nationkey) blocks — the declared fn_jaro result AND
+    * the ground truth fn_jaro_snm measures its recall against. Exact,
+    * therefore Σ block² (adjudicated in BASELINE §r8-sf1); callers must
+    * have run Custom.register. */
+  private def jaroExactTop(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    graft.functions.Custom.register(s)
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+              col("c_nationkey"))
+    c.as("a").join(c.as("b"),
+        col("a.c_mktsegment") === col("b.c_mktsegment") &&
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+              col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))
+      .withColumn("jw", round(expr("jaro_winkler(name_a, name_b)"), 6))
+      .filter(col("jw") >= 0.93)
+      .select(col("id_a"), col("id_b"), col("jw"))
+      .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
 
   val qs: Seq[(String, Q)] = Seq(
 
@@ -653,29 +675,18 @@ object Insights {
     // the fuzzy-match operator entity resolution runs before a merge.
     // jaro_winkler is the engine's codegen kernel (Sketches.JaroWinkler),
     // fuzz-verified value-identical to DuckDB's jaro_winkler_similarity
-    // (3006/3006 random vectors at 1e-12). Classic blocking keeps the
-    // in-block n² bounded: pairs only form inside (mktsegment, nation)
-    // demographic blocks, the record-linkage discipline that holds at
-    // scale (block count grows with the dims, block size stays
-    // population-bounded). Top-100 under a total (jw, id, id) order.
+    // (3006/3006 random vectors at 1e-12). Classic blocking: pairs only
+    // form inside (mktsegment, nation) demographic blocks. NOTE on the
+    // cost model (r8 sf1 measurement, BASELINE §r8-sf1): block COUNT is
+    // schema-fixed (5×25), so block sizes grow with the corpus and the
+    // exact all-pairs cost is Σ block² — measured e = 1.35, and the
+    // adjudication derives why no lossless JW-0.93 prefilter exists for
+    // these names. This key therefore stays the EXACT anchor (it is the
+    // oracle ground truth for the kernel and for fn_jaro_snm's recall
+    // row); the linear-scale production variant is fn_jaro_snm below.
+    // Top-100 under a total (jw, id, id) order.
     "fn_jaro" -> Q(
-      (s, dir) => {
-        graft.functions.Custom.register(s)
-        val c = Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-                  col("c_nationkey"))
-        c.as("a").join(c.as("b"),
-            col("a.c_mktsegment") === col("b.c_mktsegment") &&
-              col("a.c_nationkey") === col("b.c_nationkey") &&
-              col("a.c_custkey") < col("b.c_custkey"))
-          .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
-                  col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))
-          .withColumn("jw", round(expr("jaro_winkler(name_a, name_b)"), 6))
-          .filter(col("jw") >= 0.93)
-          .select(col("id_a"), col("id_b"), col("jw"))
-          .orderBy(col("jw").desc, col("id_a"), col("id_b"))
-          .limit(100)
-      },
+      (s, dir) => jaroExactTop(s, dir),
       Some("""SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
                      round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
               FROM customer a JOIN customer b
@@ -684,6 +695,102 @@ object Insights {
                AND a.c_custkey < b.c_custkey
               WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 6) >= 0.93
               ORDER BY jw DESC, id_a, id_b LIMIT 100""")),
+
+    // Multi-pass SORTED-NEIGHBORHOOD fuzzy match (Hernández–Stolfo) —
+    // the linear-scale record-linkage plan fn_jaro's adjudication calls
+    // for: within each (mktsegment, nation) block, sort once by c_name
+    // and once by reverse(c_name), and compare each record only to its
+    // next W = 10 neighbors per pass (a forward-sorted pass catches
+    // pairs agreeing on a long prefix, the reversed pass pairs agreeing
+    // on a long suffix; a pair differing only in middle characters can
+    // evade both windows — which is WHY the declared row measures its
+    // own recall against the exact top-100 instead of hoping). Cost is
+    // rows × 2W comparisons — linear in corpus for ANY block-size
+    // distribution, vs the exact plan's Σ block² (measured at sf1:
+    // 5.1 s / e = 0.37 vs the exact plan's 42.5 s / e = 1.35 — an 8×
+    // win at ×10 data that widens with every further scale step). The neighbor join is an
+    // EQUI-join on (block, rank + k), k exploded 1..W — never a
+    // range/theta join. Recall vs the exact top-100 is 1.0 on the
+    // fixtures, with W as the recall knob exactly like the ANN ball
+    // radius — pinned in PrefixJoinSpec rather than carried as a
+    // declared column, because the ground truth is the quadratic exact
+    // join: embedding it in the declared row would re-import the very
+    // cost model this key exists to escape (a first draft measured
+    // e = 1.12 / 44.7 s at sf1 for exactly that reason).
+    "fn_jaro_snm" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val W = 10
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+                  col("c_nationkey"))
+          .withColumn("rname", reverse(col("c_name")))
+        val passes = Seq("c_name", "rname").map { sk =>
+          val w = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
+            .orderBy(col(sk), col("c_custkey"))
+          val r = c.withColumn("rn", row_number().over(w))
+          val a = r.select(col("c_mktsegment").as("seg"),
+                           col("c_nationkey").as("nat"),
+                           col("c_custkey").as("ka"), col("c_name").as("na"),
+                           col("rn"))
+            .withColumn("k", explode(expr(s"sequence(1, $W)")))
+            .withColumn("rn_b", col("rn") + col("k"))
+            .drop("rn", "k")
+          val b = r.select(col("c_mktsegment").as("seg_b"),
+                           col("c_nationkey").as("nat_b"),
+                           col("c_custkey").as("kb"), col("c_name").as("nb"),
+                           col("rn").as("rnb"))
+          a.join(b, col("seg") === col("seg_b") && col("nat") === col("nat_b") &&
+                    col("rn_b") === col("rnb"))
+            .select(least(col("ka"), col("kb")).as("id_a"),
+                    greatest(col("ka"), col("kb")).as("id_b"),
+                    col("na").as("name_a"), col("nb").as("name_b"))
+        }
+        passes.reduce(_ unionAll _)
+          .withColumn("jw", round(expr("jaro_winkler(name_a, name_b)"), 6))
+          .filter(col("jw") >= 0.93)
+          .select(col("id_a"), col("id_b"), col("jw"))
+          .distinct() // a pair can surface in both passes
+          .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+          .limit(100)
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+                                reverse(c_name) AS rname
+                         FROM customer),
+                   p1 AS (SELECT c_mktsegment, c_nationkey, c_custkey, c_name,
+                                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment, c_nationkey
+                                                    ORDER BY c_name, c_custkey) AS rn
+                          FROM c),
+                   p2 AS (SELECT c_mktsegment, c_nationkey, c_custkey, c_name,
+                                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment, c_nationkey
+                                                    ORDER BY rname, c_custkey) AS rn
+                          FROM c),
+                   ks AS (SELECT unnest(generate_series(1, 10)) AS k),
+                   cand AS (
+                     SELECT LEAST(a.c_custkey, b.c_custkey) AS id_a,
+                            GREATEST(a.c_custkey, b.c_custkey) AS id_b,
+                            a.c_name AS name_a, b.c_name AS name_b
+                     FROM p1 a CROSS JOIN ks JOIN p1 b
+                       ON a.c_mktsegment = b.c_mktsegment
+                      AND a.c_nationkey = b.c_nationkey
+                      AND b.rn = a.rn + ks.k
+                     UNION ALL
+                     SELECT LEAST(a.c_custkey, b.c_custkey),
+                            GREATEST(a.c_custkey, b.c_custkey),
+                            a.c_name, b.c_name
+                     FROM p2 a CROSS JOIN ks JOIN p2 b
+                       ON a.c_mktsegment = b.c_mktsegment
+                      AND a.c_nationkey = b.c_nationkey
+                      AND b.rn = a.rn + ks.k),
+                   top AS (
+                     SELECT DISTINCT id_a, id_b,
+                            round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+                     FROM cand
+                     WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.93
+                     ORDER BY jw DESC, id_a, id_b LIMIT 100)
+              SELECT id_a, id_b, jw FROM top
+              ORDER BY jw DESC, id_a, id_b""")),
 
     // Audience overlap: distinct users per event-type pair, WITHOUT a
     // user-level self-join — the corpus reduces to one row per user

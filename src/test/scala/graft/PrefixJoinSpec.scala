@@ -80,6 +80,19 @@ class PrefixJoinSpec extends SparkSuite {
       s"prefix=$preSq vs full=$fullSq")
   }
 
+  test("fn_jaro_snm: two-pass sorted neighborhood recovers the exact top-100") {
+    // The linear-scale record-linkage plan must not trade away recall on
+    // the fixture: its W=10 forward+reversed windows must surface every
+    // pair of the exact quadratic plan's top-100. (The ground truth is
+    // the exact join itself, which is why this is a spec and not a
+    // declared column — see the key's comment.)
+    graft.functions.Custom.register(spark)
+    val snm = Registry.byName("fn_jaro_snm").fn(spark, sf)
+      .select(col("id_a"), col("id_b"), col("jw"))
+    val exact = Registry.byName("fn_jaro").fn(spark, sf)
+    assertSameRows(snm, exact)
+  }
+
   test("q_hierarchy_rollup: root subtrees partition the forest") {
     // Conservation law: the six roots' descendant-or-self sets are a
     // disjoint cover of all parts, so their n_desc and subtree_price
