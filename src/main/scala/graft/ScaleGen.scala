@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions._
   * call out, not hide):
   *
   *  - dims (region/nation) copy as-is — FK targets stay valid;
-  *  - fact keys shift by `replica × stride` (stride = max key + 1), so
+  *  - fact keys shift by `replica × stride`, where the stride for each
+  *    KEY DOMAIN is max+1 over the table that OWNS the domain (customer
+  *    drives every *custkey, part every *partkey, supplier every
+  *    *suppkey, orders every *orderkey). Computing strides per-column
+  *    from each table's own max would break FKs whenever a dim key is
+  *    unreferenced by the fact table (standard TPC-H leaves ~1/3 of
+  *    custkeys orderless, so max(o_custkey) can sit below
+  *    max(c_custkey)): replica r's o_custkey would then land in replica
+  *    r-1's customer range or in no range at all. With domain strides,
   *    replica r's orders reference replica r's customers and lineitem
   *    baskets/groups keep their ORIGINAL sizes — a group-quadratic plan
   *    (C(k,2) basket explode, per-group window) sees 10× more groups of
@@ -64,16 +72,15 @@ object ScaleGen {
     val replicas = broadcast(
       spark.range(factor.toLong).select(col("id").cast("long").as("r")))
 
-    /** Replicate `df` ×factor, shifting each column in `keyCols` by
-      * r × (max(col) + 1) — strides computed in one tiny agg. */
-    def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-      val strides: Map[String, Long] =
-        if (keyCols.isEmpty) Map.empty
-        else {
-          val row = df.agg(max(col(keyCols.head)),
-                           keyCols.tail.map(c => max(col(c))): _*).collect()(0)
-          keyCols.zipWithIndex.map { case (c, i) => c -> (row.getLong(i) + 1L) }.toMap
-        }
+    /** Stride for a key DOMAIN: max+1 over the column of the table that
+      * owns the domain (the referenced dim/parent, never the referencing
+      * fact). Cast to long so int32-keyed fixtures don't CCE. */
+    def domainStride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).collect()(0).getLong(0) + 1L
+
+    /** Replicate `df` ×factor, shifting each column per `strides`
+      * (column → domain stride). */
+    def replicate(df: DataFrame, strides: Map[String, Long]): DataFrame = {
       // keep `r` so callers can derive replica-dependent columns; write()
       // drops it
       val rep = df.crossJoin(replicas)
@@ -92,21 +99,36 @@ object ScaleGen {
     write(spark.read.parquet(s"$src/region.parquet"), "region", 1)
     write(spark.read.parquet(s"$src/nation.parquet"), "nation", 1)
 
-    write(replicate(spark.read.parquet(s"$src/customer.parquet"),
-                    Seq("c_custkey")), "customer", 4)
-    write(replicate(spark.read.parquet(s"$src/supplier.parquet"),
-                    Seq("s_suppkey")), "supplier", 1)
-    write(replicate(spark.read.parquet(s"$src/part.parquet"),
-                    Seq("p_partkey")), "part", 4)
-    write(replicate(spark.read.parquet(s"$src/orders.parquet"),
-                    Seq("o_orderkey", "o_custkey")), "orders", 8)
-    write(replicate(spark.read.parquet(s"$src/lineitem.parquet"),
-                    Seq("l_orderkey", "l_partkey", "l_suppkey")), "lineitem", 32)
-    write(replicate(spark.read.parquet(s"$src/events.parquet"),
-                    Seq("event_id", "user_id")), "events", 8)
+    val customer = spark.read.parquet(s"$src/customer.parquet")
+    val supplier = spark.read.parquet(s"$src/supplier.parquet")
+    val part     = spark.read.parquet(s"$src/part.parquet")
+    val orders   = spark.read.parquet(s"$src/orders.parquet")
+    val events   = spark.read.parquet(s"$src/events.parquet")
+    // one stride per key DOMAIN, owned by the referenced table — o_custkey
+    // shifts by the CUSTOMER stride, l_partkey/l_suppkey by part/supplier,
+    // l_orderkey by orders, so FKs stay replica-local even when the fact
+    // table references only a subset of the dim's keys
+    val custStride  = domainStride(customer, "c_custkey")
+    val suppStride  = domainStride(supplier, "s_suppkey")
+    val partStride  = domainStride(part, "p_partkey")
+    val orderStride = domainStride(orders, "o_orderkey")
+    val userStride  = domainStride(events, "user_id")
 
-    val docs = replicate(spark.read.parquet(s"$src/documents.parquet"),
-                         Seq("doc_id"))
+    write(replicate(customer, Map("c_custkey" -> custStride)), "customer", 4)
+    write(replicate(supplier, Map("s_suppkey" -> suppStride)), "supplier", 1)
+    write(replicate(part, Map("p_partkey" -> partStride)), "part", 4)
+    write(replicate(orders, Map("o_orderkey" -> orderStride,
+                                "o_custkey" -> custStride)), "orders", 8)
+    write(replicate(spark.read.parquet(s"$src/lineitem.parquet"),
+                    Map("l_orderkey" -> orderStride,
+                        "l_partkey" -> partStride,
+                        "l_suppkey" -> suppStride)), "lineitem", 32)
+    write(replicate(events, Map("event_id" -> domainStride(events, "event_id"),
+                                "user_id" -> userStride)), "events", 8)
+
+    val documents = spark.read.parquet(s"$src/documents.parquet")
+    val docs = replicate(documents,
+                         Map("doc_id" -> domainStride(documents, "doc_id")))
       // replica 0 keeps the original text; replicas tag every token so
       // their shingle vocabularies are disjoint from every other replica
       .withColumn("text", when(col("r") === 0, col("text")).otherwise(
@@ -115,8 +137,9 @@ object ScaleGen {
       .withColumn("n_chars", length(col("text")))
     write(docs, "documents", 8)
 
-    val embs = replicate(spark.read.parquet(s"$src/embeddings.parquet"),
-                         Seq("vec_id"))
+    val embeddings = spark.read.parquet(s"$src/embeddings.parquet")
+    val embs = replicate(embeddings,
+                         Map("vec_id" -> domainStride(embeddings, "vec_id")))
       .withColumn("embedding", expr(
         // deterministic, replica-indexed jitter; r=0 stays bit-identical
         """transform(embedding, (x, j) ->

@@ -51,13 +51,24 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = load(spark, dir, "events")
+    // Both conversions below are LITERAL-EPOCH based (timestampadd onto a
+    // TIMESTAMP_NTZ literal): pure integer arithmetic on the NTZ domain,
+    // correct under ANY session timezone at execution time. The previous
+    // spelling (CAST(timestamp_micros(..) AS TIMESTAMP_NTZ)) round-tripped
+    // through TimestampType, whose NTZ cast consults the session tz at
+    // LAZY EXECUTION — correct only because configure() pins UTC at load,
+    // a trap if a caller re-sets the tz between plan and action (r8
+    // ADVICE item, closed r9).
     df.schema("ts").dataType match {
       case LongType => // pre-r7 layout: TIMESTAMP(NANOS) read as ns under nanosAsLong
-        df.withColumn("ts", expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"))
+        df.withColumn("ts", expr(
+          "timestampadd(MICROSECOND, ts DIV 1000, TIMESTAMP_NTZ'1970-01-01 00:00:00')"))
       case TimestampNTZType => df // r7+ layout: native timestamp[us], isAdjustedToUTC=false
-      case TimestampType => // µs layout tagged isAdjustedToUTC=true; NTZ-reinterpret is
-        // wall-clock-exact because configure() pins the session to UTC
-        df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case TimestampType => // µs layout tagged isAdjustedToUTC=true: unix_micros reads
+        // the tz-independent epoch offset; the fixture's wall-clock IS
+        // that offset (generator writes UTC instants)
+        df.withColumn("ts", expr(
+          "timestampadd(MICROSECOND, unix_micros(ts), TIMESTAMP_NTZ'1970-01-01 00:00:00')"))
       case other => // fail FAST on a fixture regression instead of silently
         // casting (e.g. a string ts would become all-NULL and every
         // downstream window would return empty-but-green-looking rows)

@@ -64,4 +64,36 @@ private[llm] object Memo {
       compute
     })
   }
+
+  /** Write-once MATERIALIZED LAYOUT (the on-disk sibling of [[stage]]):
+    * returns a directory containing `write`'s output for this (dataset,
+    * name, data version), producing it at most once. The r8 ADVICE race —
+    * mode("overwrite") into a shared path on every invocation, so a
+    * concurrent reader can observe a half-rewritten lake — is closed by
+    * construction: the layout lands in a VERSION-KEYED final path that is
+    * only ever created by an atomic directory rename from a private temp
+    * dir, never written in place. Concurrent writers race on the rename;
+    * the loser discards its temp dir and reads the winner's (the bytes
+    * are deterministic from the fixture). A regenerated fixture bumps
+    * dataVersion → a fresh path, no stale reads. */
+  def materializedPath(s: SparkSession, dir: String, name: String)
+                      (write: String => Unit): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = new java.io.File(
+      s"${graft.Fixtures.dir}/${name}_${tag}_v${dataVersion(dir)}")
+    if (!out.isDirectory) {
+      val tmp = new java.io.File(
+        out.getParent, s".${out.getName}.tmp-${java.util.UUID.randomUUID}")
+      write(tmp.toString)
+      try java.nio.file.Files.move(tmp.toPath, out.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileSystemException if out.isDirectory =>
+        // another writer won the rename: keep theirs, drop ours
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    out.toString
+  }
 }

@@ -316,11 +316,13 @@ object Similarity {
     "llm_ann_partitioned" -> Q(
       (s, dir) => {
         graft.functions.Custom.register(s)
-        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-        val out = s"${graft.Fixtures.dir}/emb_by_bucket_$tag"
-        Tables.embeddings(s, dir)
-          .withColumn("bucket", expr(codeE))
-          .write.mode("overwrite").partitionBy("bucket").parquet(out)
+        // write-once per (dataset, data version), atomic-rename published —
+        // concurrent sessions never observe a half-written lake (r8 ADVICE)
+        val out = Memo.materializedPath(s, dir, "emb_by_bucket") { tmp =>
+          Tables.embeddings(s, dir)
+            .withColumn("bucket", expr(codeE))
+            .write.partitionBy("bucket").parquet(tmp)
+        }
         // partition column comes back as inferred INT — use it raw: a
         // cast wrapper on the join key would hide it from DPP detection
         val lake = s.read.parquet(out)

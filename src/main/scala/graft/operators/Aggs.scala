@@ -448,19 +448,37 @@ object Aggs {
     // cdf >= 0.5 — an actual data value, unlike the interpolated
     // q_agg_percentile. Verified against DuckDB: quantile_disc picks the
     // 1-indexed element at floor((n-1)*q)+1 of the sorted group, which is
-    // exactly the row_number the window pass selects. Sort-within-group +
-    // rank is the distributed shape (one shuffle on the group key); no
-    // double arithmetic at all, so no rounding discipline needed.
+    // exactly the row_number the de-skewed pass reconstructs. r9: the
+    // original single window partitioned the CORPUS on o_orderpriority
+    // (cardinality 5 — the q_weighted_median 3-task-ceiling shape named
+    // by the r8 verdict), so the rank is now two-level (q_rolling_corr
+    // sweep precedent): bucket the value axis by a fixed price stride
+    // (monotone coarsening of the LEADING sort key — totalprice ties
+    // stay in-bucket, so bucket order IS sort order), row_number within
+    // (priority, bkt) on ~5×135 parallel tasks, then add per-bucket
+    // carry-in counts from an exclusive prefix over the tiny (priority,
+    // bkt) totals table, broadcast back. row_number over a unique total
+    // order is deterministic, so the reconstructed global rank — and the
+    // selected median row — is bit-identical to the single-window
+    // spelling the oracle keeps. No double arithmetic at all.
     "q_median_disc" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("o_orderpriority"))
+        val o = Tables.orders(s, dir)
+          .withColumn("bkt", floor(col("o_totalprice") / 4096).cast("long"))
+        val wLoc = Window.partitionBy(col("o_orderpriority"), col("bkt"))
           .orderBy(col("o_totalprice"), col("o_orderkey"))
-        Tables.orders(s, dir)
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(
-            Window.partitionBy(col("o_orderpriority"))))
-          .filter(col("rn") === floor((col("n") - 1) / 2) + 1)
+        val wCar = Window.partitionBy(col("o_orderpriority")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = o.groupBy(col("o_orderpriority"), col("bkt"))
+          .agg(count(lit(1)).as("bn"))
+          .select(col("o_orderpriority"), col("bkt"),
+                  coalesce(sum(col("bn")).over(wCar), lit(0L)).as("carry"),
+                  sum(col("bn")).over(
+                    Window.partitionBy(col("o_orderpriority"))).as("n"))
+        o.withColumn("lrn", row_number().over(wLoc).cast("long"))
+          .join(broadcast(offs), Seq("o_orderpriority", "bkt"))
+          .filter(col("carry") + col("lrn") === floor((col("n") - 1) / 2) + 1)
           .select(col("o_orderpriority"), col("o_totalprice").as("median_price"),
                   col("n").as("n_orders"))
           .orderBy(col("o_orderpriority"))

@@ -639,19 +639,43 @@ object Insights {
     // flag: smallest v with cum_weight(≤v) ≥ half the total, spelled
     // cum ≥ tot − cum so the exact decimals never widen (a ×2 would
     // overflow DuckDB's 38-digit multiply). Weights pre-reduce per
-    // (flag, value); the per-flag cumulative scan is inherent to any
-    // EXACT weighted quantile (it is a global order statistic — the
-    // sketch-grade alternative is udaf_quantile_sketch).
+    // (flag, value); the per-flag cumulative ORDER is inherent to any
+    // EXACT weighted quantile (a global order statistic — the
+    // sketch-grade alternative is udaf_quantile_sketch), but the SCAN
+    // need not serialize on the 3-cardinality flag: the r8 verdict named
+    // the flag-partitioned windows a 3-task ceiling (three tasks sorting
+    // ~20 M reduced rows each at 100×). r9 de-skews with the
+    // q_rolling_corr two-level sweep (BASELINE §r6 precedent): bucket
+    // the VALUE axis by a fixed price stride (bkt = floor(v/512) — a
+    // monotone coarsening of the sort key, so bucket order IS value
+    // order, ~200 buckets over the TPC-H price domain at any corpus
+    // size), compute in-bucket prefix sums on 3×~200 parallel tasks,
+    // then add per-bucket carry-in offsets from an exclusive prefix over
+    // the TINY (flag, bkt) totals table (the only flag-partitioned
+    // window left runs on ~600 rows, broadcast back). All arithmetic
+    // stays exact decimal(38,4) — addition is associative, so cum, the
+    // crossing row, and the oracle hash are bit-identical to the direct
+    // single-window spelling the oracle keeps.
     "q_weighted_median" -> Q(
       (s, dir) => {
         val g = Tables.lineitem(s, dir)
           .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
           .agg(sum(col("l_quantity").cast(H.D)).as("w"))
-        val cum = Window.partitionBy(col("l_returnflag")).orderBy(col("v"))
+          .withColumn("bkt", floor(col("v") / 512).cast("long"))
+        val wLoc = Window.partitionBy(col("l_returnflag"), col("bkt"))
+          .orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = Window.partitionBy(col("l_returnflag"))
-        g.withColumn("cum", sum(col("w")).over(cum))
-          .withColumn("tot", sum(col("w")).over(tot))
+        val local = g.withColumn("lcum", sum(col("w")).over(wLoc))
+        val wCar = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = g.groupBy(col("l_returnflag"), col("bkt"))
+          .agg(sum(col("w")).as("tw"))
+          .select(col("l_returnflag"), col("bkt"),
+                  coalesce(sum(col("tw")).over(wCar), lit(0).cast(H.D)).as("carry"),
+                  sum(col("tw")).over(
+                    Window.partitionBy(col("l_returnflag"))).as("tot"))
+        local.join(broadcast(offs), Seq("l_returnflag", "bkt"))
+          .withColumn("cum", col("carry") + col("lcum"))
           .filter(col("cum") >= col("tot") - col("cum"))
           .groupBy(col("l_returnflag"))
           .agg(min(col("v")).as("wmedian"),

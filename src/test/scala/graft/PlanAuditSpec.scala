@@ -575,6 +575,48 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("q_weighted_median: cumulative weights bucket on (flag, bkt), not flag alone") {
+    val p = planOf("q_weighted_median")
+    // r9 de-skew (r8 verdict item 1): l_returnflag has cardinality 3, so
+    // any corpus-sized exchange keyed on it alone is a 3-task ceiling.
+    // The in-bucket prefix sums must ride a (l_returnflag, bkt) exchange
+    // (~200 price-stride buckets) and the carry-in offsets must
+    // BROADCAST back.
+    assert("hashpartitioning\\(l_returnflag#\\d+, bkt#".r.findFirstIn(p).isDefined,
+      s"cumulative window not bucketed — 3-partition skew is back:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"carry-in offsets not broadcast:\n$p")
+    // Flag-only exchanges may carry only the tiny (flag, bkt) totals
+    // table — each must sit above a (l_returnflag, bkt)-keyed aggregate,
+    // never the raw scan (same audit shape as q_rolling_corr).
+    val soloFlag = "Exchange hashpartitioning\\(l_returnflag#\\d+, \\d+\\)".r
+    for (m <- soloFlag.findAllMatchIn(p)) {
+      val tail = p.substring(m.end)
+      val iAgg = tail.indexOf("HashAggregate(keys=[l_returnflag")
+      val iScan = tail.indexOf("FileScan")
+      assert(iAgg >= 0 && (iScan < 0 || iAgg < iScan),
+        s"flag-only exchange carries the raw corpus (3-task skew):\n$p")
+    }
+  }
+
+  test("q_median_disc: rank reconstruction buckets on (priority, bkt), not priority alone") {
+    val p = planOf("q_median_disc")
+    // Same r9 de-skew on the 5-cardinality o_orderpriority: local
+    // row_number rides (o_orderpriority, bkt); carry-in counts broadcast.
+    assert("hashpartitioning\\(o_orderpriority#\\d+, bkt#".r.findFirstIn(p).isDefined,
+      s"rank window not bucketed — 5-partition skew is back:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"carry-in counts not broadcast:\n$p")
+    val soloPrio = "Exchange hashpartitioning\\(o_orderpriority#\\d+, \\d+\\)".r
+    for (m <- soloPrio.findAllMatchIn(p)) {
+      val tail = p.substring(m.end)
+      val iAgg = tail.indexOf("HashAggregate(keys=[o_orderpriority")
+      val iScan = tail.indexOf("FileScan")
+      assert(iAgg >= 0 && (iScan < 0 || iAgg < iScan),
+        s"priority-only exchange carries the raw corpus (5-task skew):\n$p")
+    }
+  }
+
   test("q_theta_sketch: sketch builds ride TopKPerGroup bounded buffers, no WindowExec") {
     val p = try {
       val df = Registry.byName("q_theta_sketch").fn(spark, sf)

@@ -9,10 +9,22 @@ import org.apache.spark.sql.functions._
   */
 class ScaleGenSpec extends SparkSuite {
 
+  private var outDir: java.nio.file.Path = _
+
   private lazy val out: String = {
-    val dir = java.nio.file.Files.createTempDirectory("scalegen_spec").toString
-    ScaleGen.run(spark, sf, dir, 2)
-    dir
+    outDir = java.nio.file.Files.createTempDirectory("scalegen_spec")
+    ScaleGen.run(spark, sf, outDir.toString, 2)
+    outDir.toString
+  }
+
+  override def afterAll(): Unit = {
+    // a factor-2 parquet copy per run is too big to leak
+    if (outDir != null) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    super.afterAll()
   }
 
   test("row counts scale by the factor; dims copy as-is") {
@@ -37,6 +49,39 @@ class ScaleGenSpec extends SparkSuite {
             col("l_orderkey") === col("o_orderkey"), "left_anti")
     assert(orphans.count() == 0, "replicated lineitem has orphan orderkeys")
   }
+
+  test("FKs across tables use domain strides: no orphan custkey/partkey/suppkey") {
+    // the ADVICE.md r8 finding: per-table strides silently orphan
+    // o_custkey whenever max(o_custkey) < max(c_custkey). Domain strides
+    // (customer owns *custkey, part/supplier own *partkey/*suppkey) must
+    // leave zero orphans in every FK direction.
+    def orphanCount(fact: org.apache.spark.sql.DataFrame, fk: String,
+                    dim: org.apache.spark.sql.DataFrame, pk: String): Long =
+      fact.select(col(fk)).join(dim.select(col(pk)),
+        col(fk) === col(pk), "left_anti").count()
+    val cust = Tables.customer(spark, out)
+    val ord = Tables.orders(spark, out)
+    val li = Tables.lineitem(spark, out)
+    assert(orphanCount(ord, "o_custkey", cust, "c_custkey") == 0,
+           "replicated orders reference missing customers")
+    assert(orphanCount(li, "l_partkey", Tables.part(spark, out), "p_partkey") == 0,
+           "replicated lineitem references missing parts")
+    assert(orphanCount(li, "l_suppkey", Tables.supplier(spark, out), "s_suppkey") == 0,
+           "replicated lineitem references missing suppliers")
+    // and the shift is replica-LOCAL: replica 1's orders reference only
+    // replica 1's customers (keys above the replica-0 customer range)
+    val custStride = Tables.customer(spark, sf)
+      .agg(max(col("c_custkey").cast("long"))).collect()(0).getLong(0) + 1L
+    val nOrig = Tables.orders(spark, sf).count()
+    val crossReplica = ord
+      .filter(col("o_orderkey") >= orderKeyStride)
+      .filter(col("o_custkey") < custStride)
+    assert(crossReplica.count() == 0,
+           s"replica-1 orders (of ${nOrig * 2} total) reference replica-0 customers")
+  }
+
+  private lazy val orderKeyStride: Long = Tables.orders(spark, sf)
+    .agg(max(col("o_orderkey").cast("long"))).collect()(0).getLong(0) + 1L
 
   test("replica shingle vocabularies are disjoint (near-dup pairs stay linear)") {
     // replica-1 docs tag every token with '~1', so NO 3-shingle can be
