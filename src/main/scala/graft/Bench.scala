@@ -33,16 +33,34 @@ object Bench {
       .flatMap(SparkEntry.queries.get)
       .foreach { fn => try fn(spark, sfDir).count()
                        catch { case _: Throwable => () } }
+    // Shared pipeline-stage builds run BEFORE the timed per-key loop and
+    // report as their own stage:<name> line items: the write-once/read-
+    // many stages (shingles → near_pairs → cluster_labels) otherwise land
+    // entirely on the alphabetically-first consumer, making its per-key
+    // floor read ~2× its real cost while every sibling reads near-zero
+    // (r8 gate breach on llm_dedup_cluster — cost relocation, not
+    // regression). Consumers now time what a consumer does: read the
+    // materialized stage.
+    val stageResults = graft.llm.Stages.warm(spark, sfDir)
     // Optional local-iteration filter (driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queryResults = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // failures must be LOUD on stderr (stdout stays parseable JSON): a
+      // swallowed exception reads as an impossibly-fast key and poisons
+      // the per-key minima (r9: llm_dedup_cluster "0.004 s" was a crash)
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        -1L
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // total stays Σ(all line items) — stage builds are paid work, just
+    // charged to their own keys instead of the first consumer
+    val results = stageResults ++ queryResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -139,9 +139,18 @@ object Dedup {
     val sized = shingles.withColumn("n", size(col("sh")))
     val ex = sized.select(col("lang"), col("doc_id"), col("n"),
                           explode(col("sh")).as("tok"))
-    val dfTab = ex.groupBy(col("lang"), col("tok"))
-      .agg(count(lit(1)).as("df"))
-    ex.join(dfTab, Seq("lang", "tok"))
+    // df rides ONE exchange of the exploded table: an unbounded count
+    // window on (lang, tok). The previous groupBy + equi-join-back
+    // spelling shuffled the SAME exploded table twice more (once into
+    // the partial agg, once into the sort-merge probe side) — at 100 TB
+    // the df table is corpus-sized (mostly-unique shingles), never
+    // broadcastable, so the join was a full extra pass (r8 verdict item
+    // 3). Skew is unchanged: a boilerplate token co-locates its df rows
+    // on one task either way (window group here, SMJ stream group
+    // before), and the prefix filter's Σ df² defense is downstream of
+    // this stage (PrefixJoinSpec pins it).
+    ex.withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("lang"), col("tok"))))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .filter(col("pos") <= expr("n - ((3 * n + 9) div 10) + 1"))

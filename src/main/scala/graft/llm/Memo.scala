@@ -28,8 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * blocks for the JVM's life. */
 private[llm] object Memo {
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // Plain map + synchronized, NOT ConcurrentHashMap.computeIfAbsent: a
+  // stage's compute may itself enter the memo (llm_dedup_cluster's
+  // component stage derives from the near_pairs stage), and CHM throws
+  // IllegalStateException("Recursive update") when a nested computeIfAbsent
+  // — or the eviction removeIf below — touches the bin being computed.
+  // The crash was INTERMITTENT (keys embed the per-JVM session UUID, so
+  // bin collisions vary run to run) and Bench's then-silent catch turned
+  // it into an impossibly-fast 0.004 s key (r9 finding). synchronized is
+  // reentrant, so nested stage entry is always safe; compute runs under
+  // the lock, which is fine for the single-driver pipeline shape.
+  private val cache = new java.util.HashMap[String, DataFrame]()
 
   /** Unique per-session token (identityHashCode is NOT unique — a GC'd
     * session's slot can be reused): a UUID minted once and stored in the
@@ -55,14 +64,18 @@ private[llm] object Memo {
     * data version). `compute` must return an already-materialized
     * (checkpointed) DataFrame — see the class doc. */
   def stage(s: SparkSession, dir: String, name: String)
-           (compute: => DataFrame): DataFrame = {
+           (compute: => DataFrame): DataFrame = synchronized {
     val prefix = s"${sessionToken(s)}:$dir:$name:"
     val key = s"$prefix${dataVersion(dir)}"
-    cache.computeIfAbsent(key, _ => {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
       // evict superseded versions of the same (session, dataset, stage)
       cache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
-      compute
-    })
+      val df = compute
+      cache.put(key, df)
+      df
+    }
   }
 
   /** Write-once MATERIALIZED LAYOUT (the on-disk sibling of [[stage]]):

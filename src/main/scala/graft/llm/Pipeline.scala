@@ -48,7 +48,7 @@ object Pipeline {
     * consumer pays the propagation, later consumers read the
     * materialized stage (the same one-time-cost amortization the
     * bucketed-join layout declares). */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+  private[llm] def clusterLabels(s: SparkSession, dir: String): DataFrame =
     Memo.stage(s, dir, "cluster_labels") { computeLabels(s, dir) }
 
   private def computeLabels(s: SparkSession, dir: String): DataFrame = {
