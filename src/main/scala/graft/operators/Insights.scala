@@ -47,6 +47,52 @@ object Insights {
       .limit(100)
   }
 
+  /** Multi-pass sorted-neighborhood CANDIDATE pairs (Hernández–Stolfo)
+    * over a (c_custkey, c_name, c_mktsegment, c_nationkey) corpus:
+    * within each (mktsegment, nationkey) block, sort once by c_name and
+    * once by reverse(c_name), compare each record only to its next `W`
+    * neighbors per pass. Linear — rows × 2W comparisons for any block
+    * size distribution. Parameterized on corpus and W so the adversarial
+    * recall spec (PrefixJoinSpec) can drive the SAME kernel the declared
+    * fn_jaro_snm uses on a middle-edit corpus and at shrunken windows.
+    * Returns (id_a, id_b, name_a, name_b), duplicates across passes
+    * retained (callers distinct after scoring). */
+  /** The declared fn_jaro_snm window. One definition shared with the
+    * adversarial recall spec, so a silent production change to W moves
+    * the measured recall the spec pins. */
+  private[graft] val SNM_W = 10
+
+  private[graft] def snmCandidates(corpus: org.apache.spark.sql.DataFrame,
+                                   W: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+              col("c_nationkey"))
+      .withColumn("rname", reverse(col("c_name")))
+    val passes = Seq("c_name", "rname").map { sk =>
+      val w = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
+        .orderBy(col(sk), col("c_custkey"))
+      val r = c.withColumn("rn", row_number().over(w))
+      val a = r.select(col("c_mktsegment").as("seg"),
+                       col("c_nationkey").as("nat"),
+                       col("c_custkey").as("ka"), col("c_name").as("na"),
+                       col("rn"))
+        .withColumn("k", explode(expr(s"sequence(1, $W)")))
+        .withColumn("rn_b", col("rn") + col("k"))
+        .drop("rn", "k")
+      val b = r.select(col("c_mktsegment").as("seg_b"),
+                       col("c_nationkey").as("nat_b"),
+                       col("c_custkey").as("kb"), col("c_name").as("nb"),
+                       col("rn").as("rnb"))
+      a.join(b, col("seg") === col("seg_b") && col("nat") === col("nat_b") &&
+                col("rn_b") === col("rnb"))
+        .select(least(col("ka"), col("kb")).as("id_a"),
+                greatest(col("ka"), col("kb")).as("id_b"),
+                col("na").as("name_a"), col("nb").as("name_b"))
+    }
+    passes.reduce(_ unionAll _)
+  }
+
   val qs: Seq[(String, Q)] = Seq(
 
     // Market-basket affinity: part pairs co-bought in the same order.
@@ -744,34 +790,7 @@ object Insights {
     "fn_jaro_snm" -> Q(
       (s, dir) => {
         graft.functions.Custom.register(s)
-        import org.apache.spark.sql.expressions.Window
-        val W = 10
-        val c = Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-                  col("c_nationkey"))
-          .withColumn("rname", reverse(col("c_name")))
-        val passes = Seq("c_name", "rname").map { sk =>
-          val w = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
-            .orderBy(col(sk), col("c_custkey"))
-          val r = c.withColumn("rn", row_number().over(w))
-          val a = r.select(col("c_mktsegment").as("seg"),
-                           col("c_nationkey").as("nat"),
-                           col("c_custkey").as("ka"), col("c_name").as("na"),
-                           col("rn"))
-            .withColumn("k", explode(expr(s"sequence(1, $W)")))
-            .withColumn("rn_b", col("rn") + col("k"))
-            .drop("rn", "k")
-          val b = r.select(col("c_mktsegment").as("seg_b"),
-                           col("c_nationkey").as("nat_b"),
-                           col("c_custkey").as("kb"), col("c_name").as("nb"),
-                           col("rn").as("rnb"))
-          a.join(b, col("seg") === col("seg_b") && col("nat") === col("nat_b") &&
-                    col("rn_b") === col("rnb"))
-            .select(least(col("ka"), col("kb")).as("id_a"),
-                    greatest(col("ka"), col("kb")).as("id_b"),
-                    col("na").as("name_a"), col("nb").as("name_b"))
-        }
-        passes.reduce(_ unionAll _)
+        snmCandidates(Tables.customer(s, dir), SNM_W)
           .withColumn("jw", round(expr("jaro_winkler(name_a, name_b)"), 6))
           .filter(col("jw") >= 0.93)
           .select(col("id_a"), col("id_b"), col("jw"))

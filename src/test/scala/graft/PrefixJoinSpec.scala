@@ -93,6 +93,61 @@ class PrefixJoinSpec extends SparkSuite {
     assertSameRows(snm, exact)
   }
 
+  test("fn_jaro_snm: adversarial middle-edit corpus — recall floor pinned, W-sensitive") {
+    // The key's own scaladoc admits the evasion shape: a pair differing
+    // ONLY in middle characters shares both a long prefix and a long
+    // suffix with MANY other records, so neither the forward- nor the
+    // reverse-sorted pass is guaranteed to place the two within W
+    // neighbors. This spec builds that shape deliberately — K = 40 names
+    // sharing a 12-char prefix and an 11-char suffix, distinguished only
+    // by a 2-digit middle — and pins the kernel's measured recall on it.
+    //
+    // Derivation of the inherent ceiling (why no pass COUNT fixes this):
+    // every record pairs with every other (all C(K,2) = 780 pairs have
+    // jw ≥ 0.93 here: ≥ 23 of 25 chars agree → jw ≥ 0.968), but P sorted
+    // passes with window W can emit at most P·W·K candidates from the
+    // block (each record looks W ahead per pass) — 2·10·40 = 800,
+    // barely above 780 IF the two pass orders overlapped nowhere. They
+    // do overlap (both are permutations of the same middle tokens:
+    // forward = middle-lex, reversed = reversed-middle-lex), so measured
+    // recall sits well below 1 and FALLS LIKE ~P·W·2/(K−1) as the block
+    // grows. That is the derived reason the exact Σ block² key stays the
+    // anchor and recall-vs-exact is fn_jaro_snm's declared contract —
+    // a third sort-key pass would only move the constant, not the shape.
+    graft.functions.Custom.register(spark)
+    import spark.implicits._
+    val K = 40
+    val corpus = (0 until K).map { i =>
+      (100L + i, s"CUSTPREFIXAA${10 + i}ZZSUFFIXEND", "ADV", 0L)
+    }.toDF("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+    val exact = corpus.as("a").join(corpus.as("b"),
+        col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("id_a"), col("b.c_custkey").as("id_b"),
+              expr("jaro_winkler(a.c_name, b.c_name)").as("jw"))
+      .filter(col("jw") >= 0.93)
+    val nExact = exact.count()
+    assert(nExact == K.toLong * (K - 1) / 2,
+      s"adversarial corpus must make EVERY pair a true pair, got $nExact")
+    def recallAt(w: Int): Double = {
+      val caught = graft.operators.Insights.snmCandidates(corpus, w)
+        .select(col("id_a"), col("id_b")).distinct()
+        .join(exact, Seq("id_a", "id_b")).count()
+      caught.toDouble / nExact
+    }
+    val declared = recallAt(graft.operators.Insights.SNM_W)
+    // deterministic (row_number over unique (key, custkey) orders):
+    // measured 0.6936 (541/780) at W=10 — pin a floor that a silent W
+    // shrink or a dropped pass would break, and the <1 gap that
+    // documents the shape
+    assert(declared < 1.0,
+      "middle-edit pairs all caught — the adversarial shape stopped binding " +
+      "(did the corpus or kernel change?)")
+    assert(declared >= 0.69,
+      f"2-pass W=${graft.operators.Insights.SNM_W} recall regressed: $declared%.3f")
+    assert(recallAt(5) < declared,
+      "halving W did not reduce adversarial recall — window no longer binds")
+  }
+
   test("q_hierarchy_rollup: root subtrees partition the forest") {
     // Conservation law: the six roots' descendant-or-self sets are a
     // disjoint cover of all parts, so their n_desc and subtree_price
