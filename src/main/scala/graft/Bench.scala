@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fixed CPU+IO contention probe — measures the HOST, not the engine.
+    * Run immediately before and after the timed loop; when either
+    * reading deviates >2x from the floor recorded in BASELINE.md
+    * ("sentinel floor"), the capture ran on a contended host and the
+    * whole artifact must be re-recorded, not adjudicated per key (r9:
+    * a contended capture read as a 4.5x gate fail while the idle-host
+    * suite was actually faster than the round before). Both legs are
+    * fixed work: a 50M-row parallel aggregate through the same engine
+    * (CPU contention shows here) and a 100 MB tmp-file write+read+delete
+    * (IO contention shows here). */
+  private def sentinel(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
+    val buf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(buf, 42.toByte)
+    val p = java.nio.file.Files.createTempFile("graft-sentinel", ".bin")
+    try {
+      val out = java.nio.file.Files.newOutputStream(p)
+      var i = 0; while (i < 100) { out.write(buf); i += 1 }
+      out.close()
+      val in = java.nio.file.Files.newInputStream(p)
+      var r = in.read(buf)
+      while (r > 0) { r = in.read(buf) }
+      in.close()
+    } finally java.nio.file.Files.deleteIfExists(p)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -42,6 +71,11 @@ object Bench {
     // regression). Consumers now time what a consumer does: read the
     // materialized stage.
     val stageResults = graft.llm.Stages.warm(spark, sfDir)
+    // Contention sentinel: bracket the timed loop with the fixed probe so
+    // the artifact self-adjudicates (see [[sentinel]]). Placed after every
+    // warmup so the range plan's codegen is already compiled — the probe
+    // must time the host, not first-use JIT.
+    val sentinelPre = sentinel(spark)
     // Optional local-iteration filter (driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
@@ -58,16 +92,22 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val sentinelPost = sentinel(spark)
     // total stays Σ(all line items) — stage builds are paid work, just
     // charged to their own keys instead of the first consumer
     val results = stageResults ++ queryResults
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // sentinel_s = the worse of the two brackets (contention any time
+    // during the run invalidates the capture); pre/post kept so a reader
+    // can see WHEN the load arrived. Floor recorded in BASELINE.md
+    // ("sentinel floor"); >2x floor ⇒ discard and re-run.
+    val sentinelJson = f""""sentinel_s":${math.max(sentinelPre, sentinelPost)}%.3f,"sentinel_pre_s":$sentinelPre%.3f,"sentinel_post_s":$sentinelPost%.3f"""
     // Full per-query line first: input for scripts/bench_minima.py and any
     // consumer that reads the whole stdout.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$sentinelJson,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // The harness tail-parses this process's stdout, but sbt prefixes every
     // line with "[info] " and appends a trailing "[success] Total time…"
@@ -93,7 +133,7 @@ object Bench {
       .map { case (k, v) => f""""$k":$v%.3f""" }
     var used = 0
     val kept = parts.takeWhile { p => used += p.length + 1; used <= 1600 }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",$sentinelJson%s,"n_queries":${results.size},"queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

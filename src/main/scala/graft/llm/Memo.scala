@@ -28,17 +28,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * blocks for the JVM's life. */
 private[llm] object Memo {
 
-  // Plain map + synchronized, NOT ConcurrentHashMap.computeIfAbsent: a
-  // stage's compute may itself enter the memo (llm_dedup_cluster's
-  // component stage derives from the near_pairs stage), and CHM throws
-  // IllegalStateException("Recursive update") when a nested computeIfAbsent
-  // — or the eviction removeIf below — touches the bin being computed.
-  // The crash was INTERMITTENT (keys embed the per-JVM session UUID, so
-  // bin collisions vary run to run) and Bench's then-silent catch turned
-  // it into an impossibly-fast 0.004 s key (r9 finding). synchronized is
-  // reentrant, so nested stage entry is always safe; compute runs under
-  // the lock, which is fine for the single-driver pipeline shape.
-  private val cache = new java.util.HashMap[String, DataFrame]()
+  // Per-key latch (FutureTask installed via putIfAbsent), NOT
+  // ConcurrentHashMap.computeIfAbsent and NOT a global synchronized:
+  //  - computeIfAbsent throws IllegalStateException("Recursive update")
+  //    when a stage's compute itself enters the memo (llm_dedup_cluster's
+  //    component stage derives from the near_pairs stage) and the nested
+  //    call — or the eviction removeIf — touches the bin being computed.
+  //    The crash was INTERMITTENT (keys embed the per-JVM session UUID,
+  //    so bin collisions vary run to run) and Bench's then-silent catch
+  //    turned it into an impossibly-fast 0.004 s key (r9 finding);
+  //  - the r9 fix (global synchronized, reentrant so nesting was safe)
+  //    serialized ALL stage builds across concurrent sessions in one JVM.
+  // putIfAbsent + run-outside-any-lock has neither problem: the winning
+  // caller runs compute on its own thread holding no lock, so nested
+  // stage entry for a DIFFERENT key just recurses into this method
+  // lock-free (same-key reentrancy would be an infinite recursion under
+  // ANY memo design and does not occur — the stage DAG is acyclic), and
+  // two threads building different stages proceed concurrently; losers
+  // of the putIfAbsent race block only on the one key they asked for.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.FutureTask[DataFrame]]()
 
   /** Unique per-session token (identityHashCode is NOT unique — a GC'd
     * session's slot can be reused): a UUID minted once and stored in the
@@ -64,17 +74,27 @@ private[llm] object Memo {
     * data version). `compute` must return an already-materialized
     * (checkpointed) DataFrame — see the class doc. */
   def stage(s: SparkSession, dir: String, name: String)
-           (compute: => DataFrame): DataFrame = synchronized {
+           (compute: => DataFrame): DataFrame = {
     val prefix = s"${sessionToken(s)}:$dir:$name:"
     val key = s"$prefix${dataVersion(dir)}"
-    val hit = cache.get(key)
-    if (hit != null) hit
-    else {
-      // evict superseded versions of the same (session, dataset, stage)
+    val task = new java.util.concurrent.FutureTask[DataFrame](() => compute)
+    val prior = cache.putIfAbsent(key, task)
+    val winner = if (prior == null) {
+      // This thread owns the build. Evict superseded versions of the same
+      // (session, dataset, stage) first — removeIf on a CHM never blocks
+      // another key's in-flight compute (nothing computes inside the map).
       cache.keySet.removeIf(k => k.startsWith(prefix) && k != key)
-      val df = compute
-      cache.put(key, df)
-      df
+      task.run()
+      task
+    } else prior
+    try winner.get()
+    catch { case e: java.util.concurrent.ExecutionException =>
+      // A failed compute must not be cached as a permanently-poisoned
+      // latch: drop the entry so the next caller retries, and surface
+      // the real failure (not the ExecutionException wrapper) to Bench's
+      // loud-failure path.
+      cache.remove(key, winner)
+      throw e.getCause
     }
   }
 

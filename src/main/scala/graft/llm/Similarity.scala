@@ -125,6 +125,12 @@ object Similarity {
               col("votes"), (col("label") === col("true_label")).as("correct"))
   }
 
+  /** Hamming-≤3 ball over the 4-bit sign code, nearest-first: the 15
+    * XOR masks (only 0b1111 is outside the ball). Shared by the
+    * in-memory multiprobe and the partitioned-lake h3 probe so the
+    * recall-SLA ball is defined exactly once. */
+  private val ballMasks = Seq(0, 1, 2, 4, 8, 3, 5, 6, 9, 10, 12, 7, 11, 13, 14)
+
   /** 4-bit hyperplane sign code over the first 4 dims. */
   private val codeE =
     """CAST(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END +
@@ -136,6 +142,22 @@ object Similarity {
             CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END +
             CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
             CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS INT)"""
+
+  /** The bucket-partitioned ANN lake (one parquet directory per coarse
+    * sign-code cell — the 100 TB shape: written once, probed forever).
+    * Write-once per (dataset, data version), atomic-rename published —
+    * concurrent sessions never observe a half-written lake (r8 ADVICE).
+    * The partition column comes back as inferred INT — callers must use
+    * it RAW: a cast wrapper on the join key would hide it from dynamic
+    * partition pruning. */
+  private def annLake(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val out = Memo.materializedPath(s, dir, "emb_by_bucket") { tmp =>
+      Tables.embeddings(s, dir)
+        .withColumn("bucket", expr(codeE))
+        .write.partitionBy("bucket").parquet(tmp)
+    }
+    s.read.parquet(out)
+  }
 
   val qs: Seq[(String, Q)] = Seq(
 
@@ -235,7 +257,6 @@ object Similarity {
                   col("bucket").as("q_bucket"))
         // the hamming-<=3 ball around q_bucket: 1 + C(4,1) + C(4,2) +
         // C(4,3) = 15 of the 16 codes (every mask except 15)
-        val ballMasks = Seq(0, 1, 2, 4, 8, 3, 5, 6, 9, 10, 12, 7, 11, 13, 14)
         val probes = q.select(col("q_emb"), col("q_nrm"),
           explode(array(ballMasks.map(m =>
             col("q_bucket").bitwiseXOR(lit(m))): _*)).as("probe"))
@@ -316,16 +337,7 @@ object Similarity {
     "llm_ann_partitioned" -> Q(
       (s, dir) => {
         graft.functions.Custom.register(s)
-        // write-once per (dataset, data version), atomic-rename published —
-        // concurrent sessions never observe a half-written lake (r8 ADVICE)
-        val out = Memo.materializedPath(s, dir, "emb_by_bucket") { tmp =>
-          Tables.embeddings(s, dir)
-            .withColumn("bucket", expr(codeE))
-            .write.partitionBy("bucket").parquet(tmp)
-        }
-        // partition column comes back as inferred INT — use it raw: a
-        // cast wrapper on the join key would hide it from DPP detection
-        val lake = s.read.parquet(out)
+        val lake = annLake(s, dir)
         val q = lake.filter(col("vec_id") === 0)
           .withColumn("q_nrm", expr(normE))
           .select(col("embedding").as("q_emb"), col("q_nrm"),
@@ -352,6 +364,59 @@ object Similarity {
                                  unnest([q_bucket, xor(q_bucket, 1),
                                          xor(q_bucket, 2), xor(q_bucket, 4),
                                          xor(q_bucket, 8)]) AS probe
+                          FROM q)
+               SELECT vec_id, label, bucket,
+                      round(${duckDot("n.embedding", "probes.q_emb")}
+                            / (n.nrm * probes.q_nrm), 6) AS cos
+               FROM n, probes
+               WHERE vec_id <> 0 AND bucket = probe
+               ORDER BY cos DESC, vec_id
+               LIMIT 10""")),
+
+    // The recall-SLA probe over the SAME lake: llm_ann_partitioned
+    // declares the layout + pruning mechanics at hamming-1 (5/16
+    // directories, where pruning is most visible); this row proves the
+    // mechanism HOLDS when the probe ball is the recall-SLA hamming-3
+    // one (llm_sim_topk_multiprobe's measured r=3 → recall 1.0 ladder):
+    // 15 of 16 bucket directories reached through the identical
+    // broadcast-probe-set DPP path — the probe list is still DATA, no
+    // driver-side bucket literals, and the one ham-4 directory is still
+    // pruned at runtime. PlanAuditSpec pins dynamicpruning + the 15/16
+    // partition count on the executed plan.
+    "llm_ann_partitioned_h3" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val lake = annLake(s, dir)
+        val q = lake.filter(col("vec_id") === 0)
+          .withColumn("q_nrm", expr(normE))
+          .select(col("embedding").as("q_emb"), col("q_nrm"),
+                  explode(array(ballMasks.map(lit(_)): _*)).as("flip"),
+                  col("bucket").as("q_bucket"))
+          .select(col("q_emb"), col("q_nrm"),
+                  col("q_bucket").bitwiseXOR(col("flip")).as("probe"))
+        lake.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("probe"))
+          .withColumn("nrm", expr(normE))
+          .withColumn("cos", round(
+            expr(dotE("embedding", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+          .select(col("vec_id"), col("label"), col("bucket"), col("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm,
+                                 $duckCode AS bucket
+                          FROM embeddings),
+               q AS (SELECT embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+                     FROM n WHERE vec_id = 0),
+               probes AS (SELECT q_emb, q_nrm,
+                                 unnest([q_bucket, xor(q_bucket, 1),
+                                         xor(q_bucket, 2), xor(q_bucket, 4),
+                                         xor(q_bucket, 8), xor(q_bucket, 3),
+                                         xor(q_bucket, 5), xor(q_bucket, 6),
+                                         xor(q_bucket, 9), xor(q_bucket, 10),
+                                         xor(q_bucket, 12), xor(q_bucket, 7),
+                                         xor(q_bucket, 11), xor(q_bucket, 13),
+                                         xor(q_bucket, 14)]) AS probe
                           FROM q)
                SELECT vec_id, label, bucket,
                       round(${duckDot("n.embedding", "probes.q_emb")}

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** One event row as the typed streaming surface sees it (`ts` is µs
@@ -97,8 +97,10 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("event_type"))
 
-  /** st_sessionize_state: custom per-user session state machine via
-    * flatMapGroupsWithState — the genuinely stateful operator. State per
+  /** st_sessionize_state (flatMapGroupsWithState twin — [[sessionizeTWS]]
+    * is the primary Spark-4 surface; the StreamingSpec suite runs BOTH
+    * and asserts identical output): custom per-user session state
+    * machine — the genuinely stateful operator. State per
     * user is the list of DISJOINT candidate sessions (start, end, count)
     * — never the events — and a session is only emitted once the
     * watermark passes its end + gap, the point at which no admissible
@@ -156,6 +158,95 @@ object Streams {
             flush(sessions)
           }
       }
+  }
+
+  /** st_sessionize_state (primary surface): the [[sessionize]] session
+    * state machine ported to Spark 4's `transformWithState` — the API
+    * SURVEY §2i names as the 100 TB-era stateful surface (typed state
+    * cells, explicit timers, TTL, RocksDB-backed state off-heap).
+    * Semantics are IDENTICAL to [[sessionize]] by construction: same
+    * merge rule (an event within the gap of two buffered sessions
+    * bridges them; one before a session's start extends it backwards),
+    * same watermark-hold (a session is emitted only when the watermark
+    * passes its end + gap, so a late-but-admissible event can still
+    * extend or bridge it — the r9 late-bridge regression), and the
+    * StreamingSpec twin tests run both implementations over the same
+    * MemoryStream batches and assert equal output.
+    *
+    * What changes vs flatMapGroupsWithState:
+    *  - the session buffer is a [[ListState]] of (startUs, endUs, count)
+    *    triples — a typed state CELL, not one opaque blob, so RocksDB
+    *    stores/merges rows instead of a serialized List;
+    *  - eviction is an explicit event-time timer per key
+    *    (`registerTimer`), re-armed by [[flush]] to the earliest horizon
+    *    still open — exactly the `setTimeoutTimestamp` contract, but
+    *    allowing many independent timers per key when a processor needs
+    *    them (this one keeps a single timer: delete-all-then-re-arm);
+    *  - requires the RocksDB state store provider, which is the point:
+    *    per-user session state at firehose scale lives on local disk +
+    *    changelog, not executor heap. */
+  def sessionizeTWS(events: Dataset[Ev]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = 30L * 60 * 1000000L
+
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new StatefulProcessor[Long, Ev, UserSession] {
+          @transient private var sessions: ListState[(Long, Long, Long)] = _
+
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            sessions = getHandle.getListState[(Long, Long, Long)](
+              "sessions",
+              org.apache.spark.sql.Encoders.product[(Long, Long, Long)],
+              TTLConfig.NONE)
+
+          private def buffered: List[(Long, Long, Long)] =
+            if (sessions.exists()) sessions.get().toList else Nil
+
+          /** Emit watermark-final sessions, persist the rest, and re-arm
+            * the single eviction timer to the earliest still-open horizon
+            * (clamped past the watermark so the timer always fires in a
+            * FUTURE batch). Mirrors [[sessionize]]'s flush exactly. */
+          private def flush(userId: Long, all: List[(Long, Long, Long)],
+                            wmMs: Long): Iterator[UserSession] = {
+            val wmUs = wmMs * 1000
+            val (done, open) = all.partition(_._2 + gapUs < wmUs)
+            getHandle.listTimers().foreach(getHandle.deleteTimer)
+            if (open.isEmpty) sessions.clear()
+            else {
+              sessions.put(open.toArray)
+              getHandle.registerTimer(
+                math.max(open.map(_._2).min / 1000 + gapUs / 1000, wmMs + 1))
+            }
+            done.sortBy(_._1)
+              .map(s => UserSession(userId, tsOf(s._1), tsOf(s._2), s._3))
+              .iterator
+          }
+
+          override def handleInputRows(userId: Long, it: Iterator[Ev],
+                                       tv: TimerValues): Iterator[UserSession] = {
+            var buf = buffered
+            it.foreach { e =>
+              val t = usOf(e.ts)
+              // merge every session within gap of t (at most two: the
+              // intervals are disjoint by construction), else open new
+              val (near, far) = buf.partition(s =>
+                t >= s._1 - gapUs && t <= s._2 + gapUs)
+              val merged = near.foldLeft((t, t, 1L)) { case (a, s) =>
+                (math.min(a._1, s._1), math.max(a._2, s._2), a._3 + s._3)
+              }
+              buf = merged :: far
+            }
+            flush(userId, buf, tv.getCurrentWatermarkInMs())
+          }
+
+          override def handleExpiredTimer(userId: Long, tv: TimerValues,
+                                          info: ExpiredTimerInfo): Iterator[UserSession] =
+            flush(userId, buffered, tv.getCurrentWatermarkInMs())
+        },
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** st_transform_with_state: per-user running (count, value-total) via

@@ -126,6 +126,38 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("PartitionFilters"), s"no partition filters at all:\n$p")
   }
 
+  test("llm_ann_partitioned_h3: recall-SLA hamming-3 ball still prunes — 15 of 16 directories via DPP") {
+    // The h3 variant proves the DPP mechanism holds when the probe ball
+    // is the one the recall SLA demands (llm_sim_topk_multiprobe's
+    // measured r=3 → recall 1.0): the corpus-side scan must read exactly
+    // the 15 ball directories — the ham-4 one is pruned AT RUNTIME from
+    // the broadcast probe values, with no driver-side bucket literal.
+    graft.functions.Custom.register(spark)
+    val df = Registry.byName("llm_ann_partitioned_h3").fn(spark, sf)
+    df.collect() // metrics + DPP only exist on the executed (final adaptive) plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"h3 probe join does not dynamically prune bucket partitions:\n$p")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    // AQE wraps executed subtrees in leaf QueryStageExec nodes — a plain
+    // children traversal sees none of the real operators.
+    def scans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case other => other.children.flatMap(scans)
+    }
+    val partsRead = scans(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("numPartitions")).map(_.value)
+    // corpus side: 15 (the ball); query side carries no partition filter
+    // and reads all 16 — both metrics must be present.
+    assert(partsRead.contains(15L),
+      s"corpus scan did not read exactly the 15-directory ball: $partsRead\n$p")
+  }
+
   test("llm_sim_pairs: angle-banded candidate join, no nested loop, payload re-attached by id") {
     graft.functions.Custom.register(spark)
     val p = planOf("llm_sim_pairs")

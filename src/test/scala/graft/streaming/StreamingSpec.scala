@@ -240,26 +240,48 @@ class StreamingSpec extends SparkSuite {
     assertSameRows(spark.table("t_enrich"), Streams.enrich(evDf(evs), dim))
   }
 
-  test("st_sessionize_state: flatMapGroupsWithState sessions == batch sessions") {
-    val evs = fixtureEvs.take(300)
-    val maxTs = evs.map(_.ts.getTime).max
-    val sentinel = Ev(-1L, new java.sql.Timestamp(maxTs + 2 * 3600 * 1000), -1L,
-                      "sentinel", 0.0)
-    val ms = MemoryStream[Ev]
-    val q = Streams.sessionize(ms.toDS())
-      .toDF().writeStream.format("memory").queryName("t_fmgws")
-      .outputMode(OutputMode.Append()).start()
-    try {
-      evs.grouped(100).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
-      ms.addData(Seq(sentinel)); q.processAllAvailable()
-      ms.addData(Nil); q.processAllAvailable()
-    } finally q.stop()
-    val out = spark.table("t_fmgws").filter(col("user_id") =!= -1L)
-    // Batch truth: the lag/cumsum sessionization over the same rows.
-    val expected = Streams.sessionWindows(evDf(evs))
-    assertSameRows(
-      out.select("user_id", "sess_start", "sess_end", "n_events"),
-      expected.select("user_id", "sess_start", "sess_end", "n_events"))
+  /** Both custom sessionizer surfaces — the flatMapGroupsWithState twin
+    * and the primary transformWithState port — must pass the SAME suite:
+    * equal semantics is the porting contract. transformWithState only
+    * runs on the RocksDB state store provider (the point of the API:
+    * state off-heap), so the tws leg pins that provider for its query. */
+  private val sessionizers: Seq[(String, Dataset[Ev] => Dataset[UserSession], Boolean)] =
+    Seq(("fmgws", Streams.sessionize _, false),
+        ("tws", Streams.sessionizeTWS _, true))
+
+  private def withRocksDB[A](needed: Boolean)(body: => A): A =
+    if (!needed) body
+    else {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+  sessionizers.foreach { case (tag, sessionize, rocks) =>
+    test(s"st_sessionize_state[$tag]: stateful sessions == batch sessions") {
+      withRocksDB(rocks) {
+        val evs = fixtureEvs.take(300)
+        val maxTs = evs.map(_.ts.getTime).max
+        val sentinel = Ev(-1L, new java.sql.Timestamp(maxTs + 2 * 3600 * 1000), -1L,
+                          "sentinel", 0.0)
+        val ms = MemoryStream[Ev]
+        val q = sessionize(ms.toDS())
+          .toDF().writeStream.format("memory").queryName(s"t_sess_$tag")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          evs.grouped(100).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+          ms.addData(Seq(sentinel)); q.processAllAvailable()
+          ms.addData(Nil); q.processAllAvailable()
+        } finally q.stop()
+        val out = spark.table(s"t_sess_$tag").filter(col("user_id") =!= -1L)
+        // Batch truth: the lag/cumsum sessionization over the same rows.
+        val expected = Streams.sessionWindows(evDf(evs))
+        assertSameRows(
+          out.select("user_id", "sess_start", "sess_end", "n_events"),
+          expected.select("user_id", "sess_start", "sess_end", "n_events"))
+      }
+    }
   }
 
   test("st_transform_with_state: running totals converge to batch groupBy") {
@@ -292,36 +314,40 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("st_sessionize_state: late-but-admissible event bridges two buffered sessions") {
-    // The watermark-hold contract: events at 0min and 35min look like
-    // TWO sessions (gap > 30min); a late event at 30min — still newer
-    // than the watermark — arrives in the next batch and must bridge
-    // them into ONE session [0, 35] with 3 events. An implementation
-    // that emits on first sight of the in-batch gap can never retract
-    // the wrong two-session answer.
-    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-    def ev(id: Long, min: Long) =
-      Ev(id, new java.sql.Timestamp(base + min * 60000), 1L, "click", 1.0)
-    val ms = MemoryStream[Ev]
-    val q = Streams.sessionize(ms.toDS())
-      .writeStream.format("memory").queryName("t_sess_late")
-      .outputMode(OutputMode.Append()).start()
-    try {
-      ms.addData(Seq(ev(1, 0), ev(2, 35))); q.processAllAvailable()
-      // watermark is now 25min; 30min is admissible
-      ms.addData(Seq(ev(3, 30))); q.processAllAvailable()
-      // push the watermark far past every horizon, then flush timers
-      ms.addData(Seq(Ev(99, new java.sql.Timestamp(base + 10 * 3600 * 1000),
-                        -1L, "sentinel", 0.0)))
-      q.processAllAvailable()
-      ms.addData(Nil); q.processAllAvailable()
-    } finally q.stop()
-    val out = spark.table("t_sess_late").filter(col("user_id") === 1L).collect()
-    assert(out.length == 1, s"expected ONE bridged session, got ${out.toSeq}")
-    val r = out.head
-    assert(r.getTimestamp(1).getTime == base && r.getTimestamp(2).getTime == base + 35 * 60000,
-      s"bridged session bounds wrong: $r")
-    assert(r.getLong(3) == 3L, s"bridged session should hold 3 events: $r")
+  sessionizers.foreach { case (tag, sessionize, rocks) =>
+    test(s"st_sessionize_state[$tag]: late-but-admissible event bridges two buffered sessions") {
+      // The watermark-hold contract: events at 0min and 35min look like
+      // TWO sessions (gap > 30min); a late event at 30min — still newer
+      // than the watermark — arrives in the next batch and must bridge
+      // them into ONE session [0, 35] with 3 events. An implementation
+      // that emits on first sight of the in-batch gap can never retract
+      // the wrong two-session answer.
+      withRocksDB(rocks) {
+        val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        def ev(id: Long, min: Long) =
+          Ev(id, new java.sql.Timestamp(base + min * 60000), 1L, "click", 1.0)
+        val ms = MemoryStream[Ev]
+        val q = sessionize(ms.toDS())
+          .writeStream.format("memory").queryName(s"t_sess_late_$tag")
+          .outputMode(OutputMode.Append()).start()
+        try {
+          ms.addData(Seq(ev(1, 0), ev(2, 35))); q.processAllAvailable()
+          // watermark is now 25min; 30min is admissible
+          ms.addData(Seq(ev(3, 30))); q.processAllAvailable()
+          // push the watermark far past every horizon, then flush timers
+          ms.addData(Seq(Ev(99, new java.sql.Timestamp(base + 10 * 3600 * 1000),
+                            -1L, "sentinel", 0.0)))
+          q.processAllAvailable()
+          ms.addData(Nil); q.processAllAvailable()
+        } finally q.stop()
+        val out = spark.table(s"t_sess_late_$tag").filter(col("user_id") === 1L).collect()
+        assert(out.length == 1, s"expected ONE bridged session, got ${out.toSeq}")
+        val r = out.head
+        assert(r.getTimestamp(1).getTime == base && r.getTimestamp(2).getTime == base + 35 * 60000,
+          s"bridged session bounds wrong: $r")
+        assert(r.getLong(3) == 3L, s"bridged session should hold 3 events: $r")
+      }
+    }
   }
 
   test("st_stream_stream_join: interval join streaming == batch twin") {
