@@ -43,6 +43,7 @@ PATTERNS = {
         r"spark\.apache\.org|issues\.apache\.org|arxiv\.org|doi\.org|"
         r"duckdb\.org|openjdk\.org|scala-lang\.org|www\.scala-sbt\.org|"
         r"repo1\.maven\.org|en\.wikipedia\.org|datatracker\.ietf\.org|"
+        r"schemas\.openxmlformats\.org|www\.w3\.org|"
         r"localhost|127\.0\.0\.1|example\.com|www\.example\.com)"
         r"[A-Za-z0-9.-]+",
     "internal-pkg2":

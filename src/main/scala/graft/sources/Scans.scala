@@ -26,6 +26,8 @@ object Scans {
   }
 
   val nationCsvPath = s"$fixDir/nation.tsv"
+  val xlsxDirPath = s"$fixDir/nation_xlsx"
+  val xlsxTsvPath = s"$fixDir/nation_xlsx.tsv"
   val ordersJsonPath = s"$fixDir/orders100.jsonl"
   val manifestTreePath = s"$fixDir/manifest_tree"
   val manifestTsvPath = s"$fixDir/manifest_tree.tsv"
@@ -108,6 +110,44 @@ object Scans {
       },
       Some(s"""SELECT n_nationkey, n_name, n_regionkey
                FROM read_csv('$nationCsvPath', delim='\t', header=true,
+                             columns={'n_nationkey': 'INTEGER',
+                                      'n_name': 'VARCHAR',
+                                      'n_regionkey': 'INTEGER'})
+               ORDER BY n_nationkey""")),
+
+    // Excel workbook ingest — the reference's curator inputs are
+    // occasionally Excel exports [PK, SURVEY §0.1]; through r9 this was
+    // the one uncovered input format (marked out of scope for lack of a
+    // POI jar). graft.sources.Xlsx closes it with a pure-JDK zip+StAX
+    // parser: one workbook per curator submission is a many-small-files
+    // source, so the scan is binaryFile (file-parallel, parse on
+    // executors) — here 5 per-region workbooks with shared-strings
+    // tables exactly as Excel emits them. The oracle TSV is written
+    // INDEPENDENTLY from the same collected rows (the src_dir_manifest
+    // pattern), so the hash gate genuinely checks the xlsx parser: a
+    // mis-resolved shared string or shifted column breaks it.
+    "src_xlsx" -> Q(
+      (s, dir) => {
+        val rows = Tables.nation(s, dir).orderBy(col("n_nationkey"))
+          .collect() // 25 rows, fixed size at every sf — driver-side ok
+          .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+        rows.groupBy(_._3).foreach { case (region, rs) =>
+          Xlsx.write(s"$xlsxDirPath/nation_r$region.xlsx",
+            Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++
+              rs.sortBy(_._1).map(t => Seq(t._1, t._2, t._3)))
+        }
+        writeFixture(xlsxTsvPath,
+          "n_nationkey\tn_name\tn_regionkey\n" +
+            rows.map(t => s"${t._1}\t${t._2}\t${t._3}").mkString("", "\n", "\n"))
+        Xlsx.scan(s, xlsxDirPath)
+          .filter(col("row_idx") > 0) // drop each workbook's header row
+          .select(col("cells").getItem(0).cast("int").as("n_nationkey"),
+                  col("cells").getItem(1).as("n_name"),
+                  col("cells").getItem(2).cast("int").as("n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some(s"""SELECT n_nationkey, n_name, n_regionkey
+               FROM read_csv('$xlsxTsvPath', delim='\t', header=true,
                              columns={'n_nationkey': 'INTEGER',
                                       'n_name': 'VARCHAR',
                                       'n_regionkey': 'INTEGER'})
