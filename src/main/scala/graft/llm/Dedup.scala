@@ -226,18 +226,20 @@ object Dedup {
             FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
           WHERE jac >= 0.3)"""
 
-  /** MinHash+LSH candidate pairs (lang, id_a, id_b), distinct across
-    * band collisions — shared by llm_dedup_minhash and the recall probe.
-    * 16 md5-derived permutations, 4 bands of 4; the bucket join carries
-    * only (lang, band, bsig, doc_id). */
-  private[llm] def minhashCands(s: org.apache.spark.sql.SparkSession,
+  /** The per-doc LSH band table (doc_id, lang, band, bsig): 16
+    * md5-derived minhash permutations, 4 bands of 4, each band's
+    * signature rendered as a join-ready string. This is the SHARED
+    * candidate-generation substrate: [[minhashCands]] self-joins it for
+    * the full-corpus pair set, and llm_dedup_incremental persists the
+    * corpus half of it as the probe index. */
+  private[llm] def minhashBands(s: org.apache.spark.sql.SparkSession,
                                 dir: String) = {
     graft.functions.Custom.register(s)
     val P = 1000003L
-    val sigs = shingled(s, dir)
+    shingled(s, dir)
       .withColumn("tids", expr(s"transform(sh, tok -> ${tidE("tok")} % $P)"))
       .withColumn("sigs", expr("minhash16(tids)"))
-    val bands = sigs.select(
+      .select(
         col("doc_id"), col("lang"),
         explode(expr(
           """transform(sequence(0, 3),
@@ -247,6 +249,15 @@ object Dedup {
           .as("bb"))
       .select(col("doc_id"), col("lang"),
               col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+  }
+
+  /** MinHash+LSH candidate pairs (lang, id_a, id_b), distinct across
+    * band collisions — shared by llm_dedup_minhash and the recall probe.
+    * 16 md5-derived permutations, 4 bands of 4; the bucket join carries
+    * only (lang, band, bsig, doc_id). */
+  private[llm] def minhashCands(s: org.apache.spark.sql.SparkSession,
+                                dir: String) = {
+    val bands = minhashBands(s, dir)
     val a = bands.select(col("lang"), col("band"), col("bsig"),
                          col("doc_id").as("id_a"))
     val b = bands.select(col("lang").as("lang_b"), col("band").as("band_b"),
@@ -380,6 +391,49 @@ object Dedup {
                  FROM cand)
                WHERE jac >= 0.3
                ORDER BY lang, id_a, id_b""")),
+
+    // Incremental (nightly-ingest) dedup — the shape a 100 TB corpus
+    // actually runs: you never re-pair the whole corpus against itself;
+    // the standing corpus's LSH band table is a PERSISTED index (written
+    // once via the same atomic-rename publish as the ANN lake), and each
+    // new batch computes signatures only for ITSELF and probes the index
+    // with a plain equi-join. Fixture split: even doc_ids are the
+    // standing corpus, odd doc_ids the incoming batch. Output: per new
+    // doc that collides, its earliest corpus duplicate (the doc it would
+    // dedup against) and in how many of the 4 bands it collided —
+    // the skip-list a curation run feeds back into ingest. At real scale
+    // the index side is bucketed by (band, bsig) so the probe join is
+    // shuffle-free on the corpus side, and the (small) batch side
+    // broadcasts; the candidate volume math is identical to
+    // llm_dedup_minhash's banding analysis.
+    "llm_dedup_incremental" -> Q(
+      (s, dir) => {
+        val idxPath = Memo.materializedPath(s, dir, "mh_band_index") { tmp =>
+          minhashBands(s, dir).filter(col("doc_id") % 2 === 0)
+            .write.parquet(tmp)
+        }
+        val index = s.read.parquet(idxPath)
+          .select(col("doc_id").as("old_id"), col("lang").as("lang_i"),
+                  col("band").as("band_i"), col("bsig").as("bsig_i"))
+        val batch = minhashBands(s, dir).filter(col("doc_id") % 2 === 1)
+        batch.join(index,
+            col("lang") === col("lang_i") && col("band") === col("band_i") &&
+            col("bsig") === col("bsig_i"))
+          .groupBy(col("lang"), col("doc_id").as("new_id"))
+          .agg(min(col("old_id")).as("dup_of"),
+               countDistinct(col("band")).as("n_bands"))
+          .orderBy(col("lang"), col("new_id"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, lang, $duckShingles AS sh FROM documents),
+               $duckMinhashCandCtes
+               SELECT a.lang AS lang, a.doc_id AS new_id,
+                      MIN(b.doc_id) AS dup_of,
+                      COUNT(DISTINCT a.band) AS n_bands
+               FROM mh_bands a JOIN mh_bands b
+                 ON a.lang = b.lang AND a.band = b.band AND a.bsig = b.bsig
+                AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+               GROUP BY 1, 2
+               ORDER BY lang, new_id""")),
 
     // LSH recall accounting — the lexical twin of the ANN path's
     // multiprobe recall row: how many of the EXACT Jaccard-τ pairs does

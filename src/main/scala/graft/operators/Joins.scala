@@ -341,6 +341,50 @@ object Joins {
               FROM orders FULL JOIN delta ON o_orderkey = u_key
               ORDER BY merge_key""")),
 
+    // CDC changelog APPLY — the other half of the MERGE story: not one
+    // delta batch but an ORDERED multi-version log of I/U/D events per
+    // key (what a Debezium/Kafka CDC feed or a table format's change
+    // stream delivers). Compaction semantics are last-writer-wins by
+    // sequence number, with a terminal D tombstone dropping the key
+    // entirely. Scale shape: ONE hash shuffle on the key, then a
+    // per-partition window — identical to the dedup shape, no driver
+    // state, no iteration; a 100 TB log compacts in a single pass. The
+    // log is derived deterministically from orders: key-space folded %
+    // 5000 so keys genuinely carry multiple versions, o_orderkey itself
+    // is the (unique, monotone) sequence.
+    "q_cdc_apply" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val log = Tables.orders(s, dir).select(
+          (col("o_orderkey") % 5000L).as("k"),
+          col("o_orderkey").as("seq"),
+          when(col("o_orderkey") % 11 === 0, "D")
+            .when(col("o_orderkey") % 3 === 0, "U")
+            .otherwise("I").as("op"),
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+        log
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("k")).orderBy(col("seq").desc)))
+          .filter(col("rn") === 1 && col("op") =!= "D")
+          .select(col("k"), col("seq"), col("op"), col("status"), col("price"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH log AS (
+                SELECT o_orderkey % 5000 AS k, o_orderkey AS seq,
+                       CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+                            WHEN o_orderkey % 3 = 0 THEN 'U'
+                            ELSE 'I' END AS op,
+                       o_orderstatus AS status, o_totalprice AS price
+                FROM orders),
+              lww AS (
+                SELECT k, seq, op, status, price,
+                       ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+                FROM log)
+              SELECT k, seq, op, status, price
+              FROM lww WHERE rn = 1 AND op <> 'D'
+              ORDER BY k""")),
+
     // Bucketed co-located join — the shuffle-free 100 TB join layout:
     // both sides pre-bucketed (8 buckets) and sorted on the join key, so
     // the SortMergeJoin reads co-located buckets with NO Exchange on

@@ -28,6 +28,8 @@ object Scans {
   val nationCsvPath = s"$fixDir/nation.tsv"
   val xlsxDirPath = s"$fixDir/nation_xlsx"
   val xlsxTsvPath = s"$fixDir/nation_xlsx.tsv"
+  val avroDirPath = s"$fixDir/nation_avro"
+  val avroTsvPath = s"$fixDir/nation_avro.tsv"
   val ordersJsonPath = s"$fixDir/orders100.jsonl"
   val manifestTreePath = s"$fixDir/manifest_tree"
   val manifestTsvPath = s"$fixDir/manifest_tree.tsv"
@@ -148,6 +150,52 @@ object Scans {
       },
       Some(s"""SELECT n_nationkey, n_name, n_regionkey
                FROM read_csv('$xlsxTsvPath', delim='\t', header=true,
+                             columns={'n_nationkey': 'INTEGER',
+                                      'n_name': 'VARCHAR',
+                                      'n_regionkey': 'INTEGER'})
+               ORDER BY n_nationkey""")),
+
+    // Avro container-file ingest — the remaining row-interchange format
+    // after TSV/CSV/JSON/xlsx/parquet/orc (Kafka dumps, sqoop-era
+    // extracts arrive as .avro). No spark-avro datasource ships in this
+    // image, so graft.sources.Avro decodes the container format directly
+    // with the avro-core jar: binaryFile scan (file-parallel — exporters
+    // emit one file per topic-partition-epoch), executor-side block
+    // decode, records surfaced as Avro-canonical JSON and parsed with an
+    // EXPLICIT from_json schema (the never-infer rule). The oracle TSV is
+    // written independently from the same collected rows, so the hash
+    // gate genuinely checks the Avro decode path: a mis-decoded deflate
+    // block, wrong sync split, or field mix-up breaks it.
+    "src_avro" -> Q(
+      (s, dir) => {
+        val rows = Tables.nation(s, dir).orderBy(col("n_nationkey"))
+          .collect() // 25 rows, fixed size at every sf — driver-side ok
+          .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+        val schemaJson =
+          """{"type":"record","name":"nation","fields":[
+               {"name":"n_nationkey","type":"int"},
+               {"name":"n_name","type":"string"},
+               {"name":"n_regionkey","type":"int"}]}"""
+        rows.groupBy(_._3).foreach { case (region, rs) =>
+          Avro.write(s"$avroDirPath/nation_r$region.avro", schemaJson,
+            rs.sortBy(_._1).map(t => Map[String, Any](
+              "n_nationkey" -> t._1, "n_name" -> t._2, "n_regionkey" -> t._3)),
+            blockRecords = 2) // force the multi-block layout real files have
+        }
+        writeFixture(avroTsvPath,
+          "n_nationkey\tn_name\tn_regionkey\n" +
+            rows.map(t => s"${t._1}\t${t._2}\t${t._3}").mkString("", "\n", "\n"))
+        val st = StructType(Seq(
+          StructField("n_nationkey", IntegerType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", IntegerType)))
+        Avro.scan(s, avroDirPath)
+          .select(from_json(col("json"), st).as("r"))
+          .select(col("r.n_nationkey"), col("r.n_name"), col("r.n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some(s"""SELECT n_nationkey, n_name, n_regionkey
+               FROM read_csv('$avroTsvPath', delim='\t', header=true,
                              columns={'n_nationkey': 'INTEGER',
                                       'n_name': 'VARCHAR',
                                       'n_regionkey': 'INTEGER'})

@@ -15,6 +15,10 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
 case class UserSession(user_id: Long, sess_start: java.sql.Timestamp,
                        sess_end: java.sql.Timestamp, n_events: Long)
 
+/** One CDC changelog record: `op` ∈ I/U/D, `seq` strictly orders the
+  * versions of a key (a Debezium offset / table-format commit number). */
+case class Chg(k: Long, seq: Long, op: String, status: String, price: Double)
+
 /** SURVEY §2i — Structured Streaming over the `events` shape.
   *
   * Every transformation below takes an input `DataFrame`/`Dataset` and
@@ -279,6 +283,45 @@ object Streams {
           rows.foreach { e => n += 1; v += e.value }
           st.update((n, v))
           Iterator.single((key, n, v))
+        }
+      },
+      TimeMode.None(), OutputMode.Update())
+  }
+
+  /** st_cdc_apply: streaming twin of the batch q_cdc_apply log
+    * compaction — a live CDC feed (Debezium topic, table-format change
+    * stream) applied incrementally instead of compacted in one pass.
+    * ValueState holds exactly ONE row per key: the current
+    * maximum-sequence version. Each micro-batch folds its records into
+    * that state and, when the current version changes, emits the new
+    * post-image (Update mode) — a D post-image is the tombstone the
+    * sink applies as a delete. Delivery-fault tolerance is the design
+    * point: a record with seq ≤ the state's seq is dropped, so
+    * OUT-OF-ORDER and DUPLICATE delivery (at-least-once upstream) are
+    * both idempotent — replaying a whole batch emits nothing new.
+    * Scale shape: state is one fixed-width row per live key in RocksDB
+    * (off-heap, changelog-checkpointed), not a buffered log — the same
+    * reason the batch twin is a single window pass. */
+  def cdcApply(log: Dataset[Chg]): Dataset[Chg] = {
+    import log.sparkSession.implicits._
+    log.groupByKey(_.k).transformWithState(
+      new StatefulProcessor[Long, Chg, Chg] {
+        @transient private var cur: ValueState[Chg] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          cur = getHandle.getValueState[Chg](
+            "current", org.apache.spark.sql.Encoders.product[Chg],
+            // See [[runningTotals]] on why TTL stays off here: TTLConfig
+            // needs a processing-time mode that never quiesces under
+            // MemoryStream tests. Live keys are bounded by the keyspace,
+            // and D tombstones could clear state once a retention window
+            // passes in a deployment.
+            TTLConfig.NONE)
+        override def handleInputRows(key: Long, rows: Iterator[Chg],
+                                     timerValues: TimerValues): Iterator[Chg] = {
+          val before = if (cur.exists()) Some(cur.get()) else None
+          val winner = (before.iterator ++ rows).maxBy(_.seq)
+          if (before.contains(winner)) Iterator.empty
+          else { cur.update(winner); Iterator.single(winner) }
         }
       },
       TimeMode.None(), OutputMode.Update())

@@ -838,4 +838,30 @@ class PlanAuditSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
       s"more than the bucket-agg exchange:\n$p")
   }
+
+  test("llm_dedup_incremental: probe is equi-join against the persisted index scan") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("llm_dedup_incremental")
+    // The index side must be a parquet SCAN (the persisted nightly
+    // artifact), not a recompute, and the probe an equi-join — any
+    // cartesian/theta shape here means the incremental story collapsed
+    // back into all-pairs.
+    assert(p.contains("Scan parquet") && p.contains("mh_band_index"),
+      s"corpus index not read from the persisted lake:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"non-equi probe join:\n$p")
+  }
+
+  test("q_cdc_apply: log compaction is one hash shuffle + per-partition window, no join") {
+    val p = planOf("q_cdc_apply")
+    // Last-writer-wins must plan as shuffle-on-key → in-partition sort →
+    // WindowExec; a second hash exchange or any join would mean the
+    // single-pass 100 TB compaction shape regressed (the final
+    // rangepartitioning exchange is the declared output ORDER BY, not
+    // part of the compaction).
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"compaction should shuffle exactly once on the key:\n$p")
+    assert(p.contains("Window"), s"no window (row_number LWW) operator:\n$p")
+    assert(!p.contains("Join"), s"compaction must be join-free:\n$p")
+  }
 }

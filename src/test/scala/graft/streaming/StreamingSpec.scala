@@ -514,4 +514,45 @@ class StreamingSpec extends SparkSuite {
       java.nio.file.Paths.get(stateDir, "_LATEST")).trim.toLong
     assert(ptr >= 2, s"expected >= 3 micro-batches, last version was $ptr")
   }
+
+  test("st_cdc_apply: incremental LWW == batch compaction; replay is idempotent") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Deterministic changelog: 200 keys × 3 versions, versions scattered
+    // ACROSS batches out of order (batch = seq % 3), so most keys see
+    // their versions arrive in the wrong order — the delivery pattern a
+    // real at-least-once CDC topic produces.
+    val log = (0 until 600).map { i =>
+      val k = (i % 200).toLong; val seq = i.toLong
+      val op = if (seq % 11 == 0) "D" else if (seq % 3 == 0) "U" else "I"
+      Chg(k, seq, op, s"s${seq % 5}", (seq % 97) * 1.5)
+    }
+    val batches = (0 until 3).map(b => log.filter(_.seq % 3 == b))
+    val ms = MemoryStream[Chg]
+    val q = Streams.cdcApply(ms.toDS())
+      .toDF().writeStream.format("memory").queryName("t_cdc")
+      .outputMode(OutputMode.Update()).start()
+    val emittedAfterAll =
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        val n = spark.table("t_cdc").count()
+        // duplicate + stale redelivery: replaying batch 0 emits NOTHING
+        ms.addData(batches(0)); q.processAllAvailable()
+        assert(spark.table("t_cdc").count() == n,
+          "stale/duplicate replay caused new emissions — apply is not idempotent")
+        n
+      } finally q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(emittedAfterAll >= 200, "every key must emit at least its first version")
+    // Final state = last (max-seq) emission per key, tombstones applied.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"k").orderBy($"seq".desc)
+    val finals = spark.table("t_cdc")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1 && $"op" =!= "D")
+      .select($"k", $"seq", $"op", $"status", $"price")
+    // Batch truth: one-pass LWW compaction over the same log.
+    val expected = log.toDS()
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1 && $"op" =!= "D")
+      .select($"k", $"seq", $"op", $"status", $"price")
+    assertSameRows(finals, expected)
+  }
 }
