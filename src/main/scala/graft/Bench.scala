@@ -5,16 +5,22 @@ object Bench {
   /** Fixed CPU+IO contention probe — measures the HOST, not the engine.
     * Run immediately before and after the timed loop; when either
     * reading deviates >2x from the floor recorded in BASELINE.md
-    * ("sentinel floor"), the capture ran on a contended host and the
-    * whole artifact must be re-recorded, not adjudicated per key (r9:
-    * a contended capture read as a 4.5x gate fail while the idle-host
-    * suite was actually faster than the round before). Both legs are
-    * fixed work: a 50M-row parallel aggregate through the same engine
-    * (CPU contention shows here) and a 100 MB tmp-file write+read+delete
-    * (IO contention shows here). */
-  private def sentinel(spark: SparkSession): Double = {
+    * ("sentinel floor"), the capture is FLAGGED: adjudicate it with the
+    * per-key gate vs recorded floors and discard only when the gate
+    * breaches too (r9: a contended capture read as a 4.5x gate fail
+    * while the idle-host suite was actually faster than the round
+    * before; r10 afternoon: the IO leg alone ran 2-3x floor host-wide
+    * while every per-key time sat AT floor). The two legs time
+    * separately since r10 so that split is visible in the artifact:
+    * `cpu` = a 50M-row parallel aggregate through the same engine
+    * (CPU/scheduler contention shows here); `io` = a 100 MB tmp-file
+    * write+read+delete (disk/page-cache contention shows here — and
+    * only matters for the scan/sink-bound keys). */
+  private def sentinel(spark: SparkSession): (Double, Double) = {
     val t0 = System.nanoTime()
     spark.range(50000000L).selectExpr("sum(id * 3 + 1)").collect()
+    val tCpu = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
     val buf = new Array[Byte](1 << 20)
     java.util.Arrays.fill(buf, 42.toByte)
     val p = java.nio.file.Files.createTempFile("graft-sentinel", ".bin")
@@ -27,7 +33,7 @@ object Bench {
       while (r > 0) { r = in.read(buf) }
       in.close()
     } finally java.nio.file.Files.deleteIfExists(p)
-    (System.nanoTime() - t0) / 1e9
+    (tCpu, (System.nanoTime() - t1) / 1e9)
   }
 
   def main(args: Array[String]): Unit = {
@@ -75,7 +81,8 @@ object Bench {
     // the artifact self-adjudicates (see [[sentinel]]). Placed after every
     // warmup so the range plan's codegen is already compiled — the probe
     // must time the host, not first-use JIT.
-    val sentinelPre = sentinel(spark)
+    val (sentinelPreCpu, sentinelPreIo) = sentinel(spark)
+    val sentinelPre = sentinelPreCpu + sentinelPreIo
     // Optional local-iteration filter (driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
@@ -92,7 +99,8 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val sentinelPost = sentinel(spark)
+    val (sentinelPostCpu, sentinelPostIo) = sentinel(spark)
+    val sentinelPost = sentinelPostCpu + sentinelPostIo
     // total stays Σ(all line items) — stage builds are paid work, just
     // charged to their own keys instead of the first consumer
     val results = stageResults ++ queryResults
@@ -103,7 +111,9 @@ object Bench {
     // during the run invalidates the capture); pre/post kept so a reader
     // can see WHEN the load arrived. Floor recorded in BASELINE.md
     // ("sentinel floor"); >2x floor ⇒ discard and re-run.
-    val sentinelJson = f""""sentinel_s":${math.max(sentinelPre, sentinelPost)}%.3f,"sentinel_pre_s":$sentinelPre%.3f,"sentinel_post_s":$sentinelPost%.3f"""
+    val sentinelJson =
+      f""""sentinel_s":${math.max(sentinelPre, sentinelPost)}%.3f,"sentinel_pre_s":$sentinelPre%.3f,"sentinel_post_s":$sentinelPost%.3f,""" +
+      f""""sentinel_cpu_s":${math.max(sentinelPreCpu, sentinelPostCpu)}%.3f,"sentinel_io_s":${math.max(sentinelPreIo, sentinelPostIo)}%.3f"""
     // Full per-query line first: input for scripts/bench_minima.py and any
     // consumer that reads the whole stdout.
     val full =
