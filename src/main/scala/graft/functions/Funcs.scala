@@ -243,6 +243,41 @@ object Funcs {
               FROM events
               ORDER BY event_id""")),
 
+    // Spark 4 VARIANT — the engine-native semi-structured type (binary
+    // encoded, shredded access) vs fn_json's string re-parse per path:
+    // at 100 TB a metadata column parsed once into VARIANT is read with
+    // typed O(fields) access per row instead of a JSON tokenizer per
+    // extraction, and predicates on extracted fields stay codegen'd.
+    // The fixture JSON is built in-query (format_string — identical
+    // spelling in DuckDB's printf) so the oracle extracts from the SAME
+    // bytes with its JSON functions: nested-path access, array
+    // subscripts, and the try_variant_get miscast→NULL contract all
+    // hash-gated. The variant column itself stays out of the compared
+    // output (binary encoding is engine-specific by design).
+    "fn_variant" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("j", format_string(
+          """{"id":%d,"cust":{"key":%d},"tags":["%s","%s"]}""",
+          col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority")))
+        .withColumn("v", parse_json(col("j")))
+        .select(
+          col("o_orderkey").as("id"),
+          variant_get(col("v"), "$.cust.key", "bigint").as("cust_key"),
+          variant_get(col("v"), "$.tags[1]", "string").as("tag2"),
+          try_variant_get(col("v"), "$.tags[0]", "bigint").as("bad_long"))
+        .orderBy(col("id")),
+      Some("""SELECT o_orderkey AS id,
+                     CAST(json_extract_string(j, '$.cust.key') AS BIGINT) AS cust_key,
+                     json_extract_string(j, '$.tags[1]') AS tag2,
+                     TRY_CAST(json_extract_string(j, '$.tags[0]') AS BIGINT) AS bad_long
+              FROM (SELECT o_orderkey,
+                           printf('{"id":%d,"cust":{"key":%d},"tags":["%s","%s"]}',
+                                  o_orderkey, o_custkey,
+                                  o_orderstatus, o_orderpriority) AS j
+                    FROM orders)
+              ORDER BY id""")),
+
     // Content hashing for checksums / dedup keys. xxhash64 is kept out of
     // the compared columns (Spark-specific seed, SURVEY §2g).
     "fn_hash" -> Q(

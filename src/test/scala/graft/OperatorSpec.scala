@@ -40,6 +40,23 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("fn_variant: VARIANT contract beyond the oracled extractions") {
+    // The oracle gate covers typed path extraction; pin here the parts
+    // DuckDB can't mirror: the inferred variant schema, variant-null vs
+    // SQL-null, and malformed input under try_parse_json.
+    val row = spark.sql(
+      """SELECT schema_of_variant(parse_json(
+           '{"id":7,"cust":{"key":9},"tags":["a","b"]}')) AS sch,
+                is_variant_null(variant_get(parse_json('{"a":null}'), '$.a')) AS vnull,
+                variant_get(parse_json('{"a":null}'), '$.missing') AS sqlnull,
+                try_parse_json('{broken') AS bad""").head()
+    assert(row.getString(0) == "OBJECT<cust: OBJECT<key: BIGINT>, id: BIGINT, tags: ARRAY<STRING>>",
+      s"variant schema inference drifted: ${row.getString(0)}")
+    assert(row.getBoolean(1), "JSON null must surface as a variant null")
+    assert(row.isNullAt(2), "absent path must be SQL NULL")
+    assert(row.isNullAt(3), "malformed JSON must be NULL under try_parse_json")
+  }
+
   test("udaf_hll: sketch estimate within 3*rsd, invariant to partitioning") {
     graft.functions.Custom.register(spark)
     // known-cardinality input: 10k distinct longs, each duplicated 3x
