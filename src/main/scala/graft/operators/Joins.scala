@@ -341,6 +341,36 @@ object Joins {
               FROM orders FULL JOIN delta ON o_orderkey = u_key
               ORDER BY merge_key""")),
 
+    // Collation-aware equi-join — Spark 4 collations (SQL-standard
+    // COLLATE on StringType): the curator-data reality is key fields
+    // arriving in inconsistent case ("Algeria" vs "ALGERIA"), and the
+    // engine-native fix is comparing under UTF8_LCASE collation instead
+    // of wrapping every reference in lower() — collation-aware equality
+    // stays a plain equi-join key (hash/sort on the collation key), so
+    // the join still shuffles/broadcasts like any other; a lower()
+    // wrapper would do the same here but loses the type-level contract
+    // and (on a lake table) the ability to declare the collation once in
+    // the schema. ICU collations (UNICODE_CI: ß=SS etc.) are pinned in
+    // ScalaTest — the oracled fixture stays ASCII where UTF8_LCASE and
+    // lower() agree by definition.
+    "q_join_collated" -> Q(
+      (s, dir) => {
+        val a = Tables.nation(s, dir)
+          .select(col("n_nationkey"), lower(col("n_name")).as("name_a"))
+        val b = Tables.nation(s, dir)
+          .select(upper(col("n_name")).as("name_b"), col("n_regionkey"))
+        a.join(b, collate(col("name_a"), "UTF8_LCASE") ===
+                  collate(col("name_b"), "UTF8_LCASE"))
+          .select(col("n_nationkey"), col("name_a"), col("name_b"),
+                  col("n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT a.n_nationkey, a.name_a, b.name_b, b.n_regionkey
+              FROM (SELECT n_nationkey, lower(n_name) AS name_a FROM nation) a
+              JOIN (SELECT upper(n_name) AS name_b, n_regionkey FROM nation) b
+                ON lower(a.name_a) = lower(b.name_b)
+              ORDER BY a.n_nationkey""")),
+
     // CDC changelog APPLY — the other half of the MERGE story: not one
     // delta batch but an ORDERED multi-version log of I/U/D events per
     // key (what a Debezium/Kafka CDC feed or a table format's change

@@ -57,6 +57,30 @@ class OperatorSpec extends SparkSuite {
     assert(row.isNullAt(3), "malformed JSON must be NULL under try_parse_json")
   }
 
+  test("q_join_collated: collation semantics beyond the ASCII oracle") {
+    // UTF8_LCASE is simple case folding (what lower() mirrors — the
+    // oracled fixture relies on that agreement); the ICU collations add
+    // what no lower() wrapper reproduces: accent-insensitive equality
+    // under the _AI variants. (Measured boundary on this Spark: ICU
+    // equality does NOT expand ß=SS even under UNICODE_CI — pinned so a
+    // future collation-version bump that changes it is noticed.) Also
+    // pin that a collated comparison still plans as a JOIN key, not a
+    // filter over a cartesian product.
+    val r = spark.sql(
+      """SELECT 'Algeria' COLLATE UTF8_LCASE = 'ALGERIA' AS lcase_eq,
+                'é' COLLATE UNICODE_CI_AI = 'E' AS icu_ai,
+                'é' COLLATE UTF8_LCASE = 'e' AS lcase_accent,
+                'ß' COLLATE UNICODE_CI = 'SS' AS icu_sz""").head()
+    assert(r.getBoolean(0), "UTF8_LCASE must fold ASCII case")
+    assert(r.getBoolean(1), "UNICODE_CI_AI must equate é with E (ICU accent+case)")
+    assert(!r.getBoolean(2), "UTF8_LCASE must NOT strip accents (simple folding)")
+    assert(!r.getBoolean(3), "measured: ICU equality does not expand ß=SS here")
+    val plan = Registry.byName("q_join_collated").fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"collated equality fell out of the equi-join key:\n$plan")
+  }
+
   test("udaf_hll: sketch estimate within 3*rsd, invariant to partitioning") {
     graft.functions.Custom.register(spark)
     // known-cardinality input: 10k distinct longs, each duplicated 3x
