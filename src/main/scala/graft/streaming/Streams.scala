@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** One event row as the typed streaming surface sees it (`ts` is µs
@@ -283,6 +283,40 @@ object Streams {
           rows.foreach { e => n += 1; v += e.value }
           st.update((n, v))
           Iterator.single((key, n, v))
+        }
+      },
+      TimeMode.None(), OutputMode.Update())
+  }
+
+  /** st_map_state: per-user per-event-type running counts via
+    * transformWithState's MapState — the third typed state cell
+    * (ValueState: [[runningTotals]]/[[cdcApply]]; ListState:
+    * [[sessionizeTWS]]; MapState: here). The sub-keyed cell is the
+    * point: one state row per (user, event_type) in RocksDB, read and
+    * written per TOUCHED sub-key only — a serialized Map[String, Long]
+    * blob in a ValueState would deserialize/rewrite the whole map for
+    * every event, which at firehose scale turns a counter update into
+    * O(|map|) I/O. Each micro-batch folds its rows locally first
+    * (one state read/write per touched sub-key per batch, not per
+    * event) and emits the updated (user, type, count) rows. */
+  def typeCounts(events: Dataset[Ev]): Dataset[(Long, String, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).transformWithState(
+      new StatefulProcessor[Long, Ev, (Long, String, Long)] {
+        @transient private var counts: MapState[String, Long] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          counts = getHandle.getMapState[String, Long](
+            "counts", org.apache.spark.sql.Encoders.STRING,
+            org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                     timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+          val delta = scala.collection.mutable.Map.empty[String, Long]
+          rows.foreach(e => delta.update(e.event_type, delta.getOrElse(e.event_type, 0L) + 1))
+          delta.toSeq.sortBy(_._1).map { case (t, d) =>
+            val n = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + d
+            counts.updateValue(t, n)
+            (key, t, n)
+          }.iterator
         }
       },
       TimeMode.None(), OutputMode.Update())

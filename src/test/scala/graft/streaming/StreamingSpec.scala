@@ -515,6 +515,30 @@ class StreamingSpec extends SparkSuite {
     assert(ptr >= 2, s"expected >= 3 micro-batches, last version was $ptr")
   }
 
+  test("st_map_state: sub-keyed counters converge to batch (user, type) counts") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val evs = fixtureEvs.take(400)
+    val ms = MemoryStream[Ev]
+    val q = Streams.typeCounts(ms.toDS())
+      .toDF("user_id", "event_type", "n")
+      .writeStream.format("memory").queryName("t_mapstate")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      evs.grouped(150).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    // Last emission per (user, type) = final counter value.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type").orderBy($"n".desc)
+    val finals = spark.table("t_mapstate")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"n")
+    val expected = evDf(evs).groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    assertSameRows(finals, expected)
+  }
+
   test("st_cdc_apply: incremental LWW == batch compaction; replay is idempotent") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
