@@ -617,6 +617,46 @@ object Analytics {
               SELECT id, root, CAST(depth AS INTEGER) AS depth
               FROM anc ORDER BY id""")),
 
+    // Native recursive CTE — Spark 4.1's WITH RECURSIVE, the declarative
+    // twin of q_transitive_closure's hand-rolled pointer-doubling loop
+    // (kept: doubling is O(log d) rounds where the CTE iterates O(d);
+    // at BOM depths both are single-digit rounds and the CTE wins on
+    // clarity + optimizer visibility — each iteration is a planned
+    // equi-join against the frontier, not driver-assembled lineage).
+    // Output is the materialized ancestor PATH per node over the same
+    // id div 7 part hierarchy, which the closure key deliberately does
+    // not produce, so the two stay non-duplicative.
+    "q_recursive_cte" -> Q(
+      (s, dir) => {
+        Tables.part(s, dir).createOrReplaceTempView("part_rec")
+        s.sql("""WITH RECURSIVE anc AS (
+                   SELECT p_partkey AS id,
+                          CAST(p_partkey AS STRING) AS path,
+                          0 AS depth
+                   FROM part_rec WHERE p_partkey < 7
+                   UNION ALL
+                   SELECT p.p_partkey,
+                          CONCAT(a.path, '/', CAST(p.p_partkey AS STRING)),
+                          a.depth + 1
+                   FROM part_rec p JOIN anc a ON p.p_partkey div 7 = a.id
+                   WHERE p.p_partkey >= 7)
+                 SELECT id, path, CAST(depth AS INT) AS depth
+                 FROM anc ORDER BY id""")
+      },
+      Some("""WITH RECURSIVE anc AS (
+                SELECT p_partkey AS id,
+                       CAST(p_partkey AS VARCHAR) AS path,
+                       0 AS depth
+                FROM part WHERE p_partkey < 7
+                UNION ALL
+                SELECT p.p_partkey,
+                       a.path || '/' || CAST(p.p_partkey AS VARCHAR),
+                       a.depth + 1
+                FROM part p JOIN anc a ON p.p_partkey // 7 = a.id
+                WHERE p.p_partkey >= 7)
+              SELECT id, path, CAST(depth AS INTEGER) AS depth
+              FROM anc ORDER BY id""")),
+
     // Subtree rollup along the same part hierarchy: for every node, the
     // count and total retail price of its DESCENDANT-OR-SELF set — the
     // classic BOM / category-tree aggregation. Needs the full closure
