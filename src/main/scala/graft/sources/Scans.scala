@@ -201,6 +201,36 @@ object Scans {
                                       'n_regionkey': 'INTEGER'})
                ORDER BY n_nationkey""")),
 
+    // Nested-document emission + shredding round trip — the reference's
+    // other JSON surface: metadata documents with REPEATED GROUPS (one
+    // doc per entity, a nested array of its children) POSTed to the
+    // registry, and the inverse normalization back into a child table.
+    // Engine side does the full cycle distributed: group lineitem into
+    // per-order docs (to_json over collect_list(struct)), then shred
+    // them back with an explicit array<struct> schema + explode — one
+    // hash shuffle to build docs, the shred itself is scan-local. The
+    // oracle recomputes the child rows directly from lineitem (the
+    // src_orc_roundtrip pattern), so a doc that drops/mangles a child
+    // row — or a double that doesn't survive the JSON round trip —
+    // breaks the hash.
+    "q_json_shred" -> Q(
+      (s, dir) => {
+        val docs = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(to_json(collect_list(struct(
+            col("l_linenumber").as("ln"), col("l_quantity").as("q")))).as("doc"))
+        val itemSt = ArrayType(StructType(Seq(
+          StructField("ln", IntegerType), StructField("q", DoubleType))))
+        docs.select(col("l_orderkey"),
+                    explode(from_json(col("doc"), itemSt)).as("item"))
+          .select(col("l_orderkey"), col("item.ln").as("ln"),
+                  col("item.q").as("q"))
+          .orderBy(col("l_orderkey"), col("ln"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber AS ln, l_quantity AS q
+              FROM lineitem
+              ORDER BY l_orderkey, ln""")),
+
     // Unstructured line source — raw text ingest (log shipping, crawl
     // dumps): schema-less lines in, one string column out. The engine
     // side is spark.read.text (splittable, scan-parallel at any size);
