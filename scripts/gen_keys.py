@@ -75,12 +75,22 @@ def streaming_rows():
     path = os.path.join(REPO, "src", "main", "scala", "graft", "streaming",
                         "Streams.scala")
     rows = []
+    seen = {}
     with open(path, encoding="utf-8") as f:
         for ln, line in enumerate(f, 1):
             m = re.search(r"/\*\* (st_[a-z0-9_]+|src_stream_file)", line)
             if m:
-                rows.append((m.group(1),
-                             f"src/main/scala/graft/streaming/Streams.scala:{ln}"))
+                site = f"src/main/scala/graft/streaming/Streams.scala:{ln}"
+                # One surface may have TWO implementations (the
+                # sessionizer ships a flatMapGroupsWithState twin beside
+                # the transformWithState primary): merge into one row
+                # listing both sites instead of emitting a duplicate.
+                if m.group(1) in seen:
+                    i = seen[m.group(1)]
+                    rows[i] = (rows[i][0], rows[i][1] + "; " + site)
+                else:
+                    seen[m.group(1)] = len(rows)
+                    rows.append((m.group(1), site))
     spec = os.path.join(REPO, "src", "test", "scala", "graft", "streaming",
                         "StreamingSpec.scala")
     with open(spec, encoding="utf-8") as f:

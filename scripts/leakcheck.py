@@ -60,7 +60,12 @@ PATTERNS = {
         r"PASSWORD)\b",
 }
 
-SCAN_ROOTS = ["src", "scripts", "build.sbt", "project"]
+SCAN_ROOTS = ["src", "scripts", "build.sbt", "project",
+              # Repo-root prose is the largest surface and the likeliest
+              # leak site (pasted links/IDs land in docs first) — sweep
+              # every tracked root-level markdown artifact too.
+              "README.md", "SURVEY.md", "BASELINE.md", "KEYS.md",
+              "FIXTURES.md", "TESTDATA.md"]
 SKIP_BASENAMES = {"leakcheck.py"}  # the patterns would self-match
 
 

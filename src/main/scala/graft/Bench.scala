@@ -128,11 +128,19 @@ object Bench {
     // from the project root), so any checkout location gets the artifact
     // next to its own BASELINE.md. Best-effort, but LOUD on failure: a
     // read-only checkout must not fail the bench itself, yet a silently
-    // missing artifact defeats the file's purpose.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] WARN: could not write BENCH_LOCAL.json: $e") }
+    // missing artifact defeats the file's purpose. A FILTERED run
+    // (SPARK_GRAFT_ONLY — local iteration, scale_check's two-sf probes)
+    // is never round-canonical, so it must not clobber the full-suite
+    // capture: that is exactly how the committed artifact twice ended up
+    // holding a handful-of-keys sf1 probe in violation of the BASELINE
+    // convention that BENCH_LOCAL mirrors the round capture.
+    if (only.isEmpty) {
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] WARN: could not write BENCH_LOCAL.json: $e") }
+    } else System.err.println(
+      "[bench] filtered run (SPARK_GRAFT_ONLY): BENCH_LOCAL.json left untouched")
     // The harness that snapshots this run keeps only the LAST ~2000 chars
     // of stdout; with 140+ keys the full line above starts outside that
     // window and can never parse from the tail. Emit a final compact line

@@ -66,12 +66,25 @@ object Avro {
         }
         val in = new DataFileStream[GenericRecord](
           new ByteArrayInputStream(bytes), datumReader)
-        try {
-          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
-          var i = 0L
-          while (in.hasNext) { out += ((file, i, in.next().toString)); i += 1 }
-          out.toSeq
-        } finally in.close()
+        // Stream, never buffer: flatMap consumes this iterator lazily,
+        // so at any moment the executor holds the file bytes plus ONE
+        // decompressed block — not a JSON rendering of every record
+        // (which for a multi-hundred-MB exporter file would double or
+        // triple the resident size). Close rides exhaustion; a partial
+        // read (task kill) leaks only a heap-backed stream for GC —
+        // there is no file handle, the input is the in-memory bytes.
+        new Iterator[(String, Long, String)] {
+          private var i = 0L
+          private var open = true
+          override def hasNext: Boolean = {
+            if (open && !in.hasNext) { in.close(); open = false }
+            open
+          }
+          override def next(): (String, Long, String) = {
+            if (!hasNext) throw new NoSuchElementException
+            val rec = (file, i, in.next().toString); i += 1; rec
+          }
+        }
       }
       .toDF("file", "record_idx", "json")
   }

@@ -81,18 +81,31 @@ object Xlsx {
     val r = newFactory().createXMLStreamReader(new ByteArrayInputStream(xml))
     var cellCol = -1
     var cellType = ""
+    // Accumulated per CELL, not per <v>/<t>: an inline rich-text cell
+    // (<is><r><t>a</t></r><r><t>b</t></r></is> — Excel emits these when
+    // part of a cell is formatted) carries SEVERAL <t> runs that must
+    // concatenate, exactly as parseSharedStrings concatenates runs
+    // inside an <si>. The pre-r10 per-run emission kept only the last
+    // run (last-wins on the same column index).
+    var cellText: StringBuilder = null
+    var sawValue = false
     var text: StringBuilder = null
     var collecting = false
     while (r.hasNext) {
       r.next() match {
         case XMLStreamConstants.START_ELEMENT =>
           r.getLocalName match {
-            case "row" => cells.clear()
+            // cellCol resets per ROW: r-less cells are consecutive from
+            // column 0 of their own row (pre-r10 they continued from the
+            // previous row's last column).
+            case "row" => cells.clear(); cellCol = -1
             case "c" =>
               val ref = Option(r.getAttributeValue(null, "r"))
               // no r attribute → cells are simply consecutive
               cellCol = ref.map(colIndex).getOrElse(cellCol + 1)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              cellText = new StringBuilder
+              sawValue = false
             case "v" | "t" => collecting = true; text = new StringBuilder
             case _ =>
           }
@@ -103,7 +116,10 @@ object Xlsx {
             case "v" | "t" =>
               collecting = false
               val raw = text.toString
-              cells += cellCol -> (if (cellType == "s") shared(raw.toInt) else raw)
+              cellText.append(if (cellType == "s") shared(raw.toInt) else raw)
+              sawValue = true
+            case "c" =>
+              if (sawValue) cells += cellCol -> cellText.toString
             case "row" =>
               if (cells.nonEmpty) {
                 val width = cells.map(_._1).max + 1

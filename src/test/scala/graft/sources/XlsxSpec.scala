@@ -85,6 +85,33 @@ class XlsxSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq) == Seq(Seq("bold part", "plain")))
   }
 
+  test("r-less cells restart at column 0 on every row (r10 regression)") {
+    // Pre-r10 cellCol carried across rows: row 2's r-less cell landed at
+    // row 1's last column + 1 instead of column 0, silently shifting
+    // every column of every row after the first.
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row><c><v>1</v></c><c><v>2</v></c><c><v>3</v></c></row>
+        |<row><c><v>4</v></c></row>
+        |<row><c><v>5</v></c><c><v>6</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val rows = Xlsx.parse(sheetZip(sheet))
+    assert(rows.map(_.toSeq) == Seq(
+      Seq("1", "2", "3"), Seq("4"), Seq("5", "6")))
+  }
+
+  test("inline rich-text runs concatenate like shared-string runs (r10 regression)") {
+    // Pre-r10 each <t> run emitted its own (col, text) entry and the
+    // row fill was last-wins: 'a'+'b' read back as just 'b'.
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row><c t="inlineStr"><is><r><t>a</t></r><r><t>b</t></r></is></c>
+        |<c><v>9</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val rows = Xlsx.parse(sheetZip(sheet))
+    assert(rows.map(_.toSeq) == Seq(Seq("ab", "9")))
+  }
+
   test("XXE hygiene: a doctype with an external entity does not resolve") {
     val sheet =
       """<?xml version="1.0"?><!DOCTYPE x [<!ENTITY xxe SYSTEM "file:///etc/hostname">]>

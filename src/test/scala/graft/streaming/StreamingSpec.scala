@@ -285,18 +285,17 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("st_transform_with_state: running totals converge to batch groupBy") {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val evs = fixtureEvs.take(400)
-    val ms = MemoryStream[Ev]
-    val q = Streams.runningTotals(ms.toDS())
-      .toDF("user_id", "n", "total")
-      .writeStream.format("memory").queryName("t_tws")
-      .outputMode(OutputMode.Update()).start()
-    try {
-      evs.grouped(150).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
-    } finally q.stop()
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    withRocksDB(true) {
+      val ms = MemoryStream[Ev]
+      val q = Streams.runningTotals(ms.toDS())
+        .toDF("user_id", "n", "total")
+        .writeStream.format("memory").queryName("t_tws")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        evs.grouped(150).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      } finally q.stop()
+    }
     // Last emission per user = final running totals.
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"user_id").orderBy($"n".desc)
     val finals = spark.table("t_tws")
@@ -516,18 +515,19 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("st_map_state: sub-keyed counters converge to batch (user, type) counts") {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // withRocksDB, not manual set/unset: an assertion failure inside
+    // the body must still restore the provider for later suites.
     val evs = fixtureEvs.take(400)
-    val ms = MemoryStream[Ev]
-    val q = Streams.typeCounts(ms.toDS())
-      .toDF("user_id", "event_type", "n")
-      .writeStream.format("memory").queryName("t_mapstate")
-      .outputMode(OutputMode.Update()).start()
-    try {
-      evs.grouped(150).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
-    } finally q.stop()
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    withRocksDB(true) {
+      val ms = MemoryStream[Ev]
+      val q = Streams.typeCounts(ms.toDS())
+        .toDF("user_id", "event_type", "n")
+        .writeStream.format("memory").queryName("t_mapstate")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        evs.grouped(150).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+      } finally q.stop()
+    }
     // Last emission per (user, type) = final counter value.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id", $"event_type").orderBy($"n".desc)
@@ -540,8 +540,6 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("st_cdc_apply: incremental LWW == batch compaction; replay is idempotent") {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // Deterministic changelog: 200 keys × 3 versions, versions scattered
     // ACROSS batches out of order (batch = seq % 3), so most keys see
     // their versions arrive in the wrong order — the delivery pattern a
@@ -552,11 +550,14 @@ class StreamingSpec extends SparkSuite {
       Chg(k, seq, op, s"s${seq % 5}", (seq % 97) * 1.5)
     }
     val batches = (0 until 3).map(b => log.filter(_.seq % 3 == b))
-    val ms = MemoryStream[Chg]
-    val q = Streams.cdcApply(ms.toDS())
-      .toDF().writeStream.format("memory").queryName("t_cdc")
-      .outputMode(OutputMode.Update()).start()
-    val emittedAfterAll =
+    // withRocksDB, not manual set/unset: the idempotency assert below
+    // runs INSIDE the provider override — on failure the provider must
+    // still be restored for later suites.
+    val emittedAfterAll = withRocksDB(true) {
+      val ms = MemoryStream[Chg]
+      val q = Streams.cdcApply(ms.toDS())
+        .toDF().writeStream.format("memory").queryName("t_cdc")
+        .outputMode(OutputMode.Update()).start()
       try {
         batches.foreach { b => ms.addData(b); q.processAllAvailable() }
         val n = spark.table("t_cdc").count()
@@ -566,7 +567,7 @@ class StreamingSpec extends SparkSuite {
           "stale/duplicate replay caused new emissions — apply is not idempotent")
         n
       } finally q.stop()
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
     assert(emittedAfterAll >= 200, "every key must emit at least its first version")
     // Final state = last (max-seq) emission per key, tombstones applied.
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"k").orderBy($"seq".desc)
