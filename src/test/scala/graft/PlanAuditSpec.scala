@@ -852,6 +852,27 @@ class PlanAuditSpec extends SparkSuite {
       s"non-equi probe join:\n$p")
   }
 
+  test("q_json_shred: doc build is the only hash exchange; shred is scan-local") {
+    val p = planOf("q_json_shred")
+    // Grouping lineitem into docs needs ONE shuffle (map-side partial
+    // collect_list is disabled for collect aggregates, but the exchange
+    // count is still the thing to pin); from_json + explode over the
+    // docs must stay pipeline-local — a second hash exchange would mean
+    // the shred re-shuffled the corpus.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the doc-build exchange:\n$p")
+    assert(p.contains("Generate"), s"no explode (Generate) operator:\n$p")
+    assert(!p.contains("Join"), s"shred must be join-free:\n$p")
+  }
+
+  test("q_recursive_cte: iterations are equi-joins, never cartesian") {
+    val p = planOf("q_recursive_cte")
+    assert(p.contains("UnionLoop") || p.contains("CTERelation") || p.contains("Loop"),
+      s"no recursive execution node:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"recursive step fell out of the equi-join:\n$p")
+  }
+
   test("q_cdc_apply: log compaction is one hash shuffle + per-partition window, no join") {
     val p = planOf("q_cdc_apply")
     // Last-writer-wins must plan as shuffle-on-key → in-partition sort →
