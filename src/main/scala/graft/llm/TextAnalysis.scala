@@ -705,6 +705,89 @@ object TextAnalysis {
                         ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rn
                  FROM np)
                WHERE rn <= 10
-               ORDER BY rn"""))
+               ORDER BY rn""")),
+
+    // BPE training, the whole loop: K=3 greedy merge rounds producing
+    // the ordered merge TABLE — the artifact a tokenizer trainer
+    // actually ships (llm_bpe_pairs is round 1's count; llm_bpe_apply
+    // is one loop body; this iterates). Each round counts 2-grams over
+    // the CURRENT symbol strings, takes the (count desc, pair asc)
+    // argmax, and rewrites the vocab with a per-round out-of-alphabet
+    // marker char(r) so later rounds treat the merge as one symbol;
+    // display names expand markers back through the earlier merges.
+    // Scale shape: the corpus is reduced ONCE to the (token, count)
+    // vocab; every iteration is a vocab-sized agg (tens of k rows at
+    // any corpus size — vocab growth is sub-linear in corpus size),
+    // with a 1-ROW collect per round as the argmax anchor and a
+    // localCheckpoint cutting the per-round replace lineage. That —
+    // looping over the vocabulary, never the text — is what makes BPE
+    // training feasible at 100 TB.
+    "llm_bpe_train" -> Q(
+      (s, dir) => {
+        import s.implicits._
+        val K = 3
+        val pairsOf = "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"
+        var vocab = Tables.documents(s, dir)
+          .select(explode(expr(toksE)).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+          .filter(length(col("tok")) >= 2)
+          .localCheckpoint()
+        val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+        for (r <- 1 to K) {
+          // 1-row argmax anchor (documented driver-side collect — the
+          // greedy loop's decision variable, same class as the kmeans
+          // centroid pull).
+          val top = vocab
+            .select(col("wc"), explode(expr(pairsOf)).as("pair"))
+            .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+            .orderBy(col("n").desc, col("pair")).limit(1)
+            .collect()(0)
+          val raw = top.getString(0)
+          // expand markers newest-first: chr(j) holds round j's RAW pair
+          val display = (merges.length to 1 by -1).foldLeft(raw) { (p, j) =>
+            p.replace(j.toChar.toString, merges(j - 1)._2)
+          }
+          merges += ((r, raw, display, top.getLong(1)))
+          vocab = vocab
+            .withColumn("tok", replace(col("tok"), lit(raw), lit(r.toChar.toString)))
+            .filter(length(col("tok")) >= 2)
+            .localCheckpoint()
+        }
+        merges.toSeq.map { case (r, _, d, n) => (r, d, n) }
+          .toDF("round", "pair", "n").orderBy(col("round"))
+      },
+      Some(s"""WITH v0 AS (
+                 SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc
+                 FROM (SELECT unnest($duckToks) AS tok FROM documents)
+                 GROUP BY tok HAVING len(tok) >= 2),
+               p1 AS (SELECT substr(tok, i, 2) AS pair, CAST(SUM(wc) AS BIGINT) AS n
+                      FROM (SELECT tok, wc,
+                              unnest(generate_series(1, len(tok) - 1)) AS i FROM v0)
+                      GROUP BY 1),
+               t1 AS (SELECT pair, n FROM p1 ORDER BY n DESC, pair LIMIT 1),
+               v1 AS (SELECT replace(v.tok, t.pair, chr(1)) AS tok, v.wc
+                      FROM v0 v, t1 t
+                      WHERE len(replace(v.tok, t.pair, chr(1))) >= 2),
+               p2 AS (SELECT substr(tok, i, 2) AS pair, CAST(SUM(wc) AS BIGINT) AS n
+                      FROM (SELECT tok, wc,
+                              unnest(generate_series(1, len(tok) - 1)) AS i FROM v1)
+                      GROUP BY 1),
+               t2 AS (SELECT pair, n FROM p2 ORDER BY n DESC, pair LIMIT 1),
+               v2 AS (SELECT replace(v.tok, t.pair, chr(2)) AS tok, v.wc
+                      FROM v1 v, t2 t
+                      WHERE len(replace(v.tok, t.pair, chr(2))) >= 2),
+               p3 AS (SELECT substr(tok, i, 2) AS pair, CAST(SUM(wc) AS BIGINT) AS n
+                      FROM (SELECT tok, wc,
+                              unnest(generate_series(1, len(tok) - 1)) AS i FROM v2)
+                      GROUP BY 1),
+               t3 AS (SELECT pair, n FROM p3 ORDER BY n DESC, pair LIMIT 1)
+               SELECT round, pair, n FROM (
+                 SELECT 1 AS round, t1.pair AS pair, t1.n AS n FROM t1
+                 UNION ALL
+                 SELECT 2, replace(t2.pair, chr(1), t1.pair), t2.n FROM t2, t1
+                 UNION ALL
+                 SELECT 3, replace(replace(t3.pair, chr(2), t2.pair),
+                                   chr(1), t1.pair), t3.n FROM t3, t2, t1)
+               ORDER BY round"""))
   )
 }
