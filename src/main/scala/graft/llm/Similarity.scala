@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2h — similarity search over `embeddings` (64-dim float
@@ -123,6 +124,30 @@ object Similarity {
     votes.withColumn("vr", row_number().over(wVote)).filter(col("vr") === 1)
       .select(col("q_id"), col("true_label"), col("label").as("pred_label"),
               col("votes"), (col("label") === col("true_label")).as("correct"))
+  }
+
+  /** Per-class confusion base off the kNN predictions: cls, n_true,
+    * n_pred, tp — the three marginals zero-filled through a full-outer
+    * join so never-predicted and never-true classes both appear. All
+    * counting happens on the |holdout|-row prediction table. Shared by
+    * llm_confusion (per-class metrics) and llm_kappa (the corpus-level
+    * chance-corrected summary). */
+  private def confBase(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val m = knnPreds(s, dir)
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+    val rt = m.groupBy(col("true_label").as("cls"))
+      .agg(sum(col("n")).as("n_true"))
+    val ct = m.groupBy(col("pred_label").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = m.filter(col("true_label") === col("pred_label"))
+      .groupBy(col("true_label").as("cls")).agg(sum(col("n")).as("tp"))
+    rt.join(ct, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left_outer")
+      .select(col("cls"),
+              coalesce(col("n_true"), lit(0L)).as("n_true"),
+              coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+              coalesce(col("tp"), lit(0L)).as("tp"))
   }
 
   /** Hamming-≤3 ball over the 4-bit sign code, nearest-first: the 15
@@ -629,6 +654,94 @@ object Similarity {
                       round(MIN(cos), 6) AS min_cos
                FROM top JOIN documents ON vec_id = doc_id""")),
 
+    // MMR re-ranking (maximal marginal relevance, λ = 0.7): the
+    // diversity-aware selection step between retrieval and context
+    // packing — pure top-k by cosine returns near-duplicate passages;
+    // MMR greedily picks argmax λ·rel − (1−λ)·max-sim-to-selected. The
+    // scalable shape: relevance reduces the corpus to a top-8 candidate
+    // POOL first (one scan, TakeOrdered), and the inherently sequential
+    // greedy loop then runs entirely on that pool — the pairwise sim
+    // table is 8×8, every per-round argmax is a 1-row broadcast, and the
+    // corpus is never touched again (the same pool-then-rerank split a
+    // serving stack uses, k and pool size constants). Three rounds
+    // materialize the selection order. All scores are round-6 doubles
+    // identically spelled in both engines.
+    "llm_mmr_rerank" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val e = Tables.embeddings(s, dir).withColumn("nrm", expr(normE))
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val pool = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("rel", round(
+            expr(dotE("embedding", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(8)
+        val cand = pool.select(col("vec_id"), col("embedding"), col("nrm"), col("rel"))
+        val selSide = pool.select(col("vec_id").as("sid"),
+                                  col("embedding").as("semb"), col("nrm").as("snrm"))
+        val sims = cand.join(broadcast(selSide), col("vec_id") =!= col("sid"))
+          .withColumn("sim", round(
+            expr(dotE("embedding", "semb")) / (col("nrm") * col("snrm")), 6))
+          .select(col("vec_id"), col("sid"), col("sim"))
+        val s1 = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("rel"), col("rel").as("mmr"))
+        def step(selected: DataFrame): DataFrame = {
+          val ms = sims.join(broadcast(selected.select(col("vec_id").as("pick"))),
+                             col("sid") === col("pick"))
+            .groupBy(col("vec_id")).agg(max(col("sim")).as("msim"))
+          cand.join(broadcast(selected.select(col("vec_id").as("pick"))),
+                    col("vec_id") === col("pick"), "left_anti")
+            .join(ms, Seq("vec_id"))
+            .withColumn("mmr", round(lit(0.7) * col("rel") - lit(0.3) * col("msim"), 6))
+            .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+            .select(col("vec_id"), col("rel"), col("mmr"))
+        }
+        val s2 = step(s1)
+        val s3 = step(s1.unionByName(s2))
+        s1.withColumn("rank", lit(1))
+          .unionByName(s2.withColumn("rank", lit(2)))
+          .unionByName(s3.withColumn("rank", lit(3)))
+          .select(col("rank"), col("vec_id"), col("rel"), col("mmr"))
+          .orderBy(col("rank"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding, $duckNorm AS nrm
+                          FROM embeddings),
+                    q AS (SELECT embedding AS q_emb, nrm AS q_nrm FROM n
+                          WHERE vec_id = 0),
+                    pool AS (SELECT vec_id, embedding, nrm,
+                                    round(${duckDot("n.embedding", "q.q_emb")}
+                                          / (n.nrm * q.q_nrm), 6) AS rel
+                             FROM n, q WHERE vec_id <> 0
+                             ORDER BY rel DESC, vec_id LIMIT 8),
+                    sims AS (SELECT a.vec_id, b.vec_id AS sid,
+                                    round(${duckDot("a.embedding", "b.embedding")}
+                                          / (a.nrm * b.nrm), 6) AS sim
+                             FROM pool a JOIN pool b ON a.vec_id <> b.vec_id),
+                    s1 AS (SELECT vec_id, rel, rel AS mmr FROM pool
+                           ORDER BY rel DESC, vec_id LIMIT 1),
+                    m2 AS (SELECT s.vec_id, MAX(sim) AS msim
+                           FROM sims s JOIN s1 ON s.sid = s1.vec_id GROUP BY 1),
+                    s2 AS (SELECT p.vec_id, p.rel,
+                                  round(0.7 * p.rel - 0.3 * m.msim, 6) AS mmr
+                           FROM pool p JOIN m2 m ON p.vec_id = m.vec_id
+                           WHERE p.vec_id NOT IN (SELECT vec_id FROM s1)
+                           ORDER BY mmr DESC, p.vec_id LIMIT 1),
+                    sel2 AS (SELECT vec_id FROM s1
+                             UNION ALL SELECT vec_id FROM s2),
+                    m3 AS (SELECT s.vec_id, MAX(sim) AS msim
+                           FROM sims s JOIN sel2 ON s.sid = sel2.vec_id GROUP BY 1),
+                    s3 AS (SELECT p.vec_id, p.rel,
+                                  round(0.7 * p.rel - 0.3 * m.msim, 6) AS mmr
+                           FROM pool p JOIN m3 m ON p.vec_id = m.vec_id
+                           WHERE p.vec_id NOT IN (SELECT vec_id FROM sel2)
+                           ORDER BY mmr DESC, p.vec_id LIMIT 1)
+               SELECT 1 AS rank, vec_id, rel, mmr FROM s1
+               UNION ALL SELECT 2, vec_id, rel, mmr FROM s2
+               UNION ALL SELECT 3, vec_id, rel, mmr FROM s3
+               ORDER BY rank""")),
+
     // Embedding-cosine near-dup dedup: canonical vectors = those that are
     // never the higher-id member of a >= 0.2 pair (keep-min-id clustering,
     // same survivor rule as llm_dedup_exact). Pair generation shares the
@@ -697,21 +810,7 @@ object Similarity {
     // never-true classes keep NULL metrics rather than fake zeros.
     "llm_confusion" -> Q(
       (s, dir) => {
-        val m = knnPreds(s, dir)
-          .groupBy(col("true_label"), col("pred_label"))
-          .agg(count(lit(1)).as("n"))
-        val rt = m.groupBy(col("true_label").as("cls"))
-          .agg(sum(col("n")).as("n_true"))
-        val ct = m.groupBy(col("pred_label").as("cls"))
-          .agg(sum(col("n")).as("n_pred"))
-        val tp = m.filter(col("true_label") === col("pred_label"))
-          .groupBy(col("true_label").as("cls")).agg(sum(col("n")).as("tp"))
-        val base = rt.join(ct, Seq("cls"), "full_outer")
-          .join(tp, Seq("cls"), "left_outer")
-          .select(col("cls"),
-                  coalesce(col("n_true"), lit(0L)).as("n_true"),
-                  coalesce(col("n_pred"), lit(0L)).as("n_pred"),
-                  coalesce(col("tp"), lit(0L)).as("tp"))
+        val base = confBase(s, dir)
         val prec = when(col("n_pred") > 0,
           (col("tp").cast("decimal(18,6)") / col("n_pred"))
             .cast("decimal(18,6)").cast("double"))
@@ -776,6 +875,117 @@ object Similarity {
                       CASE WHEN prec + rec > 0
                            THEN round(2.0 * prec * rec / (prec + rec), 6) END AS f1
                FROM pr ORDER BY cls""")),
+
+    // Corpus-level eval summary with chance correction: accuracy,
+    // Cohen's kappa, and macro-F1 over the kNN predictions — the
+    // one-row scorecard a labeling pipeline gates promotion on
+    // (accuracy alone is misleading under class imbalance; kappa
+    // subtracts the agreement the marginals produce by chance). All
+    // inputs are integer counts off the class-level confusion base, so
+    // kappa reduces to the exact integer ratio
+    // (agree·N − Σ n_true·n_pred) / (N² − Σ n_true·n_pred) evaluated in
+    // the decimal lane; macro-F1 averages the per-class round-6 F1
+    // doubles (identical in both engines) through an exact decimal sum.
+    // Everything past knnPreds runs on a ≤|classes|-row table.
+    "llm_kappa" -> Q(
+      (s, dir) => {
+        val prec = when(col("n_pred") > 0,
+          (col("tp").cast("decimal(18,6)") / col("n_pred"))
+            .cast("decimal(18,6)").cast("double"))
+        val rec = when(col("n_true") > 0,
+          (col("tp").cast("decimal(18,6)") / col("n_true"))
+            .cast("decimal(18,6)").cast("double"))
+        val f = confBase(s, dir)
+          .withColumn("prec", prec)
+          .withColumn("rec", rec)
+          .withColumn("f1", when(col("prec") + col("rec") > 0,
+            round(lit(2.0) * col("prec") * col("rec") /
+                  (col("prec") + col("rec")), 6)))
+        val a = f.agg(
+          sum(col("n_true")).as("n_eval"),
+          sum(col("tp")).as("agree"),
+          sum(col("n_true") * col("n_pred")).as("pe_num"),
+          (sum(col("f1").cast("decimal(18,6)")) / count(col("f1")))
+            .cast("decimal(18,6)").cast("double").as("macro_f1"))
+        a.select(
+            col("n_eval"), col("agree"),
+            (col("agree").cast("decimal(18,6)") / col("n_eval"))
+              .cast("decimal(18,6)").cast("double").as("accuracy"),
+            when(col("n_eval") * col("n_eval") - col("pe_num") > 0,
+              ((col("agree") * col("n_eval") - col("pe_num"))
+                 .cast("decimal(18,6)")
+                 / (col("n_eval") * col("n_eval") - col("pe_num")))
+                .cast("decimal(18,6)").cast("double")).as("kappa"),
+            col("macro_f1"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm
+                          FROM embeddings),
+                    q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                                 nrm AS q_nrm, label AS true_label
+                          FROM n WHERE vec_id % 10 = 0
+                          ORDER BY vec_id LIMIT 200),
+                    scored AS (
+                      SELECT q.q_id, q.true_label, n.vec_id, n.label,
+                             round(${duckDot("n.embedding", "q.q_emb")}
+                                   / (n.nrm * q.q_nrm), 6) AS cos
+                      FROM n, q WHERE n.vec_id % 10 <> 0),
+                    top3 AS (
+                      SELECT * FROM scored
+                      QUALIFY row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, vec_id) <= 3),
+                    votes AS (
+                      SELECT q_id, true_label, label,
+                             COUNT(*) AS votes, MAX(cos) AS best_cos
+                      FROM top3 GROUP BY q_id, true_label, label),
+                    preds AS (
+                      SELECT q_id, true_label, label AS pred_label
+                      FROM votes
+                      QUALIFY row_number() OVER (PARTITION BY q_id
+                                ORDER BY votes DESC, best_cos DESC, label) = 1),
+                    m AS (SELECT true_label, pred_label, COUNT(*) AS n
+                          FROM preds GROUP BY 1, 2),
+                    rt AS (SELECT true_label AS cls, CAST(SUM(n) AS BIGINT) AS n_true
+                           FROM m GROUP BY 1),
+                    ct AS (SELECT pred_label AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+                           FROM m GROUP BY 1),
+                    tpc AS (SELECT true_label AS cls, CAST(SUM(n) AS BIGINT) AS tp
+                            FROM m WHERE true_label = pred_label GROUP BY 1),
+                    base AS (
+                      SELECT cls, COALESCE(n_true, 0) AS n_true,
+                             COALESCE(n_pred, 0) AS n_pred,
+                             COALESCE(tp, 0) AS tp
+                      FROM rt FULL JOIN ct USING (cls) LEFT JOIN tpc USING (cls)),
+                    pr AS (
+                      SELECT cls, n_true, n_pred, tp,
+                             CASE WHEN n_pred > 0 THEN
+                               CAST(CAST(CAST(tp AS DECIMAL(18,6)) / n_pred
+                                    AS DECIMAL(18,6)) AS DOUBLE) END AS prec,
+                             CASE WHEN n_true > 0 THEN
+                               CAST(CAST(CAST(tp AS DECIMAL(18,6)) / n_true
+                                    AS DECIMAL(18,6)) AS DOUBLE) END AS rec
+                      FROM base),
+                    f AS (
+                      SELECT cls, n_true, n_pred, tp,
+                             CASE WHEN prec + rec > 0
+                                  THEN round(2.0 * prec * rec / (prec + rec), 6)
+                             END AS f1
+                      FROM pr),
+                    agg AS (
+                      SELECT CAST(SUM(n_true) AS BIGINT) AS n_eval,
+                             CAST(SUM(tp) AS BIGINT) AS agree,
+                             CAST(SUM(n_true * n_pred) AS BIGINT) AS pe_num,
+                             CAST(CAST(SUM(CAST(f1 AS DECIMAL(18,6))) / COUNT(f1)
+                                  AS DECIMAL(18,6)) AS DOUBLE) AS macro_f1
+                      FROM f)
+               SELECT n_eval, agree,
+                      CAST(CAST(CAST(agree AS DECIMAL(18,6)) / n_eval
+                           AS DECIMAL(18,6)) AS DOUBLE) AS accuracy,
+                      CASE WHEN n_eval * n_eval - pe_num > 0 THEN
+                        CAST(CAST(CAST(agree * n_eval - pe_num AS DECIMAL(18,6))
+                                  / (n_eval * n_eval - pe_num)
+                             AS DECIMAL(18,6)) AS DOUBLE) END AS kappa,
+                      macro_f1
+               FROM agg""")),
 
     // Per-label centroids — the k-means/IVF coarse-quantizer training
     // step: per (label, dimension) mean over the corpus. posexplode +

@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{H, Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -788,6 +789,137 @@ object TextAnalysis {
                  UNION ALL
                  SELECT 3, replace(replace(t3.pair, chr(2), t2.pair),
                                    chr(1), t1.pair), t3.n FROM t3, t2, t1)
-               ORDER BY round"""))
+               ORDER BY round""")),
+
+    // Self-BLEU-2: per-document BLEU against the REST of the corpus as
+    // the multi-reference set — the standard corpus-diversity metric
+    // (low self-BLEU = diverse generations, high = mode collapse).
+    // Leave-one-out clipping without an all-pairs join: modified n-gram
+    // precision clips each candidate count at the MAX count of that gram
+    // in any single other document, and max-excluding-self falls out of
+    // the global top-2 per gram (if the argmax doc IS the candidate,
+    // the runner-up count applies; else the max does). So the whole
+    // metric rides the (gram, doc) count table: one explode per n-gram
+    // order, a rank-≤2 window per gram partition, and an equi-join of
+    // candidate counts back to the gram top-2 — corpus-linear, where
+    // the textbook formulation joins every doc against every other.
+    // Brevity penalty uses the shortest-other-reference convention via
+    // the same top-2 trick on the 1-row length anchor (broadcast).
+    // p1/p2 are exact integer ratios in the decimal lane; sqrt is
+    // IEEE-exact on identical doubles; exp rides the round-6 convention.
+    "llm_self_bleu" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksE).as("toks"))
+        val lens = t.select(col("doc_id"), size(col("toks")).as("c_len"))
+        val m1 = lens.agg(min(col("c_len")).as("min1"))
+        val lagg = lens.crossJoin(broadcast(m1)).agg(
+          min(col("min1")).as("min1"),
+          count(when(col("c_len") === col("min1"), lit(1))).as("cmin"),
+          min(when(col("c_len") > col("min1"), col("c_len"))).as("min2"))
+        def grams(n: Int) = {
+          val g = if (n == 1) t.select(col("doc_id"), explode(col("toks")).as("g"))
+          else t.select(col("doc_id"), explode(expr(
+            """zip_with(slice(toks, 1, size(toks) - 1),
+                        slice(toks, 2, size(toks) - 1),
+                        (a, b) -> concat(a, ' ', b))""")).as("g"))
+          g.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        }
+        def clipped(cnt: DataFrame) = {
+          val w = Window.partitionBy(col("g")).orderBy(col("c").desc, col("doc_id"))
+          val top = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+            .groupBy(col("g"))
+            .agg(max(when(col("rn") === 1, col("c"))).as("m1"),
+                 max(when(col("rn") === 1, col("doc_id"))).as("a1"),
+                 max(when(col("rn") === 2, col("c"))).as("m2"))
+          cnt.join(top, Seq("g"))
+            .withColumn("mx", when(col("a1") === col("doc_id"),
+                                   coalesce(col("m2"), lit(0L)))
+                                .otherwise(col("m1")))
+            .groupBy(col("doc_id"))
+            .agg(sum(least(col("c"), col("mx"))).as("clipped"),
+                 sum(col("c")).as("total"))
+        }
+        val c1 = clipped(grams(1))
+          .select(col("doc_id"), col("clipped").as("cl1"), col("total").as("tt1"))
+        val c2 = clipped(grams(2))
+          .select(col("doc_id"), col("clipped").as("cl2"), col("total").as("tt2"))
+        def ratio(a: Column, b: Column) =
+          (a.cast("decimal(18,6)") / b).cast("decimal(18,6)").cast("double")
+        lens.crossJoin(broadcast(lagg))
+          .join(c1, Seq("doc_id"))
+          .join(c2, Seq("doc_id"), "left_outer")
+          .withColumn("r_len",
+            when(col("c_len") === col("min1") && col("cmin") === 1, col("min2"))
+              .otherwise(col("min1")))
+          .withColumn("p1", ratio(col("cl1"), col("tt1")))
+          .withColumn("p2", when(col("tt2") > 0, ratio(col("cl2"), col("tt2"))))
+          .withColumn("bp",
+            when(col("c_len") >= col("r_len"), lit(1.0))
+              .otherwise(round(exp(lit(1.0) -
+                col("r_len").cast("double") / col("c_len").cast("double")), 6)))
+          .select(col("doc_id"), col("c_len"), col("r_len"), col("p1"), col("p2"),
+                  round(col("bp") * sqrt(col("p1") * col("p2")), 6).as("bleu2"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+                    lens AS (SELECT doc_id, len(toks) AS c_len FROM t),
+                    lagg AS (SELECT MIN(c_len) AS min1,
+                                    COUNT(*) FILTER (WHERE c_len =
+                                      (SELECT MIN(c_len) FROM lens)) AS cmin,
+                                    MIN(c_len) FILTER (WHERE c_len >
+                                      (SELECT MIN(c_len) FROM lens)) AS min2
+                             FROM lens),
+                    u1 AS (SELECT doc_id, unnest(toks) AS g FROM t),
+                    u2 AS (SELECT doc_id,
+                             unnest(list_transform(generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+                           FROM t),
+                    cn1 AS (SELECT doc_id, g, COUNT(*) AS c FROM u1 GROUP BY 1, 2),
+                    cn2 AS (SELECT doc_id, g, COUNT(*) AS c FROM u2 GROUP BY 1, 2),
+                    tp1 AS (SELECT g, MAX(CASE WHEN rn = 1 THEN c END) AS m1,
+                                   MAX(CASE WHEN rn = 1 THEN doc_id END) AS a1,
+                                   MAX(CASE WHEN rn = 2 THEN c END) AS m2
+                            FROM (SELECT g, doc_id, c, ROW_NUMBER() OVER (
+                                    PARTITION BY g ORDER BY c DESC, doc_id) AS rn
+                                  FROM cn1)
+                            WHERE rn <= 2 GROUP BY g),
+                    tp2 AS (SELECT g, MAX(CASE WHEN rn = 1 THEN c END) AS m1,
+                                   MAX(CASE WHEN rn = 1 THEN doc_id END) AS a1,
+                                   MAX(CASE WHEN rn = 2 THEN c END) AS m2
+                            FROM (SELECT g, doc_id, c, ROW_NUMBER() OVER (
+                                    PARTITION BY g ORDER BY c DESC, doc_id) AS rn
+                                  FROM cn2)
+                            WHERE rn <= 2 GROUP BY g),
+                    cl1 AS (SELECT cn1.doc_id,
+                              CAST(SUM(LEAST(c, CASE WHEN tp1.a1 = cn1.doc_id
+                                                     THEN COALESCE(tp1.m2, 0)
+                                                     ELSE tp1.m1 END)) AS BIGINT) AS cl1,
+                              CAST(SUM(c) AS BIGINT) AS tt1
+                            FROM cn1 JOIN tp1 USING (g) GROUP BY 1),
+                    cl2 AS (SELECT cn2.doc_id,
+                              CAST(SUM(LEAST(c, CASE WHEN tp2.a1 = cn2.doc_id
+                                                     THEN COALESCE(tp2.m2, 0)
+                                                     ELSE tp2.m1 END)) AS BIGINT) AS cl2,
+                              CAST(SUM(c) AS BIGINT) AS tt2
+                            FROM cn2 JOIN tp2 USING (g) GROUP BY 1),
+                    j AS (SELECT lens.doc_id, lens.c_len,
+                                 CASE WHEN lens.c_len = lagg.min1 AND lagg.cmin = 1
+                                      THEN lagg.min2 ELSE lagg.min1 END AS r_len,
+                                 CAST(CAST(CAST(cl1.cl1 AS DECIMAL(18,6)) / cl1.tt1
+                                      AS DECIMAL(18,6)) AS DOUBLE) AS p1,
+                                 CASE WHEN cl2.tt2 > 0 THEN
+                                   CAST(CAST(CAST(cl2.cl2 AS DECIMAL(18,6)) / cl2.tt2
+                                        AS DECIMAL(18,6)) AS DOUBLE) END AS p2
+                          FROM lens CROSS JOIN lagg
+                          JOIN cl1 ON lens.doc_id = cl1.doc_id
+                          LEFT JOIN cl2 ON lens.doc_id = cl2.doc_id)
+               SELECT doc_id, c_len, r_len, p1, p2,
+                      round(CASE WHEN c_len >= r_len THEN 1.0
+                                 ELSE round(exp(1.0 - CAST(r_len AS DOUBLE)
+                                                      / CAST(c_len AS DOUBLE)), 6)
+                            END * sqrt(p1 * p2), 6) AS bleu2
+               FROM j ORDER BY doc_id"""))
   )
 }

@@ -195,6 +195,33 @@ object Filters {
                           WHEN o_orderstatus = 'F' THEN 'small_done'
                           ELSE 'small_open' END AS bucket
               FROM orders
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // Spark 4 SQL pipe syntax (|>): the linear query-authoring surface —
+    // each |> stage consumes the previous table, so filter → aggregate →
+    // having → order reads top-to-bottom instead of inside-out. Catalyst
+    // resolves pipes to the identical logical plan as the nested form
+    // (the oracle IS that nested ANSI form), so pushdown / partial agg /
+    // TakeOrdered all fire unchanged — the pipe surface is free at any
+    // scale. Aggregates ride the exact-decimal lane as everywhere.
+    "q_sql_pipe" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("graft_pipe_lineitem")
+        s.sql("""FROM graft_pipe_lineitem
+                 |> WHERE l_quantity >= 30.0
+                 |> AGGREGATE COUNT(*) AS n,
+                      CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+                        AS sum_qty
+                    GROUP BY l_returnflag, l_linestatus
+                 |> WHERE n > 100
+                 |> ORDER BY l_returnflag, l_linestatus""")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                      ${H.oSum("l_quantity")} AS sum_qty
+               FROM lineitem
+               WHERE l_quantity >= 30.0
+               GROUP BY 1, 2
+               HAVING COUNT(*) > 100
+               ORDER BY 1, 2"""))
   )
 }

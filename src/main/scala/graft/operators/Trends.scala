@@ -617,6 +617,96 @@ object Trends {
                GROUP BY 1, 2, 3, 4
                ORDER BY revenue DESC, c_custkey LIMIT 20""")),
 
+    // TPC-H Q1 shape (pricing summary report): the canonical full-scan
+    // aggregation — one predicate that reaches PushedFilters, then a
+    // map-side-combined agg onto the 6-ish (returnflag, linestatus)
+    // groups. No join, no window: at 100 TB this is the pure
+    // scan-throughput benchmark, and the plan is a single exchange of 6
+    // partially-aggregated rows per task. All sums and averages ride the
+    // exact-decimal lane (H.dsum/H.davg). charge (the three-factor
+    // product) goes FULLY exact: each 2-decimal factor casts to a
+    // scale-2 decimal before multiplying — dec(9,2)·dec(9,2) → dec(19,4),
+    // ·dec(18,2) → dec(38,6), all loss-free — because the double product
+    // rounds differently per engine at a scale-4 cast (measured: 6
+    // boundary rows in 32 k flipped the sum's 4th decimal). The sum then
+    // casts STRAIGHT to double with no rescale: a scale-6 rescale-to-4
+    // is also unsafe (measured here: DuckDB TRUNCATES decimal downscale
+    // where Spark rounds HALF_UP — .44579 → .4457 vs .4458), and the
+    // scale-6 unscaled sum stays under 2^53 so the final decimal→double
+    // conversion is the same single correctly-rounded division in both
+    // engines (the H scale-4 argument, one digit deeper).
+    "q_tpch_q1" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(H.dsum(col("l_quantity")).as("sum_qty"),
+               H.dsum(col("l_extendedprice")).as("sum_base_price"),
+               H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                 .as("sum_disc_price"),
+               sum(col("l_extendedprice").cast("decimal(18,2)") *
+                     ((lit(1.0) - col("l_discount")).cast("decimal(9,2)") *
+                      (lit(1.0) + col("l_tax")).cast("decimal(9,2)")))
+                 .cast("double").as("sum_charge"),
+               H.davg(col("l_quantity")).as("avg_qty"),
+               H.davg(col("l_extendedprice")).as("avg_price"),
+               H.davg(col("l_discount")).as("avg_disc"),
+               count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+                      ${H.oSum("l_quantity")} AS sum_qty,
+                      ${H.oSum("l_extendedprice")} AS sum_base_price,
+                      ${H.oSum("(l_extendedprice * (1.0 - l_discount))")} AS sum_disc_price,
+                      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                               (CAST(1.0 - l_discount AS DECIMAL(9,2)) *
+                                CAST(1.0 + l_tax AS DECIMAL(9,2))))
+                           AS DOUBLE) AS sum_charge,
+                      ${H.oAvg("l_quantity")} AS avg_qty,
+                      ${H.oAvg("l_extendedprice")} AS avg_price,
+                      ${H.oAvg("l_discount")} AS avg_disc,
+                      COUNT(*) AS count_order
+               FROM lineitem
+               WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+               GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // TPC-H Q18 shape (large-volume customers): orders whose total
+    // quantity clears a HAVING threshold, re-joined to their lines and
+    // buyer. The scalable shape: the inner groupBy(l_orderkey) is
+    // map-side combined and the HAVING keeps a tiny key set (46 of 15 k
+    // orders at sf0.01), so the surviving keys SEMI-join back into the
+    // fact scan as a broadcast — lineitem is scanned twice but shuffled
+    // only once (the inner agg); the outer re-agg groups only surviving
+    // orders. Customer broadcasts. Top-100 via TakeOrdered on
+    // (o_totalprice desc, o_orderkey).
+    "q_tpch_q18" -> Q(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast(H.D)).as("sq"))
+          .filter(col("sq") > 300).select(col("l_orderkey").as("bk"))
+        val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+        Tables.orders(s, dir)
+          .join(broadcast(big), col("o_orderkey") === col("bk"), "left_semi")
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+                   to_date(col("o_orderdate")).as("o_orderdate"), col("o_totalprice"))
+          .agg(H.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some(s"""SELECT c_name, c_custkey, o_orderkey,
+                      CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
+                      ${H.oSum("l_quantity")} AS sum_qty
+               FROM customer, orders, lineitem
+               WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                    GROUP BY 1
+                                    HAVING SUM(CAST(l_quantity AS DECIMAL(38,4))) > 300)
+                 AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+               GROUP BY 1, 2, 3, 4, 5
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
     // Parquet zstd codec round-trip: the storage-efficiency path a 100 TB
     // lake actually runs (zstd ≈ 30-50% smaller than snappy at similar
     // scan speed). Write-with-codec + read-back + aggregate must be

@@ -885,4 +885,37 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Window"), s"no window (row_number LWW) operator:\n$p")
     assert(!p.contains("Join"), s"compaction must be join-free:\n$p")
   }
+
+  test("q_tpch_q1: scan-throughput agg — pushed filter, partial agg, no join") {
+    val p = planOf("q_tpch_q1")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate filter did not reach the scan:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("Join"), s"Q1 must be join-free:\n$p")
+  }
+
+  test("q_tpch_q18: HAVING survivors broadcast back; fact shuffled only by the inner agg") {
+    val p = planOf("q_tpch_q18")
+    // The big-order key set and customer dim must both arrive as
+    // broadcasts; a sort-merge back-join would mean the tiny HAVING
+    // survivor set re-shuffled the fact table.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"expected broadcast semi + customer joins:\n$p")
+    assert(p.contains("LeftSemi"), s"survivor filter should be a semi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 fell into a full sort:\n$p")
+  }
+
+  test("llm_self_bleu: leave-one-out clipping is equi-join only, windows per gram") {
+    val p = planOf("llm_self_bleu")
+    assert(!p.contains("CartesianProduct"),
+      s"self-BLEU must not pair documents directly:\n$p")
+    // The only nested-loops are the two 1-row length anchors (the global
+    // min feeding lagg's conditional aggregates, then lagg itself riding
+    // into the per-doc join).
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"unexpected nested-loop beyond the 1-row length anchors:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      s"candidate-to-top2 clip join missing:\n$p")
+  }
 }
