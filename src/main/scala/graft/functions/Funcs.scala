@@ -318,6 +318,39 @@ object Funcs {
                      regexp_extract(url, '^https://([^/]+)/', 1) AS host,
                      regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
                      regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang
-              FROM u ORDER BY doc_id"""))
+              FROM u ORDER BY doc_id""")),
+
+    // XML extraction functions — the scalar companions to src_xml for
+    // XML that arrives IN a column (API payloads, embedded metadata
+    // blobs): from_xml with an explicit schema (attribute + child
+    // element + typed leaf) and the xpath_* family for point lookups
+    // without a schema. The XML is built deterministically from order
+    // columns, so the oracle recomputes every extracted value from the
+    // base table directly — a mis-bound attribute or a total that
+    // doesn't survive the string round trip breaks the hash (doubles
+    // ride Spark's shortest-repr cast, bit-faithful both ways).
+    // Stateless projections; pipeline into the scan at any scale.
+    "fn_xml" -> Q(
+      (s, dir) => Tables.orders(s, dir)
+        .withColumn("x", concat(
+          lit("<order id=\""), col("o_orderkey"), lit("\"><status>"),
+          col("o_orderstatus"), lit("</status><total>"),
+          col("o_totalprice").cast("string"), lit("</total></order>")))
+        .withColumn("r", from_xml(col("x"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "_id BIGINT, status STRING, total DOUBLE")))
+        .select(
+          col("o_orderkey").as("id"),
+          col("r._id").as("fx_id"),
+          col("r.status").as("fx_status"),
+          col("r.total").as("fx_total"),
+          expr("xpath_string(x, '/order/status')").as("xp_status"),
+          expr("xpath_long(x, '/order/@id')").as("xp_id"))
+        .orderBy(col("id")),
+      Some("""SELECT o_orderkey AS id, o_orderkey AS fx_id,
+                     o_orderstatus AS fx_status, o_totalprice AS fx_total,
+                     o_orderstatus AS xp_status, o_orderkey AS xp_id
+              FROM orders
+              ORDER BY id"""))
   )
 }

@@ -222,6 +222,28 @@ object Filters {
                WHERE l_quantity >= 30.0
                GROUP BY 1, 2
                HAVING COUNT(*) > 100
-               ORDER BY 1, 2"""))
+               ORDER BY 1, 2""")),
+
+    // Named-parameter SQL binding (spark.sql(text, args)): how
+    // application code should inject user values — parameter markers
+    // bind as literals in the ANALYZED plan, so there is no string
+    // splicing (injection-safe) and Catalyst still constant-folds and
+    // pushes the bound predicate to the scan like any literal. The
+    // oracle is the same query with the values spelled inline, pinning
+    // that binding changes nothing semantically.
+    "q_sql_params" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_par_orders")
+        s.sql(
+          """SELECT o_orderkey, o_orderstatus, o_totalprice
+             FROM graft_par_orders
+             WHERE o_totalprice > :minTotal AND o_orderstatus = :status
+             ORDER BY o_orderkey""",
+          Map("minTotal" -> 300000.0, "status" -> "O"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders
+              WHERE o_totalprice > 300000.0 AND o_orderstatus = 'O'
+              ORDER BY o_orderkey"""))
   )
 }

@@ -30,6 +30,8 @@ object Scans {
   val xlsxTsvPath = s"$fixDir/nation_xlsx.tsv"
   val avroDirPath = s"$fixDir/nation_avro"
   val avroTsvPath = s"$fixDir/nation_avro.tsv"
+  val xmlDirPath = s"$fixDir/nation_xml"
+  val xmlTsvPath = s"$fixDir/nation_xml.tsv"
   val ordersJsonPath = s"$fixDir/orders100.jsonl"
   val manifestTreePath = s"$fixDir/manifest_tree"
   val manifestTsvPath = s"$fixDir/manifest_tree.tsv"
@@ -196,6 +198,54 @@ object Scans {
       },
       Some(s"""SELECT n_nationkey, n_name, n_regionkey
                FROM read_csv('$avroTsvPath', delim='\t', header=true,
+                             columns={'n_nationkey': 'INTEGER',
+                                      'n_name': 'VARCHAR',
+                                      'n_regionkey': 'INTEGER'})
+               ORDER BY n_nationkey""")),
+
+    // XML ingest — Spark 4's NATIVE xml datasource (spark-xml merged
+    // into sql/core in 4.0), closing the last curator-export format
+    // class after TSV/CSV/JSON/xlsx/avro/parquet/orc: registry exports
+    // and instrument manifests arrive as XML documents. The fixture
+    // exercises the features real exports use — one document per
+    // region (file-parallel scan), row tag nested under a root element,
+    // a key ATTRIBUTE plus child elements, entity-escaped text — and
+    // the schema is EXPLICIT (rowTag + attributePrefix contract; the
+    // never-infer rule). The oracle TSV is written independently from
+    // the same collected rows, so a mis-bound attribute, swapped child
+    // element, or unescaped entity breaks the hash gate.
+    "src_xml" -> Q(
+      (s, dir) => {
+        val rows = Tables.nation(s, dir).orderBy(col("n_nationkey"))
+          .collect() // 25 rows, fixed size at every sf — driver-side ok
+          .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+        def esc(x: String) = x.replace("&", "&amp;")
+          .replace("<", "&lt;").replace(">", "&gt;")
+        rows.groupBy(_._3).foreach { case (region, rs) =>
+          val body = rs.sortBy(_._1).map(t =>
+            s"""  <nation key="${t._1}">
+               |    <name>${esc(t._2)}</name>
+               |    <region>${t._3}</region>
+               |  </nation>""".stripMargin).mkString("\n")
+          writeFixture(s"$xmlDirPath/nation_r$region.xml",
+            s"<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<nations>\n$body\n</nations>\n")
+        }
+        writeFixture(xmlTsvPath,
+          "n_nationkey\tn_name\tn_regionkey\n" +
+            rows.map(t => s"${t._1}\t${t._2}\t${t._3}").mkString("", "\n", "\n"))
+        val st = StructType(Seq(
+          StructField("_key", IntegerType),
+          StructField("name", StringType),
+          StructField("region", IntegerType)))
+        s.read.format("xml").schema(st)
+          .option("rowTag", "nation").option("attributePrefix", "_")
+          .load(xmlDirPath)
+          .select(col("_key").as("n_nationkey"), col("name").as("n_name"),
+                  col("region").as("n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some(s"""SELECT n_nationkey, n_name, n_regionkey
+               FROM read_csv('$xmlTsvPath', delim='\t', header=true,
                              columns={'n_nationkey': 'INTEGER',
                                       'n_name': 'VARCHAR',
                                       'n_regionkey': 'INTEGER'})
