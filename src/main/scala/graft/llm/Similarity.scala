@@ -133,9 +133,15 @@ object Similarity {
     * llm_confusion (per-class metrics) and llm_kappa (the corpus-level
     * chance-corrected summary). */
   private def confBase(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    // localCheckpoint the |classes|²-bounded count table: rt/ct/tp below
+    // branch from it three ways, and without the cut each branch would
+    // re-run the whole kNN corpus scan (the expensive upstream) — the
+    // q_transitive_closure materialization rationale, applied to a DAG
+    // fan-out instead of a loop.
     val m = knnPreds(s, dir)
       .groupBy(col("true_label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val rt = m.groupBy(col("true_label").as("cls"))
       .agg(sum(col("n")).as("n_true"))
     val ct = m.groupBy(col("pred_label").as("cls"))
@@ -678,6 +684,11 @@ object Similarity {
             expr(dotE("embedding", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
           .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"))
           .orderBy(col("rel").desc, col("vec_id")).limit(8)
+          // One corpus scan TOTAL: sims and every greedy round branch
+          // from the pool, so without this cut each argmax would re-run
+          // the retrieval scan — at 100 TB that's the difference between
+          // "rerank is free" and "rerank is k extra corpus passes".
+          .localCheckpoint()
         val cand = pool.select(col("vec_id"), col("embedding"), col("nrm"), col("rel"))
         val selSide = pool.select(col("vec_id").as("sid"),
                                   col("embedding").as("semb"), col("nrm").as("snrm"))
