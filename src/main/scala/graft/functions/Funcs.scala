@@ -351,6 +351,51 @@ object Funcs {
                      o_orderstatus AS fx_status, o_totalprice AS fx_total,
                      o_orderstatus AS xp_status, o_orderkey AS xp_id
               FROM orders
-              ORDER BY id"""))
+              ORDER BY id""")),
+
+    // Deterministic namespaced ID minting + validation — the
+    // registration-flow pair: mint a name-based UUID (v3 layout: md5 of
+    // namespace‖name with version/variant bits patched into the hex)
+    // and validate it against the canonical UUID regex. Name-based
+    // minting is what makes re-registration idempotent at any scale —
+    // the same entity always mints the same ID with no coordination,
+    // no sequence, no driver state. The variant nibble maps the hash
+    // nibble through strpos arithmetic identically in both engines.
+    "fn_uuid" -> Q(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("h", md5(concat(lit("graft-entity:"), col("doc_id"))))
+          .withColumn("vn", expr(
+            """substr('89ab',
+                      cast((instr('0123456789abcdef', substr(h, 17, 1)) - 1) % 4
+                           as int) + 1, 1)"""))
+          .select(
+            col("doc_id"),
+            concat_ws("-",
+              substring(col("h"), 1, 8), substring(col("h"), 9, 4),
+              concat(lit("3"), substring(col("h"), 14, 3)),
+              concat(col("vn"), substring(col("h"), 18, 3)),
+              substring(col("h"), 21, 12)).as("uuid"))
+          .withColumn("valid", col("uuid").rlike(
+            "^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH m AS (SELECT doc_id, md5('graft-entity:' || doc_id) AS h
+                         FROM documents),
+                   u AS (SELECT doc_id,
+                                substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+                                '3' || substr(h, 14, 3) || '-' ||
+                                substr('89ab',
+                                       CAST((strpos('0123456789abcdef',
+                                                    substr(h, 17, 1)) - 1) % 4
+                                            AS INTEGER) + 1, 1)
+                                  || substr(h, 18, 3) || '-' ||
+                                substr(h, 21, 12) AS uuid
+                         FROM m)
+              SELECT doc_id, uuid,
+                     regexp_matches(uuid,
+                       '^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$')
+                       AS valid
+              FROM u ORDER BY doc_id"""))
   )
 }

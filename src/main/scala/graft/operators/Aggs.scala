@@ -521,6 +521,36 @@ object Aggs {
                            COUNT(*) AS n_orders
                     FROM orders
                     GROUP BY o_orderpriority)
-              ORDER BY o_orderpriority"""))
+              ORDER BY o_orderpriority""")),
+
+    // Two-phase salted aggregation — the skew-safe shape for a
+    // HEAVY-HITTER group key (here 3 flag values over the whole corpus:
+    // a plain groupBy would reduce each flag on one task). Phase 1
+    // shuffles on (key, salt) — 8 deterministic salt lanes from a
+    // row-stable column, so every lane is an independent partial;
+    // phase 2 merges the 24 lane rows. Decimal sums are associative, so
+    // the re-merge is bit-identical to the direct aggregation — which is
+    // exactly what the oracle computes (plain GROUP BY), making the
+    // salting invisible to the hash gate. count-weighted avg derives
+    // from the merged sums, never from averaging averages.
+    "q_agg_salted" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(8)).as("salt"))
+        .agg(sum(col("l_quantity").cast(H.D)).as("sq"),
+             sum(col("l_extendedprice").cast(H.D)).as("sp"),
+             count(lit(1)).as("n"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("sq")).cast(H.D).cast("double").as("sum_qty"),
+             sum(col("sp")).cast(H.D).cast("double").as("sum_price"),
+             (sum(col("sq")) / sum(col("n"))).cast(H.D).cast("double").as("avg_qty"),
+             sum(col("n")).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+      Some(s"""SELECT l_returnflag,
+                      ${H.oSum("l_quantity")} AS sum_qty,
+                      ${H.oSum("l_extendedprice")} AS sum_price,
+                      ${H.oAvg("l_quantity")} AS avg_qty,
+                      COUNT(*) AS n_rows
+               FROM lineitem
+               GROUP BY 1 ORDER BY 1"""))
   )
 }

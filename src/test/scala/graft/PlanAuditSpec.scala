@@ -907,6 +907,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-100 fell into a full sort:\n$p")
   }
 
+  test("q_agg_salted: both phases partial-combine; lane merge is a 24-row exchange") {
+    val p = planOf("q_agg_salted")
+    // Phase 1 must map-side combine on (key, salt) before its shuffle,
+    // and phase 2 again on key — two partial_sum generations. If the
+    // salting ever collapses into one exchange on the bare key, the
+    // skew-safety property is gone even though the hash still matches.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected the (key, salt) and key exchanges:\n$p")
+    assert("partial_sum".r.findAllIn(p).size >= 2,
+      s"both phases should partial-combine:\n$p")
+  }
+
   test("runtime bloom filter injects on a selective shuffle join (100 TB row-filter path)") {
     // At cluster scale the win is row-level: a selective dim filter
     // becomes a bloom filter AGGREGATED on the build side and PUSHED
