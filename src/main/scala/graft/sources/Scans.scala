@@ -361,6 +361,54 @@ object Scans {
                                        'o_totalprice': 'DOUBLE'})
                ORDER BY o_orderkey""")),
 
+    // Malformed JSON-lines handling — the robustness twin of
+    // src_csv_malformed for the OTHER feed format real pipelines break
+    // on (truncated uploads, concatenated fragments, type drift).
+    // PERMISSIVE mode parses what it can and routes unparseable lines —
+    // AND type-mismatched rows, JSON's extra failure class — to
+    // _corrupt_record; the declared result is the valid rows. The oracle
+    // reads an INDEPENDENTLY-written TSV of exactly those rows (manifest
+    // pattern), so the corrupt-routing itself is hash-gated: a parser
+    // that silently nulls a broken row into the output breaks it.
+    "src_json_malformed" -> Q(
+      (s, dir) => {
+        val path = s"$fixDir/orders_malformed.jsonl"
+        val tsv = s"$fixDir/orders_malformed.tsv"
+        val rows = Tables.orders(s, dir)
+          .orderBy(col("o_orderkey")).limit(100)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .collect() // bounded 100-row header sample — driver-side ok
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        val good = rows.map(t =>
+          s"""{"o_orderkey": ${t._1}, "o_orderstatus": "${t._2}", "o_totalprice": ${t._3}}""")
+        val broken = Seq(
+          """{"o_orderkey": 1, "o_orderstatus": "O", "o_totalprice":""", // truncated
+          """{"o_orderkey": "not_a_number", "o_orderstatus": "O", "o_totalprice": 1.0}""", // type drift
+          """not json at all""")
+        writeFixture(path,
+          (good.take(50) ++ broken ++ good.drop(50)).mkString("", "\n", "\n"))
+        writeFixture(tsv, "o_orderkey\to_orderstatus\to_totalprice\n" +
+          rows.map(t => s"${t._1}\t${t._2}\t${t._3}").mkString("", "\n", "\n"))
+        val st = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType),
+          StructField("_corrupt_record", StringType)))
+        s.read.option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .schema(st).json(path)
+          .filter(col("_corrupt_record").isNull)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey, o_orderstatus, o_totalprice
+               FROM read_csv('$fixDir/orders_malformed.tsv', delim='\t',
+                             header=true,
+                             columns={'o_orderkey': 'BIGINT',
+                                      'o_orderstatus': 'VARCHAR',
+                                      'o_totalprice': 'DOUBLE'})
+               ORDER BY o_orderkey""")),
+
     // Range-partitioned, sorted lake write: repartitionByRange +
     // sortWithinPartitions on the date key gives globally-ordered files
     // whose parquet min/max statistics make date-range scans prune whole
