@@ -552,5 +552,55 @@ object Aggs {
                       COUNT(*) AS n_rows
                FROM lineitem
                GROUP BY 1 ORDER BY 1"""))
+    ,
+
+    // Native Apache DataSketches aggregates (Spark 3.5+/4 built-ins):
+    // hll_sketch_agg and theta_sketch_agg are the production mergeable
+    // distinct-count path — binary sketches that union across partitions
+    // and ROLL UP across time grains without rescanning (our hand-rolled
+    // udaf_hll pins the algorithm; this pins the engine's own surface).
+    // Correctness gating leans on the exact regime: at the oracle sf the
+    // per-flag supplier domain (~100) sits far below both sketches'
+    // sparse/exact thresholds (lgK=12 HLL, k=4096 theta), so the
+    // estimates EQUAL the exact distinct count the oracle computes —
+    // any estimator drift at gate scale breaks the hash.
+    "q_agg_sketch_native" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("cast(round(hll_sketch_estimate(hll_sketch_agg(l_suppkey, 12))) as bigint)")
+            .as("hll_nd"),
+          expr("cast(round(theta_sketch_estimate(theta_sketch_agg(l_suppkey))) as bigint)")
+            .as("theta_nd"),
+          countDistinct(col("l_suppkey")).as("exact_nd"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+                     COUNT(DISTINCT l_suppkey) AS hll_nd,
+                     COUNT(DISTINCT l_suppkey) AS theta_nd,
+                     COUNT(DISTINCT l_suppkey) AS exact_nd
+              FROM lineitem
+              GROUP BY 1 ORDER BY 1""")),
+
+    // Native frequent-items sketch (approx_top_k): the heavy-hitter
+    // report without a full groupBy-sort — the sketch tracks up to
+    // maxItemsTracked counters per partition and merges. Exact regime
+    // again: the brand domain is far below the tracked capacity, so
+    // counts are exact; the sketch's own tie order is arbitrary, so the
+    // sketch is asked for MORE than the report needs (k=8 clears the
+    // measured 90-count tie cluster at ranks 4-6) and the declared
+    // result re-sorts the exploded entries on (count desc, item) before
+    // the top-5 cut — determinism never rides on sketch internals.
+    "q_agg_approx_topk" -> Q(
+      (s, dir) => Tables.part(s, dir)
+        .agg(expr("approx_top_k(p_brand, 8)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("brand"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("brand"))
+        .limit(5)
+      ,
+      Some("""SELECT p_brand AS brand, COUNT(*) AS n
+              FROM part
+              GROUP BY 1
+              ORDER BY n DESC, brand LIMIT 5"""))
   )
 }
