@@ -416,6 +416,23 @@ class OperatorSpec extends SparkSuite {
     assert(rows("p_name->p_brand") > 0L)
     assert(rows("p_name->p_type") > 0L)
   }
+
+  test("df.observe: pipeline metrics ride the existing scan, no second job") {
+    // The operational counters every ingest run reports (rows seen,
+    // quantity total) must not cost a second corpus pass: observe()
+    // attaches CollectMetrics to the existing plan and the values
+    // arrive with the action that ran anyway. Cross-check both metrics
+    // against independently-computed values.
+    val obs = new org.apache.spark.sql.Observation("ingest")
+    val li = Tables.lineitem(spark, sf)
+    val n = li.observe(obs, count(lit(1)).as("rows"),
+                       sum(col("l_quantity").cast(H.D)).as("qty"))
+      .filter(col("l_quantity") >= 0).count()
+    val m = obs.get
+    assert(m("rows") == n, s"observed rows ${m("rows")} != counted $n")
+    val direct = li.agg(sum(col("l_quantity").cast(H.D))).collect()(0).getDecimal(0)
+    assert(m("qty") == direct, s"observed qty ${m("qty")} != direct $direct")
+  }
 }
 
 /** Transports for the snk_rest retry tests, top-level so the

@@ -907,6 +907,43 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-100 fell into a full sort:\n$p")
   }
 
+  test("join strategy hints are honored (SHUFFLE_HASH / MERGE / BROADCAST)") {
+    // The escape hatch when the optimizer's size estimates are wrong at
+    // scale (stale stats, exploding intermediate): per-join strategy
+    // hints must survive planning. Checked on the pre-execution plan —
+    // AQE may later convert an SMJ to broadcast from RUNTIME sizes,
+    // which is exactly why the hint assertion belongs before execution.
+    val c = Tables.customer(spark, sf).select(col("c_custkey"))
+    val o = Tables.orders(spark, sf).select(col("o_custkey"))
+    def planWith(hint: String): String =
+      o.join(c.hint(hint), col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+    assert(planWith("shuffle_hash").contains("ShuffledHashJoin"),
+      "SHUFFLE_HASH hint ignored")
+    assert(planWith("merge").contains("SortMergeJoin"),
+      "MERGE hint ignored")
+    assert(planWith("broadcast").contains("BroadcastHashJoin"),
+      "BROADCAST hint ignored")
+  }
+
+  test("nested schema pruning: one struct leaf read prunes the sibling leaf") {
+    // Struct columns are how metadata rides a 100 TB lake (fn_variant /
+    // multimodal structs); pruning must reach INSIDE them — a scan that
+    // reads the whole struct for one leaf re-inflates I/O by the struct
+    // width. Write a two-leaf struct, project one leaf, and require the
+    // parquet ReadSchema to name only that leaf.
+    val out = "target/tmp/nested_prune"
+    Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+              struct(col("o_orderstatus").as("status"),
+                     col("o_totalprice").as("total")).as("info"))
+      .write.mode("overwrite").parquet(out)
+    val df = spark.read.parquet(out).select(col("o_orderkey"), col("info.status"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,info:struct<status:string>>"),
+      s"nested pruning did not reach the scan:\n$p")
+  }
+
   test("q_agg_salted: both phases partial-combine; lane merge is a 24-row exchange") {
     val p = planOf("q_agg_salted")
     // Phase 1 must map-side combine on (key, salt) before its shuffle,
