@@ -396,6 +396,36 @@ object Funcs {
                      regexp_matches(uuid,
                        '^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$')
                        AS valid
-              FROM u ORDER BY doc_id"""))
+              FROM u ORDER BY doc_id""")),
+
+    // Data-protection functions — the release-side companions to
+    // llm_pii_scrub: mask() for format-preserving redaction (case/digit
+    // classes survive, values don't — logs and samples stay debuggable)
+    // and aes_encrypt/aes_decrypt for column-level encryption at rest.
+    // ECB keeps the ciphertext deterministic so the ROUND TRIP is
+    // hash-gated end-to-end; the ciphertext itself can't cross engines,
+    // so its block-padded LENGTH is the compared surface (PKCS#7:
+    // (len div 16 + 1) · 16 — a wrong mode or key would break both the
+    // round trip and the length). Key handling: a literal here; a real
+    // deployment injects it per-session, the plan shape is identical.
+    "fn_protect" -> Q(
+      (s, dir) => Tables.customer(s, dir)
+        .withColumn("ct", expr(
+          "aes_encrypt(c_name, '0123456789abcdef', 'ECB')"))
+        .select(
+          col("c_custkey"),
+          expr("mask(c_name)").as("masked"),
+          expr("cast(aes_decrypt(ct, '0123456789abcdef', 'ECB') as string)")
+            .as("roundtrip"),
+          length(col("ct")).as("ct_len"))
+        .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+                     regexp_replace(regexp_replace(regexp_replace(c_name,
+                       '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                       AS masked,
+                     c_name AS roundtrip,
+                     (length(c_name) // 16 + 1) * 16 AS ct_len
+              FROM customer
+              ORDER BY c_custkey"""))
   )
 }
