@@ -907,6 +907,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-100 fell into a full sort:\n$p")
   }
 
+  test("DISTRIBUTE BY / SORT BY: hash exchange + in-partition sort, never a global sort") {
+    // The SQL spelling of the write-layout control snk_sorted uses from
+    // the DataFrame side: DISTRIBUTE BY must plan as a hash exchange
+    // (co-locate rows per key) and SORT BY as a PARTITION-LOCAL sort —
+    // a rangepartitioning exchange here would mean the pair silently
+    // upgraded to the O(global-sample) total order nobody asked for.
+    Tables.lineitem(spark, sf).createOrReplaceTempView("graft_dist_li")
+    val p = spark.sql(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM graft_dist_li
+         DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber""")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"DISTRIBUTE BY did not hash-partition:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"SORT BY escalated to a global sort:\n$p")
+    assert("Sort \\[.*\\], false, 0".r.findFirstIn(p).isDefined,
+      s"no partition-local sort:\n$p")
+  }
+
   test("join strategy hints are honored (SHUFFLE_HASH / MERGE / BROADCAST)") {
     // The escape hatch when the optimizer's size estimates are wrong at
     // scale (stale stats, exploding intermediate): per-join strategy
