@@ -121,6 +121,33 @@ class StreamingSpec extends SparkSuite {
     assert(ids.sameElements(Array(1L, 2L, 3L)), s"got ${ids.toSeq}")
   }
 
+  test("streaming progress exposes per-operator state metrics (ops observability)") {
+    // The numbers an operator pages on at 3am: rows ingested per batch
+    // and STATE SIZE per stateful operator (unbounded state growth is
+    // how streaming jobs die at scale). Pin that lastProgress carries
+    // both — numInputRows for throughput, stateOperators.numRowsTotal
+    // for the dedup state the watermark is supposed to bound.
+    val base = new java.sql.Timestamp(1704067200000L)
+    def at(minutes: Long) = new java.sql.Timestamp(base.getTime + minutes * 60000)
+    val ms = MemoryStream[Ev]
+    val q = Streams.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("t_progress")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      ms.addData(Seq(Ev(1, at(0), 1, "a", 1.0), Ev(2, at(1), 1, "a", 1.0),
+                     Ev(3, at(2), 1, "a", 1.0)))
+      q.processAllAvailable()
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progs.nonEmpty, "no progress entries with input rows")
+      assert(progs.map(_.numInputRows).sum == 3,
+        s"expected 3 input rows, got ${progs.map(_.numInputRows).toSeq}")
+      val st = progs.flatMap(_.stateOperators)
+      assert(st.nonEmpty, "no stateOperators reported for a stateful query")
+      assert(st.map(_.numRowsTotal).max == 3,
+        s"dedup state should hold the 3 distinct keys, got ${st.map(_.numRowsTotal).toSeq}")
+    } finally q.stop()
+  }
+
   test("st_ewma_state: O(1)-state streaming fold converges to the batch EWMA") {
     val ms = MemoryStream[Ev]
     val q = Streams.ewmaState(ms.toDS())
