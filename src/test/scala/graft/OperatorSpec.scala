@@ -417,6 +417,26 @@ class OperatorSpec extends SparkSuite {
     assert(rows("p_name->p_type") > 0L)
   }
 
+  test("llm_self_bleu: exact duplicates score 1.0, a disjoint doc scores 0") {
+    // Constructed-corpus boundary pin: two identical docs are each
+    // other's perfect reference (clipped precision 1, equal lengths →
+    // BP 1 → BLEU exactly 1.0), while a doc sharing no n-gram with
+    // anyone must clip to 0. Uses a crafted documents.parquet so the
+    // metric's extremes are pinned independently of fixture content.
+    val dir = "target/tmp/bleu_edge"
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s", 43L),
+      (2L, "zzz yyy xxx www vvv uuu ttt sss rrr", "en", "s", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Registry.byName("llm_self_bleu").fn(spark, dir)
+      .select("doc_id", "bleu2").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1.0 else x.getDouble(1))).toMap
+    assert(r(0L) == 1.0 && r(1L) == 1.0, s"duplicate pair should score 1.0: $r")
+    assert(r(2L) == 0.0, s"disjoint doc should score 0: $r")
+  }
+
   test("df.observe: pipeline metrics ride the existing scan, no second job") {
     // The operational counters every ingest run reports (rows seen,
     // quantity total) must not cost a second corpus pass: observe()
