@@ -670,6 +670,28 @@ object Trends {
                WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
                GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // TPC-H Q6 shape (forecasting revenue change): the pure
+    // predicate-pushdown benchmark — three range filters, no grouping,
+    // one global sum. All three predicates must reach PushedFilters
+    // (plan-audited); the aggregate is a single exact-decimal reduce to
+    // one row, so the whole query is scan throughput at any scale.
+    "q_tpch_q6" -> Q(
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1997-01-01") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24.0)
+        .agg(H.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+             count(lit(1)).as("n_rows"))
+      ,
+      Some(s"""SELECT ${H.oSum("l_extendedprice * l_discount")} AS revenue,
+                      COUNT(*) AS n_rows
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                 AND l_discount >= 0.05 AND l_discount <= 0.07
+                 AND l_quantity < 24.0""")),
+
     // TPC-H Q18 shape (large-volume customers): orders whose total
     // quantity clears a HAVING threshold, re-joined to their lines and
     // buyer. The scalable shape: the inner groupBy(l_orderkey) is

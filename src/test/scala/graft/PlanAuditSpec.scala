@@ -896,6 +896,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Join"), s"Q1 must be join-free:\n$p")
   }
 
+  test("q_tpch_q6: all three range predicates reach the parquet scan") {
+    val p = planOf("q_tpch_q6")
+    // The PushedFilters list prints truncated; its prefix naming all
+    // three filter columns is the visible proof they reached the scan.
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+                      "IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"range predicates not pushed:\n$p")
+    assert(p.contains("(l_quantity") && p.contains("< 24.0"),
+      s"quantity range missing from the filter:\n$p")
+    assert(!p.contains("Join") && p.contains("partial_"),
+      s"Q6 must be a join-free partial-agg scan:\n$p")
+  }
+
   test("q_tpch_q18: HAVING survivors broadcast back; fact shuffled only by the inner agg") {
     val p = planOf("q_tpch_q18")
     // The big-order key set and customer dim must both arrive as
