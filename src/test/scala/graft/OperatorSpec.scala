@@ -437,6 +437,49 @@ class OperatorSpec extends SparkSuite {
     assert(r(2L) == 0.0, s"disjoint doc should score 0: $r")
   }
 
+  test("llm_mmr_rerank: a duplicate of the top hit is demoted below the diverse candidate") {
+    // The metric's reason to exist, pinned on constructed geometry: two
+    // candidates tie on relevance (0.9) but one is an EXACT duplicate of
+    // the top pick (mutual sim 1.0) while the other diverges (sim 0.81).
+    // Relevance-only ranking returns the duplicate at rank 2; MMR must
+    // put the diverse candidate there and recall the duplicate last.
+    val dir = "target/tmp/mmr_edge"
+    def v(xs: Double*): Array[Float] =
+      (xs.map(_.toFloat) ++ Seq.fill(64 - xs.size)(0f)).toArray
+    Seq(
+      (0L, v(1.0), 0),                    // the query
+      (1L, v(0.9, 0.4358899), 1),
+      (2L, v(0.9, 0.4358899), 1),         // exact duplicate of 1
+      (3L, v(0.9, 0.0, 0.4358899), 2),    // equally relevant, diverse
+      (4L, v(0.1, 0.99498743), 3))        // low-relevance filler
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Registry.byName("llm_mmr_rerank").fn(spark, dir)
+      .select("rank", "vec_id").collect()
+      .map(x => (x.getInt(0), x.getLong(1))).toSeq
+    assert(r == Seq((1, 1L), (2, 3L), (3, 2L)),
+      s"MMR should demote the duplicate: got $r")
+  }
+
+  test("llm_kappa: perfectly separable classes score accuracy = kappa = macro-F1 = 1") {
+    // Two well-separated clusters, one holdout query each (vec_id % 10
+    // == 0): every 3-NN vote matches the true label, so observed
+    // agreement is 1 and chance-corrected kappa must also be exactly 1
+    // (pe = 0.5 with symmetric marginals). Pins the exact integer-ratio
+    // arithmetic end to end.
+    val dir = "target/tmp/kappa_edge"
+    def v(xs: Double*): Array[Float] =
+      (xs.map(_.toFloat) ++ Seq.fill(64 - xs.size)(0f)).toArray
+    val a = (0L to 9L).map(i => (i, v(1.0, 0.001 * (i + 1)), 1))
+    val b = (10L to 19L).map(i => (i, v(0.001 * (i + 1), 1.0), 2))
+    (a ++ b).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = Registry.byName("llm_kappa").fn(spark, dir).collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2, s"n_eval/agree wrong: $r")
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0,
+      s"accuracy/kappa/macro_f1 should all be exactly 1.0: $r")
+  }
+
   test("df.observe: pipeline metrics ride the existing scan, no second job") {
     // The operational counters every ingest run reports (rows seen,
     // quantity total) must not cost a second corpus pass: observe()
