@@ -11,6 +11,7 @@ object Registry {
     operators.Windows.qs ++
     operators.SetOps.qs ++
     operators.EventsBatch.qs ++
+    operators.Geo.qs ++
     operators.Analytics.qs ++
     operators.Insights.qs ++
     operators.Trends.qs ++

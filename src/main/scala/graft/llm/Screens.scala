@@ -449,6 +449,41 @@ object Screens {
                 FROM c GROUP BY 1)
               SELECT scr.label AS label, n, dim_min, dim_max, n_bad_norm, coherence
               FROM scr JOIN coh USING (label)
-              ORDER BY label"""))
+              ORDER BY label""")),
+
+    // l-diversity screen — k-anonymity's sibling (llm_kanon counts crowd
+    // SIZE; this counts crowd VARIETY): a QI group whose members all
+    // share one sensitive value leaks that value even at k=1000. Per
+    // quasi-identifier tuple (lang, length-band), l = distinct sensitive
+    // values (source); report per threshold l ∈ {2, 3, 5} how many
+    // groups fall short and how many rows sit exposed in them. Same
+    // shape as kanon: one map-combined reduce to the QI table (the
+    // count-distinct expands map-side), threshold fan-out on the
+    // reduced table only — linear, scale-safe.
+    "llm_ldiversity" -> Q(
+      (s, dir) => {
+        val groups = Tables.documents(s, dir)
+          .groupBy(col("lang"), expr("n_chars DIV 100").as("len_band"))
+          .agg(count(lit(1)).as("gn"),
+               countDistinct(col("source")).as("l"))
+        groups
+          .select(col("gn"), col("l"), explode(lit(Array(2, 3, 5))).as("t"))
+          .groupBy(col("t"))
+          .agg(count(lit(1)).as("n_groups"),
+               sum(when(col("l") < col("t"), 1L).otherwise(0L)).as("n_low_l_groups"),
+               sum(when(col("l") < col("t"), col("gn")).otherwise(0L)).as("n_exposed_rows"))
+          .orderBy(col("t"))
+      },
+      Some("""WITH g AS (SELECT lang, n_chars // 100 AS len_band,
+                                COUNT(*) AS gn,
+                                COUNT(DISTINCT source) AS l
+                         FROM documents GROUP BY 1, 2),
+                   t AS (SELECT unnest([2, 3, 5]) AS t)
+              SELECT t, COUNT(*) AS n_groups,
+                     CAST(SUM(CASE WHEN l < t THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_low_l_groups,
+                     CAST(SUM(CASE WHEN l < t THEN gn ELSE 0 END) AS BIGINT)
+                       AS n_exposed_rows
+              FROM g, t GROUP BY 1 ORDER BY t"""))
   )
 }

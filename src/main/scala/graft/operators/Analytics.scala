@@ -714,6 +714,58 @@ object Analytics {
                           AS DOUBLE) AS subtree_price
               FROM cl JOIN part p ON p.p_partkey = cl.id
               GROUP BY cl.anc
-              ORDER BY id"""))
+              ORDER BY id""")),
+
+    // Equal-frequency binning (decile report over order amounts) with
+    // EXACT NTILE semantics — but computed DISTRIBUTED: a bare
+    // `ntile(10) OVER (ORDER BY ...)` plans a SinglePartition window,
+    // i.e. the whole fact table through one task — the classic
+    // 100 TB cliff. Instead: range-repartition on the sort key (the
+    // engine's distributed sort machinery), rank WITHIN each range
+    // partition, broadcast the 32-row per-partition count table back as
+    // cumulative offsets, and reconstruct the global 0-based rank as
+    // offset + local_rank − 1. The NTILE bucket is then pure integer
+    // arithmetic on that rank (first N%k buckets get one extra row) —
+    // bit-identical to the oracle's NTILE, no single-task sort anywhere.
+    // Two linear shuffles total (range + pid hash for the local window).
+    "q_ntile_binning" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        val parted = o.repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
+          .withColumn("pid", spark_partition_id())
+        val localW = Window.partitionBy(col("pid"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val ranked = parted.withColumn("lrk", row_number().over(localW))
+        val w0 = Window.orderBy(col("pid"))
+        val offsets = ranked.groupBy(col("pid")).agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(
+            w0.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("ntot", sum(col("pn")).over(
+            w0.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col("pid"), col("off"), col("ntot"))
+        ranked.join(broadcast(offsets), Seq("pid"))
+          .withColumn("r0", col("off") + col("lrk") - 1)
+          .withColumn("bin", expr(
+            """CASE WHEN r0 < (ntot % 10) * (ntot DIV 10 + 1)
+                    THEN r0 DIV (ntot DIV 10 + 1)
+                    ELSE (ntot % 10) + (r0 - (ntot % 10) * (ntot DIV 10 + 1))
+                         DIV (ntot DIV 10)
+               END + 1"""))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+               format_string("%.2f", min(col("o_totalprice"))).as("lo"),
+               format_string("%.2f", max(col("o_totalprice"))).as("hi"),
+               H.davg(col("o_totalprice")).as("avg_price"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH b AS (SELECT o_totalprice,
+                                 NTILE(10) OVER (ORDER BY o_totalprice,
+                                                 o_orderkey) AS bin
+                          FROM orders)
+               SELECT bin, COUNT(*) AS n,
+                      printf('%.2f', MIN(o_totalprice)) AS lo,
+                      printf('%.2f', MAX(o_totalprice)) AS hi,
+                      ${H.oAvg("o_totalprice")} AS avg_price
+               FROM b GROUP BY bin ORDER BY bin"""))
   )
 }

@@ -673,5 +673,40 @@ object Scans {
                       COALESCE(b.n_bytes, -1) AS bytes_v2
                FROM a FULL JOIN b ON a.relative_path = b.relative_path
                ORDER BY relative_path"""))
+  ) ++ qs2
+
+    // Fixed-width text ingest — the mainframe/legacy-export format
+    // (COBOL copybooks, bank feeds) that still shows up in curator drop
+    // folders. Round trip both ways DISTRIBUTED: render each customer
+    // row to a 34-char fixed layout (%10d key | %-12s segment | %12.2f
+    // balance) with format_string and write via the text sink (no
+    // driver-side collect — this is how a 100 TB export would run),
+    // then re-ingest with spark.read.text + positional substring/cast
+    // parsing. The balance survives as CAST(printf('%.2f')) on both
+    // sides — strtod is correctly rounded in both engines, so the
+    // parsed double is bit-identical to the oracle's. Field overflow
+    // (a >12-char segment) would shift columns — the layout constants
+    // are sized to the fixture domain and a production copybook reader
+    // validates line length, as the length gate does here.
+  private lazy val qs2: Seq[(String, Q)] = Seq(
+    "src_fixed_width" -> Q(
+      (s, dir) => {
+        val out = s"$fixDir/customer_fixed_width"
+        Tables.customer(s, dir)
+          .select(format_string("%10d%-12s%12.2f",
+                    col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+                  .as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.text(out)
+          .filter(length(col("value")) === 34) // copybook line-length gate
+          .select(
+            substring(col("value"), 1, 10).cast("long").as("c_custkey"),
+            trim(substring(col("value"), 11, 12)).as("c_mktsegment"),
+            substring(col("value"), 23, 12).cast("double").as("bal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+                     CAST(printf('%.2f', c_acctbal) AS DOUBLE) AS bal
+              FROM customer ORDER BY c_custkey"""))
   )
 }

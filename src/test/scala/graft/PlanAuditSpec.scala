@@ -1049,4 +1049,24 @@ class PlanAuditSpec extends SparkSuite {
            p.contains("BroadcastHashJoin"),
       s"candidate-to-top2 clip join missing:\n$p")
   }
+
+  test("q_ntile_binning: distributed rank — range repartition, no fact-table single-partition window") {
+    val p = planOf("q_ntile_binning")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning") ||
+           p.contains("REPARTITION_BY_NUM"),
+      s"expected an explicit range repartition of the fact table:\n$p")
+    // Exactly one single-partition window is allowed: the 32-row offset
+    // cumsum. The fact-table rank must ride the pid-partitioned window.
+    assert("SinglePartition".r.findAllIn(p).size <= 2,
+      s"fact-table window collapsed to a single partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset table must broadcast back, not shuffle the facts again:\n$p")
+  }
+
+  test("src_fixed_width: positional parse stays in one codegen'd projection over the text scan") {
+    val p = planOf("src_fixed_width")
+    assert(p.contains("FileScan text"), s"expected the text source scan:\n$p")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"a scan+parse+sort key should not hash-shuffle:\n$p")
+  }
 }
