@@ -426,6 +426,32 @@ object Funcs {
                      c_name AS roundtrip,
                      (length(c_name) // 16 + 1) * 16 AS ct_len
               FROM customer
-              ORDER BY c_custkey"""))
+              ORDER BY c_custkey""")),
+
+    // SQL-defined scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN expr`,
+    // SPARK-44837): the business-logic packaging the warehouse teams
+    // actually use — the function body is SQL, so Catalyst INLINES it
+    // into the caller's plan (codegen'd, pushdown-transparent), unlike a
+    // JVM closure UDF which is an optimization barrier. Declared as a
+    // net-price function applied across lineitem; per-row double
+    // arithmetic only (no aggregate), so raw doubles are deterministic
+    // and bit-identical to the oracle's inline spelling.
+    "fn_sql_udf" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION net_price(
+                   p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE
+                 RETURN p * (1.0 - d) * (1.0 + t)""")
+        s.sql("""SELECT l_orderkey, l_linenumber,
+                        net_price(l_extendedprice, l_discount, l_tax) AS net
+                 FROM lineitem_v
+                 WHERE net_price(l_extendedprice, l_discount, l_tax) > 90000.0
+                 ORDER BY l_orderkey, l_linenumber""")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                     l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS net
+              FROM lineitem
+              WHERE l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) > 90000.0
+              ORDER BY l_orderkey, l_linenumber"""))
   )
 }

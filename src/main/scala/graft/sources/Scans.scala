@@ -707,6 +707,36 @@ object Scans {
       },
       Some("""SELECT c_custkey, c_mktsegment,
                      CAST(printf('%.2f', c_acctbal) AS DOUBLE) AS bal
-              FROM customer ORDER BY c_custkey"""))
+              FROM customer ORDER BY c_custkey""")),
+
+    // The same fixed-width feed through the CUSTOM DataSourceV2 reader
+    // (FixedWidth.scala): layout-declared schema, column pruning (the
+    // segment field is never sliced — only 2 of 3 fields parse), and
+    // GreaterThan pushdown evaluated on the raw slice inside the reader
+    // (the scan emits only surviving lines; Spark drops its copy of the
+    // pushed predicate). The V2 path is what a production copybook
+    // format would ship; src_fixed_width keeps the compose-built-ins
+    // twin. Pushdown reaching the scan is plan-audited.
+    "src_fixed_width_pushdown" -> Q(
+      (s, dir) => {
+        val out = s"$fixDir/customer_fixed_width"
+        Tables.customer(s, dir)
+          .select(format_string("%10d%-12s%12.2f",
+                    col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+                  .as("value"))
+          .write.mode("overwrite").text(out)
+        s.read.format("graft.sources.FixedWidthSource")
+          .option("layout",
+            "c_custkey:1:10:long,c_mktsegment:11:12:string,bal:23:12:double")
+          .load(out)
+          .filter(col("bal") > 5000.0)
+          .select(col("c_custkey"), col("bal"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+                     CAST(printf('%.2f', c_acctbal) AS DOUBLE) AS bal
+              FROM customer
+              WHERE CAST(printf('%.2f', c_acctbal) AS DOUBLE) > 5000.0
+              ORDER BY c_custkey"""))
   )
 }
