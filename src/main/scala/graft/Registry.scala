@@ -25,7 +25,8 @@ object Registry {
     llm.Pipeline.qs ++
     llm.Curation.qs ++
     llm.Screens.qs ++
-    llm.Signals.qs
+    llm.Signals.qs ++
+    llm.Spectral.qs
 
   lazy val byName: Map[String, Q] = all.toMap
 

@@ -1,0 +1,144 @@
+package graft.llm
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Spectral analysis of the embedding corpus — the PCA-flavored pass a
+  * training-data pipeline runs to find the dominant direction of an
+  * embedding space (ABTT-style "all-but-the-top" postprocessing,
+  * anisotropy diagnostics, whitening prep all start from exactly this
+  * computation).
+  *
+  * llm_pca_power: top principal direction by K=3 rounds of power
+  * iteration on the Gram operator — w ← normalize(Aᵀ·normalize(A·w)) —
+  * expressed entirely as joins + aggregations over the posexploded
+  * embedding table. Each matvec is one equi-join + one map-combined
+  * group-by; nothing materializes beyond the n-row (u) and 64-row (w)
+  * vectors, so the 100 TB shape is K linear passes with the per-id
+  * vector shuffle-joined (Catalyst broadcasts it at small scale) and
+  * the 64-row direction + 1-row norms broadcast.
+  *
+  * Determinism contract (the hash gate): every cross-row SUM rides a
+  * rounded DECIMAL(28,8) lane — products round at scale 8 in double
+  * (bit-identical both engines), the decimal sum is exact and
+  * order-independent, and the unscaled magnitude stays far below 2^53
+  * (|terms| ≤ ~1 after each normalization, ≤ 2·10⁴ terms ⇒ ≤ 2·10¹²
+  * unscaled — the q_rolling_corr overflow discipline), so the final
+  * decimal→double conversion is the same single rounding in both
+  * engines. Norms re-round at scale 9 before the division; the oracle
+  * unrolls the identical three iterations as chained CTEs. The
+  * eigenvector sign is pinned by the all-positive start vector. */
+object Spectral {
+
+  private val K = 3
+
+  private def exploded(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"),
+              posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("id"), col("pos"), col("vf").cast("double").as("v"))
+
+  /** K rounds of normalized power iteration; returns the 64-row (pos, w)
+    * direction table. Shared by llm_pca_power and llm_pca_explained. */
+  private def topDirection(e: org.apache.spark.sql.DataFrame) = {
+    var w = e.select(col("pos")).distinct().withColumn("w", lit(0.125))
+    for (_ <- 1 to K) {
+      val u = e.join(broadcast(w), Seq("pos"))
+        .groupBy(col("id"))
+        .agg(sum(expr("CAST(round(v * w, 8) AS DECIMAL(28,8))"))
+               .cast("double").as("u"))
+      val nu = u.agg(round(sqrt(
+        sum(expr("CAST(round(u * u, 8) AS DECIMAL(28,8))")).cast("double")), 9)
+        .as("nu"))
+      val un = u.crossJoin(broadcast(nu))
+        .select(col("id"), round(col("u") / col("nu"), 9).as("u"))
+      val wp = e.join(un, Seq("id"))
+        .groupBy(col("pos"))
+        .agg(sum(expr("CAST(round(v * u, 8) AS DECIMAL(28,8))"))
+               .cast("double").as("wp"))
+      val nw = wp.agg(round(sqrt(
+        sum(expr("CAST(round(wp * wp, 8) AS DECIMAL(28,8))")).cast("double")), 9)
+        .as("nw"))
+      w = wp.crossJoin(broadcast(nw))
+        .select(col("pos"), round(col("wp") / col("nw"), 9).as("w"))
+    }
+    w
+  }
+
+  private def oIter(i: Int): String = {
+    val prev = if (i == 1) "w0" else s"w${i - 1}"
+    s"""u$i AS (SELECT id, CAST(SUM(CAST(round(v * w, 8) AS DECIMAL(28,8)))
+                            AS DOUBLE) AS u
+                FROM e JOIN $prev USING (pos) GROUP BY id),
+        nu$i AS (SELECT round(sqrt(CAST(SUM(CAST(round(u * u, 8) AS DECIMAL(28,8)))
+                                        AS DOUBLE)), 9) AS nu FROM u$i),
+        un$i AS (SELECT id, round(u / nu, 9) AS u FROM u$i, nu$i),
+        wp$i AS (SELECT pos, CAST(SUM(CAST(round(v * u, 8) AS DECIMAL(28,8)))
+                                  AS DOUBLE) AS wp
+                 FROM e JOIN un$i USING (id) GROUP BY pos),
+        nw$i AS (SELECT round(sqrt(CAST(SUM(CAST(round(wp * wp, 8) AS DECIMAL(28,8)))
+                                        AS DOUBLE)), 9) AS nw FROM wp$i),
+        w$i AS (SELECT pos, round(wp / nw, 9) AS w FROM wp$i, nw$i)"""
+  }
+
+  val qs: Seq[(String, Q)] = Seq(
+
+    "llm_pca_power" -> Q(
+      (s, dir) => {
+        val e = exploded(s, dir).cache() // referenced 2K+1 times; one scan
+        topDirection(e)
+          .select(col("pos"), round(col("w"), 6).as("loading"))
+          .orderBy(col("pos"))
+      },
+      Some(s"""WITH $oBase
+               SELECT pos, round(w, 6) AS loading FROM w$K
+               ORDER BY pos""")),
+
+    // Energy captured by the top direction, per label — the anisotropy
+    // diagnostic (a label whose vectors all point along the global top
+    // component carries little usable signal after ABTT removal). One
+    // more matvec projects every vector onto w (equi-join + reduce),
+    // then a per-label exact-decimal mean of the squared projection.
+    // Same linear shape; the direction table is 64 broadcast rows.
+    "llm_pca_explained" -> Q(
+      (s, dir) => {
+        val e = exploded(s, dir).cache()
+        val w = topDirection(e)
+        val p = e.join(broadcast(w), Seq("pos"))
+          .groupBy(col("id"))
+          .agg(sum(expr("CAST(round(v * w, 8) AS DECIMAL(28,8))"))
+                 .cast("double").as("p"))
+        val lab = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("label"))
+        p.join(lab, Seq("id"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+               (sum(expr("CAST(round(p * p, 8) AS DECIMAL(28,8))")) / count(lit(1)))
+                 .cast("decimal(28,8)").cast("double").as("var_explained"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH $oBase,
+                    p AS (SELECT id,
+                                 CAST(SUM(CAST(round(v * w, 8) AS DECIMAL(28,8)))
+                                      AS DOUBLE) AS p
+                          FROM e JOIN w$K USING (pos) GROUP BY id),
+                    lab AS (SELECT vec_id AS id, label FROM embeddings)
+               SELECT label, COUNT(*) AS n,
+                      CAST(CAST(SUM(CAST(round(p * p, 8) AS DECIMAL(28,8)))
+                                / COUNT(*) AS DECIMAL(28,8)) AS DOUBLE)
+                        AS var_explained
+               FROM p JOIN lab USING (id)
+               GROUP BY label ORDER BY label"""))
+  )
+
+  /** Shared oracle prefix: exploded table, start vector, K unrolled
+    * iterations (w$K is the final direction). */
+  private def oBase: String =
+    s"""e AS (SELECT vec_id AS id, i - 1 AS pos,
+                     CAST(embedding[i] AS DOUBLE) AS v
+              FROM embeddings,
+                   LATERAL (SELECT unnest(generate_series(1,
+                              len(embedding))) AS i) g),
+        w0 AS (SELECT DISTINCT pos, 0.125 AS w FROM e),
+        ${(1 to K).map(oIter).mkString(",\n")}"""
+}
