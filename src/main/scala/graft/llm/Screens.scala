@@ -484,6 +484,98 @@ object Screens {
                        AS n_low_l_groups,
                      CAST(SUM(CASE WHEN l < t THEN gn ELSE 0 END) AS BIGINT)
                        AS n_exposed_rows
-              FROM g, t GROUP BY 1 ORDER BY t"""))
+              FROM g, t GROUP BY 1 ORDER BY t""")),
+
+    // BM25 ranked retrieval (k1 = 1.2, b = 0.75): the 5 query docs
+    // (doc_id < 5) against the rest of the corpus, top-5 hits each —
+    // the lexical-retrieval side of a RAG stack beside llm_rag_context's
+    // dense side. Shape: tf/dl reduce once (map-side combined), the df
+    // and avgdl statistics are tiny broadcasts, and candidate generation
+    // is the posting-list equi-join on the term — cost Σ_{t ∈ queries}
+    // df(t), linear in corpus for a bounded query set, never corpus².
+    // The per-(query, doc) top-5 window prunes map-side
+    // (WindowGroupLimit). Numeric parity: idf and the per-term
+    // saturation weight are scalar double chains with identical
+    // parenthesization both sides, rounded at 6 (the libm grain for ln)
+    // and decimal-summed, so scores hash exactly; at deploy scale
+    // near-zero-idf stopword postings get capped by the same df-cap
+    // knob as llm_tfidf_pairs.
+    "llm_bm25_topk" -> Q(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs.select(col("doc_id"),
+          explode(expr(toksE)).as("tok"))
+        val tf = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("dl").cast("decimal(38,6)")) / count(lit(1)))
+            .cast("decimal(38,6)").cast("double").as("avgdl"))
+        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val qterms = tf.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("q_id"), col("tok"))
+        val hits = qterms
+          .join(tf.join(dl, Seq("doc_id")), Seq("tok"))
+          .filter(col("doc_id") =!= col("q_id"))
+          .join(broadcast(df), Seq("tok"))
+          .crossJoin(broadcast(stats))
+          .withColumn("idf", round(log(
+            (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+              / (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6))
+          .withColumn("w", round(
+            col("idf") * col("tf").cast("double") * lit(2.2)
+              / (col("tf").cast("double") +
+                 lit(1.2) * (lit(1.0) - lit(0.75) +
+                             lit(0.75) * col("dl").cast("double") / col("avgdl"))), 6))
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(sum(col("w").cast("decimal(38,6)")).as("score_d"))
+          .withColumn("score", col("score_d").cast("double"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("doc_id"))
+        hits.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("rk").cast("long").as("rk"),
+                  col("doc_id"), col("score"))
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok
+                             FROM documents),
+                tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+                       FROM toks GROUP BY 1, 2),
+                dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+                stats AS (SELECT COUNT(*) AS n_docs,
+                                 CAST(CAST(SUM(CAST(dl AS DECIMAL(38,6)))
+                                           / COUNT(*) AS DECIMAL(38,6))
+                                      AS DOUBLE) AS avgdl
+                          FROM dl),
+                df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+                q AS (SELECT doc_id AS q_id, tok FROM tf WHERE doc_id < 5),
+                h AS (SELECT q.q_id, t.doc_id,
+                             round(round(ln((CAST(s.n_docs AS DOUBLE)
+                                             - CAST(f.df AS DOUBLE) + 0.5)
+                                            / (CAST(f.df AS DOUBLE) + 0.5)
+                                            + 1.0), 6)
+                                   * CAST(t.tf AS DOUBLE) * 2.2
+                                   / (CAST(t.tf AS DOUBLE)
+                                      + 1.2 * (1.0 - 0.75 + 0.75
+                                               * CAST(d.dl AS DOUBLE)
+                                               / s.avgdl)), 6) AS w
+                      FROM q
+                      JOIN tf t ON t.tok = q.tok AND t.doc_id <> q.q_id
+                      JOIN dl d ON d.doc_id = t.doc_id
+                      JOIN df f ON f.tok = q.tok
+                      CROSS JOIN stats s),
+                sc AS (SELECT q_id, doc_id,
+                              CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE)
+                                AS score
+                       FROM h GROUP BY 1, 2)
+               SELECT q_id,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY score DESC, doc_id) AS BIGINT) AS rk,
+                      doc_id, score
+               FROM sc
+               QUALIFY rk <= 5
+               ORDER BY q_id, rk"""))
   )
 }

@@ -170,6 +170,83 @@ object Signals {
                SELECT doc_id, COUNT(*) AS n_toks,
                       CAST(SUM(oov) AS BIGINT) AS n_oov,
                       round(CAST(SUM(oov) AS BIGINT) / COUNT(*), 6) AS oov_rate
-               FROM j GROUP BY 1 ORDER BY 1"""))
+               FROM j GROUP BY 1 ORDER BY 1""")),
+
+    // Trained-classifier APPLY — the fastText-style quality-classifier
+    // inference pass every corpus curation stack runs at full scale:
+    // a fixed logistic model over four engineered lexical features,
+    // scored per document in one codegen'd projection (no join, no
+    // shuffle before the per-source calibration reduce). Feature ratios
+    // and the logit stay in exact decimal (the llm_quality_score lane:
+    // scale-6 ratios × scale-1 weights are exact at scale 7, so the
+    // logit is computed with ZERO rounding steps); only the sigmoid's
+    // exp crosses libm and lands on the round(6) grain, and the per-
+    // source mean sums those rounded probabilities in decimal. The
+    // predicted-positive compare runs on the ROUNDED p, so the decision
+    // boundary is engine-deterministic too.
+    "llm_classifier_apply" -> Q(
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .withColumn("n_toks", size(col("toks")))
+          .withColumn("stop_ratio", expr(
+            """CAST(CAST(size(filter(toks, t ->
+                 t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DECIMAL(18,6))
+               / n_toks AS DECIMAL(18,6))"""))
+          .withColumn("short_ratio", expr(
+            """CAST(CAST(size(filter(toks, t -> length(t) <= 2)) AS DECIMAL(18,6))
+               / n_toks AS DECIMAL(18,6))"""))
+          .withColumn("len_norm", expr(
+            "CAST(least(CAST(n_chars AS DECIMAL(18,6)) / 300, CAST(1.0 AS DECIMAL(18,6))) AS DECIMAL(18,6))"))
+          .withColumn("ttr", expr(
+            "CAST(CAST(size(array_distinct(toks)) AS DECIMAL(18,6)) / n_toks AS DECIMAL(18,6))"))
+          .withColumn("z", expr(
+            """CAST(CAST(-0.3 AS DECIMAL(2,1))
+                    + len_norm * CAST(1.2 AS DECIMAL(2,1))
+                    + stop_ratio * CAST(-0.8 AS DECIMAL(2,1))
+                    + short_ratio * CAST(-1.5 AS DECIMAL(2,1))
+                    + ttr * CAST(0.9 AS DECIMAL(2,1))
+               AS DECIMAL(18,7))"""))
+          .withColumn("p", round(
+            lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 6))
+        scored.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+               sum(when(col("p") >= 0.5, 1L).otherwise(0L)).as("n_pos"),
+               (sum(col("p").cast("decimal(18,6)")) / count(lit(1)))
+                 .cast("decimal(18,6)").cast("double").as("mean_p"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH f AS (
+                 SELECT source,
+                        CAST(CAST(len(list_filter($duckToks, t ->
+                               t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                             AS DECIMAL(18,6))
+                             / len($duckToks) AS DECIMAL(18,6)) AS stop_ratio,
+                        CAST(CAST(len(list_filter($duckToks,
+                               t -> length(t) <= 2)) AS DECIMAL(18,6))
+                             / len($duckToks) AS DECIMAL(18,6)) AS short_ratio,
+                        CAST(least(CAST(n_chars AS DECIMAL(18,6)) / 300,
+                                   CAST(1.0 AS DECIMAL(18,6)))
+                             AS DECIMAL(18,6)) AS len_norm,
+                        CAST(CAST(len(list_distinct($duckToks)) AS DECIMAL(18,6))
+                             / len($duckToks) AS DECIMAL(18,6)) AS ttr
+                 FROM documents),
+               z AS (SELECT source,
+                            CAST(CAST(-0.3 AS DECIMAL(2,1))
+                                 + len_norm * CAST(1.2 AS DECIMAL(2,1))
+                                 + stop_ratio * CAST(-0.8 AS DECIMAL(2,1))
+                                 + short_ratio * CAST(-1.5 AS DECIMAL(2,1))
+                                 + ttr * CAST(0.9 AS DECIMAL(2,1))
+                            AS DECIMAL(18,7)) AS z
+                     FROM f),
+               p AS (SELECT source,
+                            round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 6) AS p
+                     FROM z)
+               SELECT source, COUNT(*) AS n,
+                      CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_pos,
+                      CAST(CAST(SUM(CAST(p AS DECIMAL(18,6))) / COUNT(*)
+                                AS DECIMAL(18,6)) AS DOUBLE) AS mean_p
+               FROM p GROUP BY 1 ORDER BY source"""))
   )
 }

@@ -1154,6 +1154,89 @@ object Similarity {
                  FROM scored)
                SELECT q_id, rk, vec_id, label, cos
                FROM ranked WHERE rk <= 3
-               ORDER BY q_id, rk"""))
+               ORDER BY q_id, rk""")),
+
+    // External clustering evaluation — purity and NMI of the 4-bit
+    // sign-code quantizer's buckets against the ground-truth labels:
+    // the scorecard that says whether the ANN lake's coarse cells are
+    // label-coherent enough to serve as IVF lists. Everything reduces to
+    // the (bucket, label) contingency table in one map-combined pass
+    // (≤ 16·|labels| rows); purity, the three entropies, and mutual
+    // information are all scalar arithmetic on that tiny table, so the
+    // corpus is scanned exactly once at any scale. Numeric parity: each
+    // entropy/MI term is an int-ratio double chain with identical
+    // parenthesization both sides (integer products exact below 2^53),
+    // ln rounded at 6 (the libm grain), decimal-summed; NMI re-derives
+    // from the rounded sums.
+    "llm_cluster_purity" -> Q(
+      (s, dir) => {
+        val ct = Tables.embeddings(s, dir)
+          .select(expr(codeE).as("bucket"), col("label"))
+          .groupBy(col("bucket"), col("label"))
+          .agg(count(lit(1)).as("n_cl"))
+          .localCheckpoint() // tiny; referenced by 4 reductions below
+        val n = ct.agg(sum(col("n_cl")).as("n")).localCheckpoint()
+        val byC = ct.groupBy(col("bucket")).agg(
+          sum(col("n_cl")).as("n_c"), max(col("n_cl")).as("n_max"))
+        val byL = ct.groupBy(col("label")).agg(sum(col("n_cl")).as("n_l"))
+        def entropy(t: org.apache.spark.sql.DataFrame, cnt: String, out: String) =
+          t.crossJoin(broadcast(n)).agg(
+            sum(expr(s"""CAST(round(-(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                           * round(ln(CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE)), 6), 6)
+                         AS DECIMAL(28,6))"""))
+              .cast("double").as(out))
+        val hC = entropy(byC, "n_c", "h_c")
+        val hL = entropy(byL, "n_l", "h_l")
+        val mi = ct
+          .join(broadcast(byC.select(col("bucket"), col("n_c"))), Seq("bucket"))
+          .join(broadcast(byL), Seq("label"))
+          .crossJoin(broadcast(n))
+          .agg(sum(expr(
+            """CAST(round((CAST(n_cl AS DOUBLE) / CAST(n AS DOUBLE))
+                 * round(ln(CAST(n * n_cl AS DOUBLE)
+                            / CAST(n_c * n_l AS DOUBLE)), 6), 6)
+               AS DECIMAL(28,6))"""))
+            .cast("double").as("mi"))
+        val pur = byC.crossJoin(broadcast(n))
+          .agg((sum(col("n_max")).cast("double") /
+                max(col("n")).cast("double")).as("p0"))
+          .select(round(col("p0"), 6).as("purity"))
+        pur.crossJoin(hC).crossJoin(hL).crossJoin(mi)
+          .select(col("purity"), col("h_c"), col("h_l"), col("mi"),
+                  round(lit(2.0) * col("mi") / (col("h_c") + col("h_l")), 6)
+                    .as("nmi"))
+      },
+      Some(s"""WITH ct AS (SELECT $duckCode AS bucket, label,
+                                  COUNT(*) AS n_cl
+                           FROM embeddings GROUP BY 1, 2),
+                n AS (SELECT SUM(n_cl) AS n FROM ct),
+                byc AS (SELECT bucket, SUM(n_cl) AS n_c, MAX(n_cl) AS n_max
+                        FROM ct GROUP BY 1),
+                byl AS (SELECT label, SUM(n_cl) AS n_l FROM ct GROUP BY 1),
+                hc AS (SELECT CAST(SUM(CAST(round(-(CAST(n_c AS DOUBLE)
+                                  / CAST(n.n AS DOUBLE))
+                                * round(ln(CAST(n_c AS DOUBLE)
+                                           / CAST(n.n AS DOUBLE)), 6), 6)
+                              AS DECIMAL(28,6))) AS DOUBLE) AS h_c
+                       FROM byc, n),
+                hl AS (SELECT CAST(SUM(CAST(round(-(CAST(n_l AS DOUBLE)
+                                  / CAST(n.n AS DOUBLE))
+                                * round(ln(CAST(n_l AS DOUBLE)
+                                           / CAST(n.n AS DOUBLE)), 6), 6)
+                              AS DECIMAL(28,6))) AS DOUBLE) AS h_l
+                       FROM byl, n),
+                mi AS (SELECT CAST(SUM(CAST(round((CAST(ct.n_cl AS DOUBLE)
+                                  / CAST(n.n AS DOUBLE))
+                                * round(ln(CAST(n.n * ct.n_cl AS DOUBLE)
+                                           / CAST(byc.n_c * byl.n_l AS DOUBLE)), 6), 6)
+                              AS DECIMAL(28,6))) AS DOUBLE) AS mi
+                       FROM ct JOIN byc USING (bucket)
+                               JOIN byl USING (label), n),
+                pur AS (SELECT round(CAST(SUM(n_max) AS DOUBLE)
+                                     / CAST(MAX(n.n) AS DOUBLE), 6) AS purity
+                        FROM byc, n)
+               SELECT purity, h_c, h_l, mi,
+                      round(2.0 * mi / (h_c + h_l), 6) AS nmi
+               FROM pur, hc, hl, mi"""))
   )
 }

@@ -85,7 +85,12 @@ object Spectral {
 
     "llm_pca_power" -> Q(
       (s, dir) => {
-        val e = exploded(s, dir).cache() // referenced 2K+1 times; one scan
+        // localCheckpoint, NOT .cache(): referenced 2K+1 times so it must
+        // materialize once, but a CacheManager entry would sameResult-
+        // substitute this subtree into sibling plans with no unpersist
+        // point (the q_transitive_closure rationale; broke the
+        // CacheManager-empty plan audits when it briefly was .cache()).
+        val e = exploded(s, dir).localCheckpoint()
         topDirection(e)
           .select(col("pos"), round(col("w"), 6).as("loading"))
           .orderBy(col("pos"))
@@ -102,7 +107,7 @@ object Spectral {
     // Same linear shape; the direction table is 64 broadcast rows.
     "llm_pca_explained" -> Q(
       (s, dir) => {
-        val e = exploded(s, dir).cache()
+        val e = exploded(s, dir).localCheckpoint() // see llm_pca_power
         val w = topDirection(e)
         val p = e.join(broadcast(w), Seq("pos"))
           .groupBy(col("id"))

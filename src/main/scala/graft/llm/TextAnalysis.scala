@@ -920,6 +920,130 @@ object TextAnalysis {
                                  ELSE round(exp(1.0 - CAST(r_len AS DOUBLE)
                                                       / CAST(c_len AS DOUBLE)), 6)
                             END * sqrt(p1 * p2), 6) AS bleu2
-               FROM j ORDER BY doc_id"""))
+               FROM j ORDER BY doc_id""")),
+
+    // ROUGE-1 / ROUGE-2 between adjacent same-source docs (candidate =
+    // doc, reference = the source's next doc_id): the summarization-eval
+    // staple beside llm_kappa / llm_self_bleu. Clipped n-gram overlap is
+    // the multiset-intersection sum Σ min(tf_cand, tf_ref) — computed by
+    // an equi-join of the two per-doc gram-count tables on (pair, gram),
+    // never an alignment loop. Shape: pairing is one lead() window over
+    // source (reusing a single source-keyed exchange), gram counts
+    // reduce map-side, and every join is pair-keyed hash — linear in
+    // total grams at any corpus size. Precision/recall are single
+    // int÷int double divisions (correctly rounded IEEE, identical both
+    // engines); F1 re-derives from the ROUNDED p and r on both sides so
+    // the compounded arithmetic stays inside the round(6) grain.
+    "llm_rouge" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val wsrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        val pairs = d
+          .select(col("source"), col("doc_id"),
+                  lead(col("doc_id"), 1).over(wsrc).as("ref_id"))
+          .filter(col("ref_id").isNotNull)
+        def grams(n: Int) = {
+          val base = d.select(col("doc_id"), expr(toksE).as("toks"))
+          val g = if (n == 1) base.select(col("doc_id"), explode(col("toks")).as("g"))
+                  else base.select(col("doc_id"), explode(expr(
+                    """transform(slice(toks, 1, size(toks) - 1),
+                         (t, i) -> concat(t, ' ', element_at(toks, i + 2)))""")).as("g"))
+          g.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        }
+        def overlap(n: Int, pref: String) = {
+          val gc = grams(n)
+          val cand = pairs.join(gc, Seq("doc_id"))
+            .select(col("doc_id"), col("ref_id"), col("g"), col("c").as("cc"))
+          val ref = gc.select(col("doc_id").as("ref_id"), col("g"),
+                              col("c").as("rc"))
+          val tot = gc.groupBy(col("doc_id")).agg(sum(col("c")).as("tot"))
+          cand.join(ref, Seq("ref_id", "g"))
+            .groupBy(col("doc_id"), col("ref_id"))
+            .agg(sum(least(col("cc"), col("rc"))).as("clip"))
+            .join(tot, Seq("doc_id"))
+            .withColumnRenamed("tot", "c_tot")
+            .join(tot.withColumnRenamed("doc_id", "ref_id")
+                     .withColumnRenamed("tot", "r_tot"), Seq("ref_id"))
+            .withColumn(s"${pref}_p", round(
+              col("clip").cast("double") / col("c_tot").cast("double"), 6))
+            .withColumn(s"${pref}_r", round(
+              col("clip").cast("double") / col("r_tot").cast("double"), 6))
+            .withColumn(s"${pref}_f", round(
+              when(col(s"${pref}_p") + col(s"${pref}_r") > 0.0,
+                   lit(2.0) * col(s"${pref}_p") * col(s"${pref}_r")
+                     / (col(s"${pref}_p") + col(s"${pref}_r")))
+                .otherwise(lit(0.0)), 6))
+            .select(col("doc_id"), col("ref_id"),
+                    col(s"${pref}_p"), col(s"${pref}_r"), col(s"${pref}_f"))
+        }
+        pairs.select(col("source"), col("doc_id"), col("ref_id"))
+          .join(overlap(1, "r1"), Seq("doc_id", "ref_id"), "left")
+          .join(overlap(2, "r2"), Seq("doc_id", "ref_id"), "left")
+          .na.fill(0.0, Seq("r1_p", "r1_r", "r1_f", "r2_p", "r2_r", "r2_f"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      Some(s"""WITH pairs AS (
+                 SELECT source, doc_id,
+                        LEAD(doc_id) OVER (PARTITION BY source
+                                           ORDER BY doc_id) AS ref_id
+                 FROM documents QUALIFY ref_id IS NOT NULL),
+               t1 AS (SELECT doc_id, unnest($duckToks) AS g FROM documents),
+               g1 AS (SELECT doc_id, g, COUNT(*) AS c FROM t1 GROUP BY 1, 2),
+               tk AS (SELECT doc_id, $duckToks AS toks FROM documents),
+               t2 AS (SELECT doc_id,
+                             unnest(list_transform(
+                               generate_series(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+                      FROM tk),
+               g2 AS (SELECT doc_id, g, COUNT(*) AS c FROM t2 GROUP BY 1, 2),
+               tot1 AS (SELECT doc_id, SUM(c) AS tot FROM g1 GROUP BY 1),
+               tot2 AS (SELECT doc_id, SUM(c) AS tot FROM g2 GROUP BY 1),
+               o1 AS (SELECT p.doc_id, p.ref_id,
+                             SUM(LEAST(c.c, r.c)) AS clip
+                      FROM pairs p
+                      JOIN g1 c ON c.doc_id = p.doc_id
+                      JOIN g1 r ON r.doc_id = p.ref_id AND r.g = c.g
+                      GROUP BY 1, 2),
+               o2 AS (SELECT p.doc_id, p.ref_id,
+                             SUM(LEAST(c.c, r.c)) AS clip
+                      FROM pairs p
+                      JOIN g2 c ON c.doc_id = p.doc_id
+                      JOIN g2 r ON r.doc_id = p.ref_id AND r.g = c.g
+                      GROUP BY 1, 2),
+               m1 AS (SELECT p.doc_id, p.ref_id,
+                             round(CAST(o1.clip AS DOUBLE)
+                                   / CAST(ct.tot AS DOUBLE), 6) AS r1_p,
+                             round(CAST(o1.clip AS DOUBLE)
+                                   / CAST(rt.tot AS DOUBLE), 6) AS r1_r
+                      FROM pairs p
+                      JOIN o1 ON o1.doc_id = p.doc_id AND o1.ref_id = p.ref_id
+                      JOIN tot1 ct ON ct.doc_id = p.doc_id
+                      JOIN tot1 rt ON rt.doc_id = p.ref_id),
+               m2 AS (SELECT p.doc_id, p.ref_id,
+                             round(CAST(o2.clip AS DOUBLE)
+                                   / CAST(ct.tot AS DOUBLE), 6) AS r2_p,
+                             round(CAST(o2.clip AS DOUBLE)
+                                   / CAST(rt.tot AS DOUBLE), 6) AS r2_r
+                      FROM pairs p
+                      JOIN o2 ON o2.doc_id = p.doc_id AND o2.ref_id = p.ref_id
+                      JOIN tot2 ct ON ct.doc_id = p.doc_id
+                      JOIN tot2 rt ON rt.doc_id = p.ref_id)
+               SELECT p.source, p.doc_id, p.ref_id,
+                      COALESCE(m1.r1_p, 0.0) AS r1_p,
+                      COALESCE(m1.r1_r, 0.0) AS r1_r,
+                      COALESCE(CASE WHEN m1.r1_p + m1.r1_r > 0.0
+                                    THEN round(2.0 * m1.r1_p * m1.r1_r
+                                               / (m1.r1_p + m1.r1_r), 6)
+                                    ELSE 0.0 END, 0.0) AS r1_f,
+                      COALESCE(m2.r2_p, 0.0) AS r2_p,
+                      COALESCE(m2.r2_r, 0.0) AS r2_r,
+                      COALESCE(CASE WHEN m2.r2_p + m2.r2_r > 0.0
+                                    THEN round(2.0 * m2.r2_p * m2.r2_r
+                                               / (m2.r2_p + m2.r2_r), 6)
+                                    ELSE 0.0 END, 0.0) AS r2_f
+               FROM pairs p
+               LEFT JOIN m1 ON m1.doc_id = p.doc_id AND m1.ref_id = p.ref_id
+               LEFT JOIN m2 ON m2.doc_id = p.doc_id AND m2.ref_id = p.ref_id
+               ORDER BY p.source, p.doc_id"""))
   )
 }

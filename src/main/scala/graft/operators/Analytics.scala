@@ -766,6 +766,138 @@ object Analytics {
                       printf('%.2f', MIN(o_totalprice)) AS lo,
                       printf('%.2f', MAX(o_totalprice)) AS hi,
                       ${H.oAvg("o_totalprice")} AS avg_price
-               FROM b GROUP BY bin ORDER BY bin"""))
+               FROM b GROUP BY bin ORDER BY bin""")),
+
+    // Bounded-hop shortest paths (BFS) over the supply-chain bipartite
+    // graph — customers and suppliers linked whenever a lineitem of the
+    // customer's order was filled by the supplier — from customer 0:
+    // min #hops to every reachable entity ("how far does a recall at
+    // this account propagate"). Suppliers are encoded as −(sk+1) so
+    // both sides live in one node-id space. Frontier expansion, one
+    // round per hop: frontier ⋈ edges (equi-join on the node key),
+    // minus already-settled nodes (left-anti on the distance table) —
+    // each round shuffles only frontier-sized data and settled nodes
+    // never re-probe, so total work is O(E) across all rounds, the
+    // textbook distributed-BFS bound. Per-round localCheckpoint for the
+    // same three reasons as q_transitive_closure (lineage cut, no
+    // CacheManager sibling substitution, ContextCleaner reclamation).
+    // The hop cap is part of the declared semantics (both engines stop
+    // at MAX_HOPS) and sits above the graph's diameter at every fixture
+    // sf (bipartite small-world: everything reachable settles in ≤ 4);
+    // at deploy scale it is the runaway-frontier guard every production
+    // BFS carries. Oracle: DuckDB WITH RECURSIVE over the same edge
+    // derivation, min-dist folded after the bounded recursion.
+    "q_shortest_path" -> Q(
+      (s, dir) => {
+        val MAX_HOPS = 6
+        val e0 = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, dir)
+                  .select(col("o_orderkey"), col("o_custkey")),
+                col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"),
+                  (-col("l_suppkey") - 1L).as("sN"))
+          .distinct()
+        val und = e0.select(col("c").as("u"), col("sN").as("v"))
+          .unionByName(e0.select(col("sN").as("u"), col("c").as("v")))
+          .localCheckpoint()
+        var dist = Tables.customer(s, dir)
+          .filter(col("c_custkey") === 0)
+          .select(col("c_custkey").as("node"))
+          .withColumn("dist", lit(0))
+          .localCheckpoint()
+        var frontier = dist
+        var hop = 0
+        var n = frontier.count()
+        while (hop < MAX_HOPS && n > 0) {
+          hop += 1
+          val next = frontier.join(und, col("node") === col("u"))
+            .select(col("v").as("node")).distinct()
+            .join(dist, Seq("node"), "left_anti")
+            .withColumn("dist", lit(hop))
+            .localCheckpoint()
+          n = next.count()
+          if (n > 0) dist = dist.unionByName(next).localCheckpoint()
+          frontier = next
+        }
+        dist.select(col("node"), col("dist").cast("int").as("dist"))
+          .orderBy(col("node"))
+      },
+      Some("""WITH RECURSIVE
+                e0 AS (SELECT DISTINCT o.o_custkey AS c,
+                                       -l.l_suppkey - 1 AS sn
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey),
+                e AS (SELECT c AS u, sn AS v FROM e0
+                      UNION ALL SELECT sn AS u, c AS v FROM e0),
+                bfs AS (
+                  SELECT c_custkey AS node, 0 AS dist
+                  FROM customer WHERE c_custkey = 0
+                  UNION
+                  SELECT e.v AS node, b.dist + 1 AS dist
+                  FROM bfs b JOIN e ON e.u = b.node
+                  WHERE b.dist < 6)
+              SELECT node, CAST(MIN(dist) AS INTEGER) AS dist
+              FROM bfs GROUP BY node ORDER BY node""")),
+
+    // Largest-remainder (Hamilton) apportionment: allocate exactly 1000
+    // budget units across nations proportional to supplied revenue.
+    // Pure-integer formulation — no decimal division anywhere, so the
+    // hash gate is exact by construction: revenue reduces to its
+    // scale-4 unscaled BIGINT u (per-nation, map-side combined), base_i
+    // = (1000·u_i) div U floors the quota via integer division (both
+    // engines floor non-negative integer div identically), and the
+    // remainder comparison uses the exact integer 1000·u_i − base_i·U.
+    // The leftover seats go to the largest remainders (nationkey
+    // tiebreak). 100 TB shape: one map-combined agg on the fact stream
+    // (supplier dim broadcast) reduces the corpus to 25 rows; the
+    // total, the rank window, and the seat assignment all run on that
+    // reduced table — the global window never sees corpus-sized data.
+    "q_alloc_largest_remainder" -> Q(
+      (s, dir) => {
+        val SEATS = 1000L
+        val sup = Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey").as("nk"))
+        val rev = Tables.lineitem(s, dir)
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("nk"))
+          .agg(sum(col("l_extendedprice").cast(H.D)).as("rev"))
+          .withColumn("u", (col("rev") * 10000L).cast("long"))
+        val tot = rev.agg(sum(col("u")).as("tot_u"))
+        val quota = rev.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"($SEATS * u) div tot_u"))
+          .withColumn("rem", lit(SEATS) * col("u") - col("base") * col("tot_u"))
+        val w = Window.orderBy(col("rem").desc, col("nk"))
+        quota
+          .withColumn("leftover",
+            lit(SEATS) - sum(col("base")).over(
+              Window.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)))
+          .withColumn("rk", row_number().over(w))
+          .select(col("nk"),
+                  col("rev").cast("double").as("revenue"),
+                  (col("base") +
+                   when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+                    .as("alloc"))
+          .orderBy(col("nk"))
+      },
+      Some("""WITH rev AS (
+                SELECT s_nationkey AS nk,
+                       SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS rev,
+                       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4)))
+                            * 10000 AS BIGINT) AS u
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY 1),
+              t AS (SELECT SUM(u) AS tot_u FROM rev),
+              q AS (SELECT nk, rev, u, tot_u,
+                           (1000 * u) // tot_u AS base,
+                           1000 * u - ((1000 * u) // tot_u) * tot_u AS rem
+                    FROM rev, t)
+              SELECT nk, CAST(rev AS DOUBLE) AS revenue,
+                     CAST(base + CASE WHEN ROW_NUMBER() OVER
+                         (ORDER BY rem DESC, nk)
+                       <= 1000 - (SELECT SUM(base) FROM q)
+                       THEN 1 ELSE 0 END AS BIGINT) AS alloc
+              FROM q ORDER BY nk"""))
   )
 }

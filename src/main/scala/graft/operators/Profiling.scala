@@ -296,6 +296,83 @@ object Profiling {
               SELECT zbucket, COUNT(*) AS n_rows,
                      MAX(l_partkey) - MIN(l_partkey) AS p_span,
                      MAX(l_suppkey) - MIN(l_suppkey) AS s_span
-              FROM z GROUP BY 1 ORDER BY zbucket"""))
+              FROM z GROUP BY 1 ORDER BY zbucket""")),
+
+    // Zone-map (min/max stats) skipping estimator — the q_zorder_layout
+    // companion that measures what the stats are FOR: bucket the fact
+    // into 256-order zones (the write order, i.e. rowgroup boundaries),
+    // reduce each to min/max of the clustered key and an unclustered
+    // column, then score two representative range predicates against
+    // the zone table: one on the clustered l_orderkey (should skip
+    // nearly everything) and one on the uncorrelated l_shipdate (should
+    // skip nearly nothing — the motivating contrast for re-clustering /
+    // z-ordering). Shape: ONE map-combined pass reduces the corpus to
+    // ~|zones| rows carrying min/max/count plus the per-zone matching-
+    // row counts; both predicate scores then aggregate that tiny table.
+    // All comparisons are integer/timestamp exact — no float anywhere.
+    "q_zonemap_skip" -> Q(
+      (s, dir) => {
+        val okLo = 3000L; val okHi = 4500L
+        val sdLo = "TIMESTAMP_NTZ'1997-01-01 00:00:00'"
+        val sdHi = "TIMESTAMP_NTZ'1997-03-01 00:00:00'"
+        val z = Tables.lineitem(s, dir)
+          .select(expr("l_orderkey div 256").as("zone"),
+                  col("l_orderkey"), col("l_shipdate"))
+          .groupBy(col("zone"))
+          .agg(count(lit(1)).as("n"),
+               min(col("l_orderkey")).as("ok_min"),
+               max(col("l_orderkey")).as("ok_max"),
+               min(col("l_shipdate")).as("sd_min"),
+               max(col("l_shipdate")).as("sd_max"),
+               sum(when(col("l_orderkey") >= okLo &&
+                        col("l_orderkey") < okHi, 1L).otherwise(0L))
+                 .as("match_ok"),
+               sum(when(col("l_shipdate") >= expr(sdLo) &&
+                        col("l_shipdate") < expr(sdHi), 1L).otherwise(0L))
+                 .as("match_sd"))
+        def score(predCol: String, skipped: org.apache.spark.sql.Column,
+                  matches: String) =
+          z.agg(count(lit(1)).as("n_zones"),
+                sum(when(skipped, 1L).otherwise(0L)).as("n_skipped"),
+                sum(when(skipped, 0L).otherwise(col("n"))).as("rows_scanned"),
+                sum(col(matches)).as("rows_selected"))
+            .select(lit(predCol).as("pred_col"), col("n_zones"),
+                    col("n_skipped"), col("rows_scanned"), col("rows_selected"))
+        score("l_orderkey",
+              col("ok_max") < okLo || col("ok_min") >= okHi, "match_ok")
+          .unionByName(
+            score("l_shipdate",
+                  col("sd_max") < expr(sdLo) || col("sd_min") >= expr(sdHi),
+                  "match_sd"))
+          .orderBy(col("pred_col"))
+      },
+      Some("""WITH z AS (
+                SELECT l_orderkey // 256 AS zone, COUNT(*) AS n,
+                       MIN(l_orderkey) AS ok_min, MAX(l_orderkey) AS ok_max,
+                       MIN(l_shipdate) AS sd_min, MAX(l_shipdate) AS sd_max,
+                       SUM(CASE WHEN l_orderkey >= 3000 AND l_orderkey < 4500
+                                THEN 1 ELSE 0 END) AS match_ok,
+                       SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                                 AND l_shipdate < TIMESTAMP '1997-03-01'
+                                THEN 1 ELSE 0 END) AS match_sd
+                FROM lineitem GROUP BY 1)
+              SELECT 'l_orderkey' AS pred_col, COUNT(*) AS n_zones,
+                     CAST(SUM(CASE WHEN ok_max < 3000 OR ok_min >= 4500
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+                     CAST(SUM(CASE WHEN ok_max < 3000 OR ok_min >= 4500
+                              THEN 0 ELSE n END) AS BIGINT) AS rows_scanned,
+                     CAST(SUM(match_ok) AS BIGINT) AS rows_selected
+              FROM z
+              UNION ALL
+              SELECT 'l_shipdate' AS pred_col, COUNT(*) AS n_zones,
+                     CAST(SUM(CASE WHEN sd_max < TIMESTAMP '1997-01-01'
+                                    OR sd_min >= TIMESTAMP '1997-03-01'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+                     CAST(SUM(CASE WHEN sd_max < TIMESTAMP '1997-01-01'
+                                    OR sd_min >= TIMESTAMP '1997-03-01'
+                              THEN 0 ELSE n END) AS BIGINT) AS rows_scanned,
+                     CAST(SUM(match_sd) AS BIGINT) AS rows_selected
+              FROM z
+              ORDER BY pred_col"""))
   )
 }

@@ -729,6 +729,90 @@ object Trends {
                GROUP BY 1, 2, 3, 4, 5
                ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
 
+    // TPC-H Q14 shape (promotion effect): the month's revenue share of
+    // PROMO-type parts. One pushed-down month scan of the fact, one
+    // fact-dim equi-join on partkey (broadcast at fixture scale; at
+    // 100 TB both sides are partkey-shuffled, still one linear join),
+    // two exact-decimal conditional sums in a single agg pass. The
+    // percentage is ONE double division over the two decimal-exact
+    // operands (plus one multiply), so the final round(6) sits on a
+    // deterministic scalar chain — no decimal division anywhere (Spark
+    // and DuckDB disagree on result-scale rules for decimal ÷ decimal).
+    "q_tpch_q14" -> Q(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-03-01") &&
+                  col("l_shipdate") < lit("1996-04-01"))
+          .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .agg(
+            H.dsum(when(col("p_type") === "PROMO",
+                        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                     .otherwise(lit(0.0))).as("promo_rev"),
+            H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("total_rev"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("promo_pct",
+            round(lit(100.0) * col("promo_rev") / col("total_rev"), 6))
+      },
+      Some(s"""WITH a AS (
+                 SELECT ${H.oSum("""CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1.0 - l_discount)
+                            ELSE 0.0 END""")} AS promo_rev,
+                        ${H.oSum("l_extendedprice * (1.0 - l_discount)")}
+                          AS total_rev,
+                        COUNT(*) AS n_rows
+                 FROM lineitem JOIN part ON l_partkey = p_partkey
+                 WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+               SELECT promo_rev, total_rev, n_rows,
+                      round(100.0 * promo_rev / total_rev, 6) AS promo_pct
+               FROM a""")),
+
+    // TPC-H Q17 shape (small-quantity-order revenue), adapted to the
+    // fixture schema (brand filter only — the fixture part table has no
+    // container column): yearly revenue lost if Brand#12 orders below
+    // 20% of their part's average quantity stopped shipping. The
+    // correlated scalar subquery decorrelates into a per-part aggregate
+    // joined back — the brand filter shrinks both sides FIRST (broadcast
+    // semi at any scale: the brand slice of `part` is dim-sized), the
+    // per-part avg is map-side combined, and the threshold join keys on
+    // partkey, co-partitioned with the agg's own shuffle. The threshold
+    // compare rides one rounded decimal→double + one multiply — exact
+    // boundary determinism both engines.
+    "q_tpch_q17" -> Q(
+      (s, dir) => {
+        val bp = Tables.part(s, dir)
+          .filter(col("p_brand") === "Brand#12")
+          .select(col("p_partkey"))
+        val li = Tables.lineitem(s, dir)
+          .join(broadcast(bp), col("l_partkey") === col("p_partkey"), "left_semi")
+          .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        val thr = li.groupBy(col("l_partkey"))
+          .agg((sum(col("l_quantity").cast("decimal(38,6)")) / count(lit(1)))
+                 .cast("decimal(38,6)").cast("double").as("avg_qty"))
+          .select(col("l_partkey").as("t_partkey"), col("avg_qty"))
+        li.join(broadcast(thr), col("l_partkey") === col("t_partkey"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+          .agg((H.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+               count(lit(1)).as("n_rows"))
+          .select(round(col("avg_yearly"), 6).as("avg_yearly"), col("n_rows"))
+      },
+      Some(s"""WITH bp AS (SELECT p_partkey FROM part
+                           WHERE p_brand = 'Brand#12'),
+                li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                       FROM lineitem SEMI JOIN bp ON l_partkey = p_partkey),
+                thr AS (SELECT l_partkey AS t_partkey,
+                               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                                         / COUNT(*) AS DECIMAL(38,6))
+                                    AS DOUBLE) AS avg_qty
+                        FROM li GROUP BY 1)
+               SELECT round(${H.oSum("l_extendedprice")} / 7.0, 6) AS avg_yearly,
+                      COUNT(*) AS n_rows
+               FROM li JOIN thr ON l_partkey = t_partkey
+               WHERE l_quantity < 0.2 * avg_qty""")),
+
     // Parquet zstd codec round-trip: the storage-efficiency path a 100 TB
     // lake actually runs (zstd ≈ 30-50% smaller than snappy at similar
     // scan speed). Write-with-codec + read-back + aggregate must be

@@ -142,6 +142,38 @@ object Windows {
                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
               ORDER BY user_id, event_id""")),
 
+    // Moving DISCRETE median over the same 7-row frame — the robust
+    // companion to q_win_moving_avg (one outlier shifts a moving mean
+    // for 7 rows; the median shrugs). Exactness by construction: the
+    // lower median is an ELEMENT PICK from the sorted frame (index
+    // (n+1) div 2, 1-based), never interpolated arithmetic, so both
+    // engines return the identical stored double bit pattern and the
+    // hash gate needs no rounding at all. Scale shape: the frame
+    // collect + in-row sort ride the window's single user_id exchange
+    // (bounded 7-element arrays — constant per-row state, unlike an
+    // unbounded partition collect); per-key frames at 100 TB stay
+    // executor-local within that one shuffle.
+    "q_win_moving_median" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-6, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+                  collect_list(col("value")).over(w).as("frame"))
+          .select(col("user_id"), col("event_id"), col("value"),
+                  expr("element_at(array_sort(frame), CAST((size(frame) + 1) div 2 AS INT))")
+                    .as("mmed7"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, value,
+                     list_sort(frame)[(len(frame) + 1) // 2] AS mmed7
+              FROM (SELECT user_id, event_id, value,
+                           list(value) OVER w AS frame
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+              ORDER BY user_id, event_id""")),
+
     // Navigation + distribution functions over the full partition frame:
     // first/last/nth order per priority class plus each order's
     // cumulative-distribution position. cume_dist is an exact small
@@ -324,6 +356,35 @@ object Windows {
               FROM ch
               WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
               ORDER BY user_id, valid_from, event_id""")),
+
+    // Point-in-time reconstruction over the q_scd2 dimension: the state
+    // of every user AS OF a fixed instant — the time-travel query the
+    // type-2 build exists to answer (training-data snapshots, audit
+    // "what did we believe on date D"). No second window is needed: the
+    // as-of row is simply the LAST change at-or-before D per user, so
+    // after the pushed-down ts <= D scan filter it is one max(struct)
+    // aggregation keyed on user_id — map-side combined, one linear
+    // shuffle, no sort anywhere. A validity-range filter over the
+    // materialized SCD2 would give the same rows at a second window's
+    // cost; the driver's hash gate against the oracle's QUALIFY-last-row
+    // spelling proves the reduction equivalent.
+    "q_scd2_pit" -> Q(
+      (s, dir) => {
+        val asOf = "TIMESTAMP_NTZ'2024-01-03 12:00:00'"
+        Tables.events(s, dir)
+          .filter(col("ts") <= expr(asOf))
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("m"))
+          .select(col("user_id"), col("m.event_type").as("status"),
+                  col("m.ts").as("since"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_type AS status, ts AS since
+              FROM events
+              WHERE ts <= TIMESTAMP '2024-01-03 12:00:00'
+              QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY ts DESC, event_id DESC) = 1
+              ORDER BY user_id""")),
 
     // Skyline / Pareto frontier over part: maximize p_size, minimize
     // p_retailprice; a part survives iff nothing strictly larger is as

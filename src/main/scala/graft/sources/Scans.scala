@@ -552,6 +552,86 @@ object Scans {
               FROM lineitem WHERE l_returnflag = 'R'
               GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
+    // Small-file compaction PLANNER — the OPTIMIZE/maintenance pass every
+    // partitioned lake runs: list a fragmented layout's real files, then
+    // greedily bin each partition directory's files toward a target
+    // compacted size (size-descending first-fit via running-sum binning —
+    // a file already at/over target lands alone in its own bin and is
+    // left untouched, the true compaction semantics). The layout is a
+    // REAL partitioned parquet write (deterministic row order via
+    // sortWithinPartitions so file bytes reproduce); the file inventory
+    // is Spark's binaryFile listing, cross-checked against an
+    // INDEPENDENT java.nio directory walk written as the oracle's TSV
+    // (the src_dir_manifest pattern) — the hash gate verifies both the
+    // listing and the distributed binning math. Scale shape: listing is
+    // metadata-only and file-parallel; the binning window partitions by
+    // directory (each dir's file count is write-config bounded), so at
+    // 100 TB every partition dir plans independently — no global sort,
+    // no corpus data read at all.
+    "q_file_compaction" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val out = s"$fixDir/compaction_layout"
+        val tsv = s"$fixDir/compaction_layout.tsv"
+        val target = 262144L // 256 KiB compacted-file target
+        Tables.lineitem(s, dir)
+          .repartition(col("l_returnflag"), pmod(col("l_orderkey"), lit(8)))
+          .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        // Independent inventory: java.nio walk, same visibility rules as
+        // Spark's file index (skip _SUCCESS / hidden checksum files).
+        import scala.jdk.CollectionConverters._
+        val rows = Files.walk(Paths.get(out)).iterator().asScala
+          .filter(p => Files.isRegularFile(p))
+          .map(p => (Paths.get(out).relativize(p).toString, Files.size(p)))
+          .filter { case (rel, _) =>
+            val name = rel.split('/').last
+            name.endsWith(".parquet") && !name.startsWith(".") }
+          .toSeq.sortBy(_._1)
+        writeFixture(tsv, "relative_path\tn_bytes\n" +
+          rows.map { case (r, n) => s"$r\t$n" }.mkString("", "\n", "\n"))
+        val listed = s.read.format("binaryFile")
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.parquet")
+          .load(out)
+          .select(
+            regexp_extract(col("path"), "compaction_layout/([^/]*)/[^/]*$", 1)
+              .as("part_dir"),
+            regexp_extract(col("path"), "([^/]*)$", 1).as("fname"),
+            col("length").as("n_bytes"))
+        val w = Window.partitionBy(col("part_dir"))
+          .orderBy(col("n_bytes").desc, col("fname"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        listed
+          .withColumn("cum_before", coalesce(sum(col("n_bytes")).over(w), lit(0L)))
+          .withColumn("bin", expr(s"cum_before div ${target}L"))
+          .groupBy(col("part_dir"), col("bin"))
+          .agg(count(lit(1)).as("n_files"),
+               sum(col("n_bytes")).as("bin_bytes"))
+          .orderBy(col("part_dir"), col("bin"))
+      },
+      Some(s"""WITH f AS (
+                 SELECT string_split(relative_path, '/')[1] AS part_dir,
+                        string_split(relative_path, '/')[-1] AS fname,
+                        n_bytes
+                 FROM read_csv('${graft.Fixtures.dir}/compaction_layout.tsv',
+                               delim='\t', header=true,
+                               columns={'relative_path': 'VARCHAR',
+                                        'n_bytes': 'BIGINT'})),
+                b AS (SELECT part_dir, fname, n_bytes,
+                             CAST(COALESCE(SUM(n_bytes) OVER (
+                               PARTITION BY part_dir
+                               ORDER BY n_bytes DESC, fname
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS BIGINT)
+                               AS cum_before
+                      FROM f)
+               SELECT part_dir, cum_before // 262144 AS bin,
+                      COUNT(*) AS n_files,
+                      CAST(SUM(n_bytes) AS BIGINT) AS bin_bytes
+               FROM b GROUP BY 1, 2
+               ORDER BY part_dir, bin""")),
+
     // Partition PRUNING on read — the other half of the partitioned-lake
     // story (snk_partitioned is the write): a layout partitioned by a
     // predicate column turns the filter into directory selection, so the

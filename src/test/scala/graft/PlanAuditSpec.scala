@@ -1069,4 +1069,87 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
       s"a scan+parse+sort key should not hash-shuffle:\n$p")
   }
+
+  test("llm_bm25_topk: posting-list join is hash/merge; top-5 window prunes per query") {
+    val p = planOf("llm_bm25_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"BM25 candidate generation must never be a cartesian:\n$p")
+    // Only the 1-row stats anchor may nested-loop.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"unexpected nested-loop beyond the 1-row avgdl anchor:\n$p")
+    assert(p.contains("windowspecdefinition(q_id"),
+      s"top-5 window must partition by q_id (map-side prunable):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=5 filter should push into WindowGroupLimit:\n$p")
+  }
+
+  test("llm_rouge: clipped-overlap joins are pair-keyed hash/merge, no alignment loop") {
+    val p = planOf("llm_rouge")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"ROUGE overlap must stay equi-join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"gram counts must partial-aggregate map-side:\n$p")
+  }
+
+  test("q_shortest_path: BFS rounds leave no CacheManager residue; frontier joins are equi-joins") {
+    val df = Registry.byName("q_shortest_path").fn(spark, sf)
+    df.count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "BFS loop left a cached subtree in the shared session")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"final-round plan must stay equi-join:\n$p")
+  }
+
+  test("q_alloc_largest_remainder: fact agg partial-combines; windows only on the 25-row table") {
+    val p = planOf("q_alloc_largest_remainder")
+    assert(p.contains("partial_sum"), s"revenue reduce must map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"supplier dim / total anchor must broadcast:\n$p")
+    // The seat-assignment windows run AFTER the 25-row reduce.
+    assert(p.contains("Window"), s"expected the remainder-rank window:\n$p")
+  }
+
+  test("q_tpch_q14: month filter pushed to the fact scan; part dim joins hash") {
+    val p = planOf("q_tpch_q14")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      s"shipdate month filter must reach the parquet scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"partkey join must stay equi:\n$p")
+    assert(p.contains("partial_sum"), s"conditional sums must map-combine:\n$p")
+  }
+
+  test("q_zonemap_skip: one corpus scan, zone reduce map-combines, scores ride the zone table") {
+    val p = planOf("q_zonemap_skip")
+    assert("FileScan parquet".r.findAllIn(p).size <= 2,
+      s"both predicate scores must share the zone reduce, not rescan per predicate:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"zone stats must partial-aggregate map-side:\n$p")
+  }
+
+  test("q_file_compaction: metadata-only listing — binaryFile content column pruned") {
+    val p = planOf("q_file_compaction")
+    assert(p.contains("binaryFile"), s"expected the binaryFile listing scan:\n$p")
+    assert(!p.contains("content"),
+      s"compaction planner must never read file CONTENT (metadata-only):\n$p")
+    assert(p.contains("windowspecdefinition(part_dir"),
+      s"binning window must partition by directory, never globally:\n$p")
+  }
+
+  test("llm_classifier_apply: scan-pipelined scoring — one reduce, no join") {
+    val p = planOf("llm_classifier_apply")
+    assert(!p.contains("Join"), s"model apply must be join-free:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"only the source reduce + final sort may shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"calibration reduce must map-side combine:\n$p")
+  }
+
+  test("q_win_moving_median: bounded 7-row frame — no unbounded partition collect") {
+    val p = planOf("q_win_moving_median")
+    assert(p.contains("specifiedwindowframe(RowFrame, -6, currentrow"),
+      s"median frame must be the bounded 7-row window:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"frame collect + element pick must ride the single user_id exchange:\n$p")
+  }
 }
