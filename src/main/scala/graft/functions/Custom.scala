@@ -295,6 +295,60 @@ object Custom {
                      TRUE AS merged_eq_direct, TRUE AS within_bound
               FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // Sketch algebra over a SLIDING calendar window — trailing-7-day
+    // distinct users per day off the PRE-AGGREGATED daily sketch table:
+    // the production shape for "rolling uniques" dashboards at 100 TB
+    // (daily 4 KB cells written once by the ingest job; every window,
+    // rollup, or backfill is register-max merges over O(days) cells and
+    // NEVER re-touches the fact table — the udaf_hll_merge invariant
+    // made load-bearing). The merge window is a RANGE frame on the day
+    // number, so calendar gaps shorten the frame instead of silently
+    // widening it (a ROWS frame would span 7 PRESENT days). The oracle
+    // contract is udaf_hll's: the declared columns are the exact
+    // trailing count (computed by the offsets-explode expansion — one
+    // linear ×7 shuffle, the exact-sliding-distinct trick) plus the
+    // deterministic within-3·rsd boolean; the estimate itself stays
+    // algorithm-internal.
+    "q_hll_sliding" -> Q(
+      (s, dir) => {
+        register(s)
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+        val daily = ev.groupBy(col("day"))
+          .agg(expr("hll_sketch(user_id)").as("sk"))
+          .withColumn("day_num", expr(
+            "datediff(CAST(day AS DATE), DATE'1970-01-01')").cast("long"))
+        val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+        val est = daily
+          .withColumn("est", expr("hll_merge_est(sk)").over(w))
+          .select(col("day"), col("est"))
+        val exact = ev.distinct()
+          .select(explode(expr("sequence(0, 6)")).as("off"),
+                  col("day"), col("user_id"))
+          .select(expr("timestampadd(DAY, off, day)").as("day"), col("user_id"))
+          .distinct()
+          .join(daily.select(col("day")), Seq("day"), "left_semi")
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_exact"))
+        exact.join(est, Seq("day"))
+          .select(col("day"), col("n_exact"),
+                  (abs(col("est") - col("n_exact")).cast("double") / col("n_exact")
+                     <= 3 * HyperLogLogAgg.Rsd).as("within_bound"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH p AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                         FROM events),
+                   days AS (SELECT DISTINCT day FROM p),
+                   x AS (SELECT DISTINCT p.day + o * INTERVAL 1 DAY AS day,
+                                         p.user_id
+                         FROM p CROSS JOIN
+                              (SELECT unnest(generate_series(0, 6)) AS o) g)
+              SELECT x.day AS day, COUNT(DISTINCT x.user_id) AS n_exact,
+                     TRUE AS within_bound
+              FROM x SEMI JOIN days ON x.day = days.day
+              GROUP BY x.day ORDER BY day""")),
+
     // Native-Expression surface: per-vector cosine against the vec_id=0
     // query via the codegen kernel — full-scan shape (every ANN variant's
     // inner loop), numerically bit-identical to the built-in fold.

@@ -1127,6 +1127,28 @@ class PlanAuditSpec extends SparkSuite {
       s"zone stats must partial-aggregate map-side:\n$p")
   }
 
+  test("q_scd2_incremental: delta+dim only — user-keyed equi-joins, no cache residue") {
+    val df = Registry.byName("q_scd2_incremental").fn(spark, sf)
+    df.count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "incremental build left a cached subtree in the shared session")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"open-row and first-change joins must stay user-keyed equi-joins:\n$p")
+  }
+
+  test("q_hll_sliding: merge window rides the day-reduced sketch table") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("q_hll_sliding")
+    assert(!p.contains("CartesianProduct"),
+      s"sliding merge must never cross-join:\n$p")
+    assert(p.contains("hllsketchagg") || p.contains("hll_sketch"),
+      s"daily cells must come from the sketch aggregate:\n$p")
+    // RANGE frame on day_num — calendar-correct under gaps.
+    assert(p.contains("specifiedwindowframe(RangeFrame, -6, currentrow"),
+      s"merge window must be the range frame, not 7 present rows:\n$p")
+  }
+
   test("q_file_compaction: metadata-only listing — binaryFile content column pruned") {
     val p = planOf("q_file_compaction")
     assert(p.contains("binaryFile"), s"expected the binaryFile listing scan:\n$p")
