@@ -133,6 +133,61 @@ object Spectral {
                                 / COUNT(*) AS DECIMAL(28,8)) AS DOUBLE)
                         AS var_explained
                FROM p JOIN lab USING (id)
+               GROUP BY label ORDER BY label""")),
+
+    // ABTT APPLY ("all-but-the-top", Mu & Viswanath 2018's
+    // postprocessing): subtract each vector's top-direction projection,
+    // v' = v − p·w, and report the per-label mean squared norm before
+    // and after — the energy actually removed from each label's slice.
+    // One more linear pass after the power iteration: the projection is
+    // the same per-id matvec as llm_pca_explained (broadcast 64-row w,
+    // map-combined reduce), then the removal is a scalar projection
+    // joined back onto the exploded stream by (id) — never a second
+    // corpus shuffle beyond the per-id reduce it rides. Exactness: the
+    // removal term p·w rounds at 8 and the subtraction is one IEEE op;
+    // both squared-norm means sum rounded scale-8 terms in decimal.
+    "llm_abtt_apply" -> Q(
+      (s, dir) => {
+        val e = exploded(s, dir).localCheckpoint() // see llm_pca_power
+        val w = topDirection(e)
+        val p = e.join(broadcast(w), Seq("pos"))
+          .groupBy(col("id"))
+          .agg(sum(expr("CAST(round(v * w, 8) AS DECIMAL(28,8))"))
+                 .cast("double").as("p"))
+        val removed = e.join(broadcast(w), Seq("pos"))
+          .join(p, Seq("id"))
+          .withColumn("vr", col("v") - round(col("p") * col("w"), 8))
+        val lab = Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("label"))
+        removed.join(lab, Seq("id"))
+          .groupBy(col("label"))
+          .agg(countDistinct(col("id")).as("n"),
+               (sum(expr("CAST(round(v * v, 8) AS DECIMAL(28,8))"))
+                  / countDistinct(col("id")))
+                 .cast("decimal(28,8)").cast("double").as("mean_sq_before"),
+               (sum(expr("CAST(round(vr * vr, 8) AS DECIMAL(28,8))"))
+                  / countDistinct(col("id")))
+                 .cast("decimal(28,8)").cast("double").as("mean_sq_after"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH $oBase,
+                    p AS (SELECT id,
+                                 CAST(SUM(CAST(round(v * w, 8) AS DECIMAL(28,8)))
+                                      AS DOUBLE) AS p
+                          FROM e JOIN w$K USING (pos) GROUP BY id),
+                    r AS (SELECT e.id, e.v,
+                                 e.v - round(p.p * w.w, 8) AS vr
+                          FROM e JOIN w$K w USING (pos)
+                                 JOIN p ON p.id = e.id),
+                    lab AS (SELECT vec_id AS id, label FROM embeddings)
+               SELECT label, COUNT(DISTINCT r.id) AS n,
+                      CAST(CAST(SUM(CAST(round(v * v, 8) AS DECIMAL(28,8)))
+                                / COUNT(DISTINCT r.id) AS DECIMAL(28,8))
+                           AS DOUBLE) AS mean_sq_before,
+                      CAST(CAST(SUM(CAST(round(vr * vr, 8) AS DECIMAL(28,8)))
+                                / COUNT(DISTINCT r.id) AS DECIMAL(28,8))
+                           AS DOUBLE) AS mean_sq_after
+               FROM r JOIN lab USING (id)
                GROUP BY label ORDER BY label"""))
   )
 
