@@ -322,6 +322,44 @@ object Streams {
       TimeMode.None(), OutputMode.Update())
   }
 
+  /** st_rolling_distinct: per-event-type running distinct users via an
+    * HLL register array held as BINARY ValueState — the fourth state
+    * payload shape (product/long/list/map so far; this one is an opaque
+    * 4 KB mergeable blob). The design point is the live face of the
+    * storable/mergeable sketch invariant the batch side pins
+    * (udaf_hll_merge, q_hll_sliding): register updates are max-writes,
+    * so the state after ANY micro-batch partitioning of the input
+    * equals the batch `hll_distinct` over the same prefix BIT-FOR-BIT —
+    * StreamingSpec asserts exactly that, per key, against the batch
+    * aggregate. At 100 TB the state is one fixed 4 KB row per key in
+    * RocksDB regardless of cardinality — the reason a live uniques
+    * counter is a sketch and not a set. */
+  def rollingDistinct(events: Dataset[Ev]): Dataset[(String, Long)] = {
+    import events.sparkSession.implicits._
+    import graft.functions.HyperLogLogAgg
+    events.groupByKey(_.event_type).transformWithState(
+      new StatefulProcessor[String, Ev, (String, Long)] {
+        @transient private var sk: ValueState[Array[Byte]] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          sk = getHandle.getValueState[Array[Byte]](
+            "sketch", org.apache.spark.sql.Encoders.BINARY,
+            // TTL off for the MemoryStream-quiescence reason documented
+            // on [[runningTotals]]; live keys here are the ~6 event
+            // types, so state is bounded by keyspace × 4 KB.
+            TTLConfig.NONE)
+        override def handleInputRows(key: String, rows: Iterator[Ev],
+                                     timerValues: TimerValues): Iterator[(String, Long)] = {
+          val buf = if (sk.exists()) sk.get()
+                    else new Array[Byte](HyperLogLogAgg.M)
+          rows.foreach(e => HyperLogLogAgg.updateRegisters(
+            buf, e.user_id, org.apache.spark.sql.types.LongType))
+          sk.update(buf)
+          Iterator.single((key, HyperLogLogAgg.estimate(buf)))
+        }
+      },
+      TimeMode.None(), OutputMode.Update())
+  }
+
   /** st_cdc_apply: streaming twin of the batch q_cdc_apply log
     * compaction — a live CDC feed (Debezium topic, table-format change
     * stream) applied incrementally instead of compacted in one pass.

@@ -340,6 +340,34 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("st_rolling_distinct: binary sketch state converges to the batch sketch bit-for-bit") {
+    val evs = fixtureEvs.take(500)
+    withRocksDB(true) {
+      val ms = MemoryStream[Ev]
+      val q = Streams.rollingDistinct(ms.toDS())
+        .toDF("event_type", "est")
+        .writeStream.format("memory").queryName("t_hll_state")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        // Deliberately uneven micro-batches: the register-max invariant
+        // must make the final state independent of the batching.
+        Seq(137, 1, 200, 162).foldLeft(0) { (off, n) =>
+          ms.addData(evs.slice(off, off + n)); q.processAllAvailable(); off + n
+        }
+      } finally q.stop()
+    }
+    // est is nondecreasing per key, so the final emission is the max.
+    val finals = spark.table("t_hll_state")
+      .groupBy($"event_type").agg(max($"est").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.functions.Custom.register(spark)
+    val expected = evDf(evs).groupBy($"event_type")
+      .agg(expr("hll_distinct(user_id)").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(finals == expected,
+      s"streaming sketch diverged from batch sketch: $finals vs $expected")
+  }
+
   sessionizers.foreach { case (tag, sessionize, rocks) =>
     test(s"st_sessionize_state[$tag]: late-but-admissible event bridges two buffered sessions") {
       // The watermark-hold contract: events at 0min and 35min look like
