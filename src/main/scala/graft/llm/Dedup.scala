@@ -637,6 +637,98 @@ object Dedup {
                SELECT lang, id_a, id_b, n_inter, n_union,
                       CAST(jac AS DOUBLE) AS jac
                FROM near_pairs
-               ORDER BY lang, id_a, id_b"""))
+               ORDER BY lang, id_a, id_b""")),
+
+    // Bloom-filter dedup PRE-SCREEN against the standing corpus — the
+    // space-bounded front door of incremental ingest: the standing
+    // corpus's distinct shingles compress into a ~4200-word bit array
+    // (k=4 seeded 60-bit md5 hashes, 62 usable bits per word so neither
+    // engine's BIGINT shift can overflow), and each incoming doc counts
+    // how many of its shingles the filter says it has maybe seen. A
+    // Bloom filter admits NO false negatives, so n_maybe ≥ n_true
+    // structurally, and a doc with n_maybe = 0 skips the (much more
+    // expensive) LSH/verification path entirely. Everything about the
+    // filter is deterministic md5 arithmetic, so the ORACLE REBUILDS THE
+    // IDENTICAL BLOOM in SQL and the gate hash-compares n_maybe itself —
+    // no probabilistic-bound booleans needed (contrast udaf_hll). Scale
+    // shape: the build is one linear reduce to ≤4232 rows (bit_or
+    // partial-combines map-side), the probe side broadcasts those rows
+    // and stays scan-local; in production m grows with the corpus to
+    // hold the false-positive rate, and the array ships to every
+    // executor in KBs where the exact shingle set would be TBs.
+    "llm_dedup_bloom" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val WORDS = 4231L // m = 4231*62 = 262,322 bits
+        def bitsOf(side: String) =
+          shingled(s, dir)
+            .filter(if (side == "old") col("doc_id") % 2 === 0
+                    else col("doc_id") % 2 =!= 0)
+            .select(col("doc_id"), explode(col("sh")).as("tok"))
+            .select(col("doc_id"), col("tok"),
+                    explode(expr(s"""transform(sequence(0, 3), k ->
+                      tid60(concat(tok, '#', CAST(k AS STRING))) % ${WORDS * 62}L)"""))
+                      .as("idx"))
+            .select(col("doc_id"), col("tok"),
+                    expr("idx div 62").as("word"),
+                    expr("shiftleft(1L, CAST(idx % 62 AS INT))").as("mask"))
+        val bloom = bitsOf("old")
+          .groupBy(col("word"))
+          .agg(expr("bit_or(mask)").as("bits"))
+        val oldToks = shingled(s, dir).filter(col("doc_id") % 2 === 0)
+          .select(explode(col("sh")).as("tok")).distinct()
+        val probes = bitsOf("new")
+          .join(broadcast(bloom), Seq("word"), "left")
+          .groupBy(col("doc_id"), col("tok"))
+          // flagged iff all 4 seeded bits are present
+          .agg(min(when(expr("bits is not null and (bits & mask) = mask"),
+                        1).otherwise(0)).as("hit"))
+        val truth = shingled(s, dir).filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), explode(col("sh")).as("tok"))
+          .join(oldToks.withColumnRenamed("tok", "otok"),
+                col("tok") === col("otok"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_sh"),
+               sum(when(col("otok").isNotNull, 1L).otherwise(0L)).as("n_true"))
+        probes.groupBy(col("doc_id"))
+          .agg(sum(col("hit")).cast("long").as("n_maybe"))
+          .join(truth, Seq("doc_id"))
+          .select(col("doc_id"), col("n_sh"), col("n_true"), col("n_maybe"),
+                  (col("n_maybe") >= col("n_true")).as("no_false_neg"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+                bits AS (SELECT doc_id, tok,
+                                (('0x' || substr(md5(tok || '#' || k), 1, 15))::BIGINT
+                                 % 262322) AS idx
+                         FROM (SELECT doc_id, unnest(sh) AS tok FROM s),
+                              (SELECT unnest(['0','1','2','3']) AS k) g),
+                wb AS (SELECT doc_id, tok, idx // 62 AS word,
+                              (1::BIGINT << CAST(idx % 62 AS INTEGER)) AS mask
+                       FROM bits),
+                bloom AS (SELECT word, bit_or(mask) AS bits
+                          FROM wb WHERE doc_id % 2 = 0 GROUP BY 1),
+                old_toks AS (SELECT DISTINCT unnest(sh) AS tok FROM s
+                             WHERE doc_id % 2 = 0),
+                probe AS (SELECT w.doc_id, w.tok,
+                                 MIN(CASE WHEN b.bits IS NOT NULL
+                                           AND (b.bits & w.mask) = w.mask
+                                          THEN 1 ELSE 0 END) AS hit
+                          FROM wb w LEFT JOIN bloom b ON w.word = b.word
+                          WHERE w.doc_id % 2 <> 0
+                          GROUP BY 1, 2),
+                maybe AS (SELECT doc_id, CAST(SUM(hit) AS BIGINT) AS n_maybe
+                          FROM probe GROUP BY 1),
+                truth AS (SELECT e.doc_id, COUNT(*) AS n_sh,
+                                 CAST(SUM(CASE WHEN o.tok IS NOT NULL
+                                          THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+                          FROM (SELECT doc_id, unnest(sh) AS tok FROM s
+                                WHERE doc_id % 2 <> 0) e
+                          LEFT JOIN old_toks o ON e.tok = o.tok
+                          GROUP BY 1)
+               SELECT t.doc_id, t.n_sh, t.n_true, m.n_maybe,
+                      (m.n_maybe >= t.n_true) AS no_false_neg
+               FROM truth t JOIN maybe m ON t.doc_id = m.doc_id
+               ORDER BY t.doc_id"""))
   )
 }

@@ -898,6 +898,43 @@ object Analytics {
                          (ORDER BY rem DESC, nk)
                        <= 1000 - (SELECT SUM(base) FROM q)
                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
-              FROM q ORDER BY nk"""))
+              FROM q ORDER BY nk""")),
+
+    // Summary-table (materialized-view) REWRITE: a day×priority MV is
+    // materialized once, and the DECLARED month-grain query reads ONLY
+    // the MV — the aggregate-navigability contract every lakehouse
+    // rollup stack (dbt marts, Druid/Pinot rollups, BI extracts) rests
+    // on. The oracle aggregates the RAW fact table, so the hash gate is
+    // the proof that answering from the summary is lossless: counts
+    // re-sum exactly and money stays DECIMAL(38,4) INSIDE the MV
+    // parquet (an MV that stored doubles would re-introduce
+    // accumulation-order drift at re-agg time — the exact mistake the
+    // decimal lane exists to prevent), cast to double only at the final
+    // month emission. Scale shape: the fact table is touched once at MV
+    // build; every month/quarter/year query after that scans O(days ×
+    // priorities) rows. Plan-audited: the declared query's scan reads
+    // the MV path, never the fact table.
+    "q_mv_rewrite" -> Q(
+      (s, dir) => {
+        val mvPath = s"${graft.Fixtures.dir}/orders_mv_daily"
+        Tables.orders(s, dir)
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"),
+                   col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+               sum(col("o_totalprice").cast(H.D)).as("sd"))
+          .write.mode("overwrite").parquet(mvPath)
+        s.read.parquet(mvPath)
+          .groupBy(date_trunc("month", col("day")).as("month"),
+                   col("o_orderpriority"))
+          .agg(sum(col("n")).as("n_orders"),
+               sum(col("sd")).cast("double").as("total"))
+          .orderBy(col("month"), col("o_orderpriority"))
+      },
+      Some(s"""SELECT date_trunc('month', o_orderdate) AS month,
+                      o_orderpriority,
+                      COUNT(*) AS n_orders,
+                      ${H.oSum("o_totalprice")} AS total
+               FROM orders
+               GROUP BY 1, 2 ORDER BY month, o_orderpriority"""))
   )
 }

@@ -1127,6 +1127,24 @@ class PlanAuditSpec extends SparkSuite {
       s"zone stats must partial-aggregate map-side:\n$p")
   }
 
+  test("q_mv_rewrite: month query scans ONLY the materialized summary, never the fact table") {
+    val p = planOf("q_mv_rewrite")
+    assert(p.contains("orders_mv_daily"),
+      s"declared query must read the MV path:\n$p")
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"exactly one scan (the MV) — a second means the fact table leaked in:\n$p")
+    assert(p.contains("partial_sum"), s"month re-agg must map-side combine:\n$p")
+  }
+
+  test("llm_dedup_bloom: filter words broadcast; probe stays scan-local equi-join") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("llm_dedup_bloom")
+    assert(!p.contains("CartesianProduct"),
+      s"bloom probe must never cross-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=4232-word filter table must broadcast to the probe side:\n$p")
+  }
+
   test("q_scd2_incremental: delta+dim only — user-keyed equi-joins, no cache residue") {
     val df = Registry.byName("q_scd2_incremental").fn(spark, sf)
     df.count()
