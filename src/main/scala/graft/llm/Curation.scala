@@ -301,6 +301,61 @@ object Curation {
                       norm_iw > t_iw OR
                         (norm_iw = t_iw AND doc_id <= t_id) AS selected
                FROM norm, thr
-               ORDER BY doc_id"""))
+               ORDER BY doc_id""")),
+
+    // Span-corruption training-pair generation (the T5/UL2 denoising
+    // objective): deterministically mask ~1 in 5 token positions via the
+    // same 60-bit md5 arithmetic both engines share (tid60 parity — no
+    // RNG anywhere, so a re-run regenerates byte-identical pairs, which
+    // is what makes a corruption pass resumable/cacheable at 100 TB),
+    // emit the corrupted input and the extraction target. Entirely
+    // scan-pipelined in-row array programs — transform/filter over the
+    // token array, zero joins, zero shuffles before the output sort.
+    "llm_span_mask" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .withColumn("masked_arr", expr(
+            """transform(toks, (t, i) ->
+                 CASE WHEN tid60(concat(CAST(doc_id AS STRING), ':',
+                                        CAST(i AS STRING))) % 5 = 0
+                      THEN '<mask>' ELSE t END)"""))
+          .withColumn("targets_arr", expr(
+            """filter(transform(toks, (t, i) ->
+                 CASE WHEN tid60(concat(CAST(doc_id AS STRING), ':',
+                                        CAST(i AS STRING))) % 5 = 0
+                      THEN t END), x -> x IS NOT NULL)"""))
+          .select(col("doc_id"),
+                  size(col("targets_arr")).as("n_masked"),
+                  array_join(col("masked_arr"), " ").as("masked_text"),
+                  array_join(col("targets_arr"), " ").as("targets"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+                    z AS (SELECT doc_id,
+                                 list_transform(
+                                   list_zip(toks, generate_series(1, len(toks))),
+                                   p -> CASE WHEN
+                                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || ':' || CAST(p[2] - 1 AS VARCHAR)),
+                                          1, 15))::BIGINT % 5 = 0
+                                     THEN '<mask>' ELSE p[1] END) AS masked_arr,
+                                 list_filter(list_transform(
+                                   list_zip(toks, generate_series(1, len(toks))),
+                                   p -> CASE WHEN
+                                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || ':' || CAST(p[2] - 1 AS VARCHAR)),
+                                          1, 15))::BIGINT % 5 = 0
+                                     THEN p[1] END), x -> x IS NOT NULL)
+                                   AS targets_arr
+                          FROM t)
+               SELECT doc_id,
+                      CAST(len(targets_arr) AS INTEGER) AS n_masked,
+                      array_to_string(masked_arr, ' ') AS masked_text,
+                      -- DuckDB: array_to_string(empty list) is NULL where
+                      -- Spark's array_join is '' — coalesce to match
+                      COALESCE(array_to_string(targets_arr, ' '), '') AS targets
+               FROM z ORDER BY doc_id"""))
   )
 }

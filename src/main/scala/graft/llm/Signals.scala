@@ -247,6 +247,71 @@ object Signals {
                            AS BIGINT) AS n_pos,
                       CAST(CAST(SUM(CAST(p AS DECIMAL(18,6))) / COUNT(*)
                                 AS DECIMAL(18,6)) AS DOUBLE) AS mean_p
-               FROM p GROUP BY 1 ORDER BY source"""))
+               FROM p GROUP BY 1 ORDER BY source""")),
+
+    // Delete-one-GROUP jackknife CI for a corpus-level metric (mean doc
+    // length) — the deterministic uncertainty quantification an eval
+    // report ships next to its point estimate (bootstrap needs RNG,
+    // which the engine's determinism contract bans; grouped jackknife
+    // is the standard substitute, and leaving out whole SOURCES also
+    // respects within-source correlation that a per-doc resample would
+    // ignore). ONE corpus scan reduces to per-source (sum, count); each
+    // leave-one-out estimate is then pure arithmetic on that reduced
+    // table — θ_i = (T−T_i)/(N−N_i) is one exact-int double division —
+    // and the SE folds the rounded θ_i's in decimal. Scale shape:
+    // everything after the map-combined reduce runs on |sources| rows.
+    "llm_jackknife_ci" -> Q(
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("t_i"), count(lit(1)).as("n_i"))
+        val tot = g.agg(sum(col("t_i")).as("t"), sum(col("n_i")).as("n"),
+                        count(lit(1)).as("k"))
+        val theta = g.crossJoin(broadcast(tot))
+          .withColumn("theta_i", round(
+            (col("t") - col("t_i")).cast("double")
+              / (col("n") - col("n_i")).cast("double"), 6))
+        val jbar = theta.agg(
+          (sum(col("theta_i").cast("decimal(28,6)")) / count(lit(1)))
+            .cast("decimal(28,6)").cast("double").as("jbar"),
+          max(col("k")).as("k"), max(col("t")).as("t"), max(col("n")).as("n"))
+        theta.crossJoin(broadcast(jbar.select(col("jbar"))))
+          .withColumn("dev2", round(
+            (col("theta_i") - col("jbar")) * (col("theta_i") - col("jbar")), 6))
+          .agg(max(col("k")).as("k_groups"),
+               round(max(col("t")).cast("double") / max(col("n")), 6).as("theta"),
+               round(sqrt(
+                 (max(col("k")) - lit(1)).cast("double") / max(col("k"))
+                   * sum(col("dev2").cast("decimal(28,6)")).cast("double")), 6)
+                 .as("jack_se"))
+          .select(col("k_groups"), col("theta"), col("jack_se"),
+                  round(col("theta") - lit(1.96) * col("jack_se"), 6).as("ci_lo"),
+                  round(col("theta") + lit(1.96) * col("jack_se"), 6).as("ci_hi"))
+      },
+      Some("""WITH g AS (SELECT source, SUM(n_chars) AS t_i, COUNT(*) AS n_i
+                         FROM documents GROUP BY 1),
+                   tot AS (SELECT SUM(t_i) AS t, SUM(n_i) AS n,
+                                  COUNT(*) AS k FROM g),
+                   th AS (SELECT round(CAST(t - t_i AS DOUBLE)
+                                       / CAST(n - n_i AS DOUBLE), 6) AS theta_i
+                          FROM g, tot),
+                   jb AS (SELECT CAST(CAST(SUM(CAST(theta_i AS DECIMAL(28,6)))
+                                           / COUNT(*) AS DECIMAL(28,6))
+                                      AS DOUBLE) AS jbar
+                          FROM th),
+                   se AS (SELECT MAX(tot.k) AS k_groups,
+                                 round(CAST(MAX(tot.t) AS DOUBLE)
+                                       / MAX(tot.n), 6) AS theta,
+                                 round(sqrt(CAST(MAX(tot.k) - 1 AS DOUBLE)
+                                            / MAX(tot.k)
+                                   * CAST(SUM(CAST(round((th.theta_i - jb.jbar)
+                                         * (th.theta_i - jb.jbar), 6)
+                                       AS DECIMAL(28,6))) AS DOUBLE)), 6)
+                                   AS jack_se
+                          FROM th, jb, tot)
+              SELECT CAST(k_groups AS BIGINT) AS k_groups, theta, jack_se,
+                     round(theta - 1.96 * jack_se, 6) AS ci_lo,
+                     round(theta + 1.96 * jack_se, 6) AS ci_hi
+              FROM se"""))
   )
 }

@@ -149,6 +149,11 @@ object Spectral {
     "llm_abtt_apply" -> Q(
       (s, dir) => {
         val e = exploded(s, dir).localCheckpoint() // see llm_pca_power
+        // w and p stay LAZY on purpose: localCheckpoint-ing either (or
+        // both) was measured 12-40% SLOWER (7.2 s lazy vs 8.1/10.1 s
+        // checkpointed at sf0.1) — the eager jobs serialize what the
+        // single final plan otherwise pipelines, and exchange reuse
+        // already shares the direction subtree between its two uses.
         val w = topDirection(e)
         val p = e.join(broadcast(w), Seq("pos"))
           .groupBy(col("id"))
