@@ -486,6 +486,71 @@ object Screens {
                        AS n_exposed_rows
               FROM g, t GROUP BY 1 ORDER BY t""")),
 
+    // t-closeness — the third rung of the release-privacy ladder after
+    // llm_kanon (group size) and llm_ldiversity (sensitive-value
+    // variety): how far each quasi-identifier group's SOURCE
+    // distribution drifts from the global one, measured by total
+    // variation distance (the categorical EMD), TVD = ½·Σ|p_g − p|.
+    // A group whose distribution pins to one source leaks membership
+    // even when k and l both pass. Shape: two map-combined reduces
+    // (group×source cells, global source marginals) and a broadcast
+    // grid join — absent sources enter the sum as p_g = 0 via the
+    // group×source cross of the two REDUCED tables, so the corpus is
+    // scanned once and the TVD arithmetic runs on cells only. Each
+    // |ratio − ratio| term is two exact-int divisions + one subtract
+    // (deterministic IEEE), rounded at 6 and decimal-summed.
+    "llm_tcloseness" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("lang"), expr("n_chars DIV 100").as("len_band"),
+                  col("source"))
+        val cells = d.groupBy(col("lang"), col("len_band"), col("source"))
+          .agg(count(lit(1)).as("c_gs"))
+        val groups = cells.groupBy(col("lang"), col("len_band"))
+          .agg(sum(col("c_gs")).as("gn"))
+        val global = d.groupBy(col("source")).agg(count(lit(1)).as("c_s"))
+        val tot = global.agg(sum(col("c_s")).as("n"))
+        groups.crossJoin(broadcast(global)).crossJoin(broadcast(tot))
+          .join(cells, Seq("lang", "len_band", "source"), "left")
+          .na.fill(0L, Seq("c_gs"))
+          .withColumn("term", round(abs(
+            col("c_gs").cast("double") / col("gn").cast("double")
+              - col("c_s").cast("double") / col("n").cast("double")), 6))
+          .groupBy(col("lang"), col("len_band"))
+          .agg(max(col("gn")).as("gn"),
+               round(lit(0.5) *
+                 sum(col("term").cast("decimal(28,6)")).cast("double"), 6)
+                 .as("tvd"))
+          .withColumn("breach", col("tvd") > 0.3)
+          .orderBy(col("lang"), col("len_band"))
+      },
+      Some("""WITH d AS (SELECT lang, n_chars // 100 AS len_band, source
+                         FROM documents),
+                   cells AS (SELECT lang, len_band, source, COUNT(*) AS c_gs
+                             FROM d GROUP BY 1, 2, 3),
+                   groups AS (SELECT lang, len_band, SUM(c_gs) AS gn
+                              FROM cells GROUP BY 1, 2),
+                   gsrc AS (SELECT source, COUNT(*) AS c_s FROM d GROUP BY 1),
+                   tot AS (SELECT SUM(c_s) AS n FROM gsrc),
+                   grid AS (SELECT g.lang, g.len_band, g.gn,
+                                   gl.source, gl.c_s, t.n,
+                                   COALESCE(c.c_gs, 0) AS c_gs
+                            FROM groups g CROSS JOIN gsrc gl CROSS JOIN tot t
+                            LEFT JOIN cells c
+                              ON c.lang = g.lang AND c.len_band = g.len_band
+                             AND c.source = gl.source)
+              SELECT lang, len_band, CAST(MAX(gn) AS BIGINT) AS gn,
+                     round(0.5 * CAST(SUM(CAST(round(abs(
+                         CAST(c_gs AS DOUBLE) / CAST(gn AS DOUBLE)
+                         - CAST(c_s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                       AS DECIMAL(28,6))) AS DOUBLE), 6) AS tvd,
+                     round(0.5 * CAST(SUM(CAST(round(abs(
+                         CAST(c_gs AS DOUBLE) / CAST(gn AS DOUBLE)
+                         - CAST(c_s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                       AS DECIMAL(28,6))) AS DOUBLE), 6) > 0.3 AS breach
+              FROM grid GROUP BY 1, 2
+              ORDER BY lang, len_band""")),
+
     // BM25 ranked retrieval (k1 = 1.2, b = 0.75): the 5 query docs
     // (doc_id < 5) against the rest of the corpus, top-5 hits each —
     // the lexical-retrieval side of a RAG stack beside llm_rag_context's

@@ -935,6 +935,54 @@ object Analytics {
                       COUNT(*) AS n_orders,
                       ${H.oSum("o_totalprice")} AS total
                FROM orders
-               GROUP BY 1, 2 ORDER BY month, o_orderpriority"""))
+               GROUP BY 1, 2 ORDER BY month, o_orderpriority""")),
+
+    // Winsorization — clip each group's values at its exact p05/p95 and
+    // report the robust vs raw means: the de-fanging transform applied
+    // before any mean-based KPI when heavy tails would let a few rows
+    // own the average (q_anomaly_mad FLAGS outliers; this key is the
+    // complementary treatment that keeps the rows). Same scale shape as
+    // the MAD key: exact percentiles need a per-group reduce by nature,
+    // the 5-row bounds table broadcasts back onto the stream, and the
+    // clip itself is scan-pipelined — one corpus shuffle on event_type
+    // total. Percentiles and clipped values round at 6 (the documented
+    // Spark-percentile == DuckDB-quantile_cont libm parity grain);
+    // means ride the decimal lanes.
+    "q_winsorize" -> Q(
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+        val bounds = ev.groupBy(col("event_type"))
+          .agg(round(expr("percentile(value, 0.05)"), 6).as("lo"),
+               round(expr("percentile(value, 0.95)"), 6).as("hi"))
+        ev.join(broadcast(bounds), Seq("event_type"))
+          .withColumn("wv", round(least(greatest(col("value"), col("lo")),
+                                        col("hi")), 6))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+               sum(when(col("value") < col("lo"), 1L)
+                     .when(col("value") > col("hi"), 1L)
+                     .otherwise(0L)).as("n_clipped"),
+               H.davg(col("value")).as("mean_raw"),
+               (sum(col("wv").cast("decimal(38,6)")) / count(lit(1)))
+                 .cast("decimal(38,6)").cast("double").as("mean_wins"))
+          .orderBy(col("event_type"))
+      },
+      Some(s"""WITH b AS (SELECT event_type,
+                                 round(quantile_cont(value, 0.05), 6) AS lo,
+                                 round(quantile_cont(value, 0.95), 6) AS hi
+                          FROM events GROUP BY 1)
+               SELECT e.event_type AS event_type, COUNT(*) AS n,
+                      MIN(b.lo) AS lo, MIN(b.hi) AS hi,
+                      CAST(SUM(CASE WHEN e.value < b.lo THEN 1
+                                    WHEN e.value > b.hi THEN 1
+                                    ELSE 0 END) AS BIGINT) AS n_clipped,
+                      ${H.oAvg("e.value")} AS mean_raw,
+                      CAST(CAST(SUM(CAST(round(least(greatest(e.value, b.lo),
+                                                     b.hi), 6)
+                                         AS DECIMAL(38,6))) / COUNT(*)
+                                AS DECIMAL(38,6)) AS DOUBLE) AS mean_wins
+               FROM events e JOIN b USING (event_type)
+               GROUP BY 1 ORDER BY 1"""))
   )
 }

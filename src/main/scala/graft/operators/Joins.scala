@@ -565,5 +565,66 @@ object Joins {
                 ON a.lang = b.lang AND a.doc_id < b.doc_id
                AND abs(a.n_chars - b.n_chars) <= 2
               ORDER BY lang, id_a, id_b"""))
+    ,
+
+    // Point-in-time DIMENSION join — the feature-store correctness
+    // join: every purchase event picks up the user's SCD2 status AS OF
+    // the purchase instant via validity-interval containment
+    // (valid_from <= ts < valid_to, open interval = NULL-to). This is
+    // what training-set assembly must use instead of joining today's
+    // dimension onto yesterday's facts (label leakage); the q_scd2
+    // intervals partition each user's timeline, so every fact lands in
+    // EXACTLY one dim row — no row explosion, no loss — and the
+    // purchase that itself opened a run matches that run (>= on the
+    // open edge). Shape: equi-join on user_id with the interval
+    // predicate as a residual filter — one user-keyed shuffle pair; at
+    // 100 TB both sides co-partition on the key and the residual
+    // evaluates in the join, never a theta/nested-loop plan.
+    "q_join_pit" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val ch = Tables.events(s, dir)
+          .withColumn("prev_status", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_status").isNull ||
+                  col("prev_status") =!= col("event_type"))
+          .select(col("user_id"), col("event_id"),
+                  col("event_type").as("status"), col("ts").as("valid_from"))
+        val w2 = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from"), col("event_id"))
+        val dim = ch.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+          .select(col("user_id").as("d_user"), col("status"),
+                  col("valid_from"), col("valid_to"))
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("buy_id"), col("user_id"), col("ts"))
+          .join(dim,
+            col("user_id") === col("d_user") &&
+            col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+          .select(col("buy_id"), col("user_id"), col("ts"),
+                  col("status"), col("valid_from"))
+          .orderBy(col("buy_id"))
+      },
+      Some("""WITH o AS (SELECT user_id, event_id, ts, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_status
+                   FROM events),
+                   ch AS (SELECT user_id, event_id, event_type AS status,
+                                 ts AS valid_from
+                          FROM o
+                          WHERE prev_status IS NULL OR prev_status <> event_type),
+                   dim AS (SELECT user_id AS d_user, status, valid_from,
+                                  LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, event_id) AS valid_to
+                           FROM ch)
+              SELECT b.event_id AS buy_id, b.user_id, b.ts,
+                     d.status, d.valid_from
+              FROM events b JOIN dim d
+                ON b.user_id = d.d_user
+               AND b.ts >= d.valid_from
+               AND (d.valid_to IS NULL OR b.ts < d.valid_to)
+              WHERE b.event_type = 'purchase'
+              ORDER BY buy_id"""))
   )
 }

@@ -1127,6 +1127,26 @@ class PlanAuditSpec extends SparkSuite {
       s"zone stats must partial-aggregate map-side:\n$p")
   }
 
+  test("q_join_pit: interval containment rides the user_id equi-join, never a theta join") {
+    val p = planOf("q_join_pit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PIT dim join must hash on user_id with the interval as residual:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"),
+      s"expected a keyed join:\n$p")
+  }
+
+  test("q_winsorize / llm_tcloseness: bounds/marginals broadcast back, cells-only arithmetic") {
+    val pw = planOf("q_winsorize")
+    assert(pw.contains("BroadcastHashJoin"),
+      s"the 5-row percentile bounds must broadcast onto the stream:\n$pw")
+    val pt = planOf("llm_tcloseness")
+    assert(!pt.contains("CartesianProduct"),
+      s"the group x source grid must ride broadcast crosses of REDUCED tables:\n$pt")
+    assert(pt.contains("partial_count") || pt.contains("partial_sum"),
+      s"cell reduces must map-side combine:\n$pt")
+  }
+
   test("q_mv_rewrite: month query scans ONLY the materialized summary, never the fact table") {
     val p = planOf("q_mv_rewrite")
     assert(p.contains("orders_mv_daily"),
