@@ -312,6 +312,42 @@ object Signals {
               SELECT CAST(k_groups AS BIGINT) AS k_groups, theta, jack_se,
                      round(theta - 1.96 * jack_se, 6) AS ci_lo,
                      round(theta + 1.96 * jack_se, 6) AS ci_hi
-              FROM se"""))
+              FROM se""")),
+
+    // Hashing-trick featurization — fixed-width token-count vectors with
+    // NO vocabulary pass (slot = tid60(token) mod D): the featurizer
+    // that works on a 100 TB stream precisely because it needs no
+    // global dictionary build, no broadcast, no shuffle — one in-row
+    // array program per document (collisions are the accepted trade,
+    // which is why the declared output also carries nnz). D = 16 keeps
+    // the fixture's vector printable; production widens D, same plan.
+    // Vectors are emitted as comma-joined strings (declared arrays are
+    // banned — the driver's pandas row-sort crashes on ndarray cells).
+    "llm_feature_hash" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .withColumn("fv_arr", expr(
+            """transform(sequence(0, 15), s ->
+                 size(filter(toks, t -> tid60(t) % 16 = s)))"""))
+          .select(col("doc_id"), size(col("toks")).as("n_toks"),
+                  size(expr("filter(fv_arr, c -> c > 0)")).as("nnz"),
+                  array_join(col("fv_arr"), ",").as("fv"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+                    f AS (SELECT doc_id, toks,
+                                 list_transform(generate_series(0, 15), s ->
+                                   len(list_filter(toks, tk ->
+                                     ('0x' || substr(md5(tk), 1, 15))::BIGINT
+                                       % 16 = s))) AS fv_arr
+                          FROM t)
+               SELECT doc_id,
+                      CAST(len(toks) AS INTEGER) AS n_toks,
+                      CAST(len(list_filter(fv_arr, c -> c > 0)) AS INTEGER)
+                        AS nnz,
+                      array_to_string(fv_arr, ',') AS fv
+               FROM f ORDER BY doc_id"""))
   )
 }

@@ -601,6 +601,36 @@ object Aggs {
       Some("""SELECT p_brand AS brand, COUNT(*) AS n
               FROM part
               GROUP BY 1
-              ORDER BY n DESC, brand LIMIT 5"""))
+              ORDER BY n DESC, brand LIMIT 5""")),
+
+    // DYNAMIC pivot — q_agg_pivot's column list is compile-time fixed;
+    // here the pivot values are DISCOVERED from the data first (sorted
+    // distinct o_orderstatus), because Spark's pivot columns must be
+    // known to the PLAN: the two-phase collect-then-pivot is the
+    // documented production pattern (a driver-side collect of the
+    // |distinct values| ONLY — bounded by the category cardinality, not
+    // the corpus, so it is the one legitimate collect class). The
+    // oracle pins the fixture instantiation of the discovered set
+    // (F/O/P); a fixture with new statuses changes the declared schema
+    // by design — that is what "dynamic" means.
+    "q_agg_pivot_dynamic" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val statuses = o.select(col("o_orderstatus")).distinct()
+          .orderBy(col("o_orderstatus"))
+          .collect().map(_.getString(0)).toSeq // |distinct| rows, bounded
+        val piv = o.groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", statuses)
+          .agg(count(lit(1)))
+        piv.select(col("o_orderpriority") +:
+            statuses.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+                     COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
+                     COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_O,
+                     COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_P
+              FROM orders
+              GROUP BY 1 ORDER BY o_orderpriority"""))
   )
 }

@@ -244,6 +244,37 @@ object Filters {
       Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
               FROM orders
               WHERE o_totalprice > 300000.0 AND o_orderstatus = 'O'
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // SQL session VARIABLES + the IDENTIFIER clause — the other half of
+    // the parameterized-SQL surface (q_sql_params binds per-call args;
+    // variables persist across statements in the session, and
+    // IDENTIFIER() lets the TABLE NAME itself come from a variable
+    // without string splicing — the injection-safe form of dynamic SQL
+    // that scripted ELT (dbt-style loops over table lists) needs).
+    // DECLARE OR REPLACE keeps the key idempotent across reruns in one
+    // session. The bound values still constant-fold and push to the
+    // scan; the oracle spells everything inline.
+    "q_sql_variables" -> Q(
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("graft_var_lineitem")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_min_qty DOUBLE DEFAULT 0.0")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_src STRING DEFAULT ''")
+        s.sql("SET VAR graft_min_qty = 47.0")
+        s.sql("SET VAR graft_src = 'graft_var_lineitem'")
+        s.sql(
+          """SELECT l_returnflag, COUNT(*) AS n,
+                    CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+                      AS sum_qty
+             FROM IDENTIFIER(graft_src)
+             WHERE l_quantity >= graft_min_qty
+             GROUP BY l_returnflag
+             ORDER BY l_returnflag""")
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                      ${H.oSum("l_quantity")} AS sum_qty
+               FROM lineitem
+               WHERE l_quantity >= 47.0
+               GROUP BY 1 ORDER BY 1"""))
   )
 }
