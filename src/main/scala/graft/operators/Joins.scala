@@ -415,6 +415,54 @@ object Joins {
               FROM lww WHERE rn = 1 AND op <> 'D'
               ORDER BY k""")),
 
+    // CDC ROUND TRIP — snapshot diff ∘ changelog apply == identity: the
+    // changelog is GENERATED by full-outer diffing two table snapshots
+    // (I where only new has the key, D where only old, U where the
+    // image changed — the q_snapshot_diff mechanics), then APPLIED back
+    // onto the old snapshot (anti-join the D/U keys, union the I/U
+    // post-images). The oracle is the NEW snapshot's SQL directly, so
+    // the hash gate is the end-to-end proof that diff-then-apply
+    // reconstructs the target exactly — the invariant every
+    // replication/backfill pipeline silently assumes and rarely tests
+    // (the q_scd2_incremental proof pattern, applied to CDC). Scale
+    // shape: one full-outer hash join on the key + one anti/union pass,
+    // all key-partitioned, no iteration.
+    "q_cdc_roundtrip" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))
+        // Two deterministic snapshots: old misses %7 keys; new drops %13
+        // keys and bumps %5 prices — inserts, deletes, AND updates all
+        // genuinely occur in the diff.
+        val a = o.filter(col("k") % 7 =!= 0)
+        val b = o.filter(col("k") % 13 =!= 0)
+          .withColumn("price", when(col("k") % 5 === 0, col("price") + 100.0)
+                                 .otherwise(col("price")))
+        val diff = a.select(col("k"), col("status").as("a_status"),
+                            col("price").as("a_price"))
+          .join(b.select(col("k"), col("status").as("b_status"),
+                         col("price").as("b_price")), Seq("k"), "full_outer")
+          .withColumn("op",
+            when(col("a_price").isNull, "I")
+              .when(col("b_price").isNull, "D")
+              .when(col("a_price") =!= col("b_price") ||
+                    col("a_status") =!= col("b_status"), "U"))
+          .filter(col("op").isNotNull)
+        a.join(diff.filter(col("op").isin("D", "U")).select(col("k")),
+               Seq("k"), "left_anti")
+          .unionByName(diff.filter(col("op").isin("I", "U"))
+            .select(col("k"), col("b_status").as("status"),
+                    col("b_price").as("price")))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT o_orderkey AS k, o_orderstatus AS status,
+                     CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0
+                          ELSE o_totalprice END AS price
+              FROM orders
+              WHERE o_orderkey % 13 <> 0
+              ORDER BY k""")),
+
     // Bucketed co-located join — the shuffle-free 100 TB join layout:
     // both sides pre-bucketed (8 buckets) and sorted on the join key, so
     // the SortMergeJoin reads co-located buckets with NO Exchange on

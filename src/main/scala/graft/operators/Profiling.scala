@@ -373,6 +373,46 @@ object Profiling {
                               THEN 0 ELSE n END) AS BIGINT) AS rows_scanned,
                      CAST(SUM(match_sd) AS BIGINT) AS rows_selected
               FROM z
-              ORDER BY pred_col"""))
+              ORDER BY pred_col""")),
+
+    // Quantile normalization — replace each group's values by the
+    // cross-group mean at the same rank, forcing every group onto one
+    // distribution (the batch-effect correction from bioinformatics,
+    // equally the feature-alignment step when merging score columns
+    // from differently-calibrated sources). Distributed shape: the rank
+    // is a PER-GROUP window (one event_type shuffle, no global sort);
+    // the per-rank reference means reduce to max-group-size rows and
+    // join back on the rank key. Groups of unequal size contribute to a
+    // rank's reference only while they still have rows at that rank —
+    // declared semantics, identical in the oracle. Means ride the
+    // decimal lane; everything else is exact ints/doubles.
+    "q_quantile_norm" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        val ranked = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"), col("value"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+        val refs = ranked.groupBy(col("rk"))
+          .agg((sum(col("value").cast("decimal(38,6)")) / count(lit(1)))
+                 .cast("decimal(38,6)").cast("double").as("qn_value"))
+        ranked.join(refs, Seq("rk"))
+          .select(col("event_type"), col("event_id"), col("value"),
+                  col("rk"), col("qn_value"))
+          .orderBy(col("event_type"), col("rk"))
+      },
+      Some("""WITH r AS (SELECT event_type, event_id, value,
+                                ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rk
+                         FROM events),
+                   m AS (SELECT rk,
+                                CAST(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                                          / COUNT(*) AS DECIMAL(38,6))
+                                     AS DOUBLE) AS qn_value
+                         FROM r GROUP BY 1)
+              SELECT r.event_type, r.event_id, r.value, r.rk, m.qn_value
+              FROM r JOIN m USING (rk)
+              ORDER BY r.event_type, r.rk"""))
   )
 }
