@@ -459,6 +459,78 @@ object EventsBatch {
                      i.n_err
               FROM sess s JOIN inc i
                 ON s.sess_start < i.win_end AND s.sess_end > i.win_start
-              ORDER BY i.win_start, s.user_id, s.sess_id"""))
+              ORDER BY i.win_start, s.user_id, s.sess_id""")),
+
+    // Clamped running balance — bal_i = max(0, bal_{i-1} + delta_i),
+    // the inventory / prepaid-credit / rate-limit-bucket fold. The
+    // clamp makes this genuinely NON-LINEAR: no window sum expresses it
+    // (a floor hit erases history), so it rides the per-key in-row left
+    // fold (the q_ewma machinery) — one user_id shuffle, a bounded
+    // sorted array, and a sequential fold both engines execute in the
+    // same order over the same doubles. Deposits are purchase/signup
+    // values, everything else draws down. DuckDB's list_reduce has no
+    // init accumulator, so the oracle prepends the 0 seed (first fold
+    // step is then greatest(0, 0 + d1), identical to Spark's init).
+    "q_capped_running_sum" -> Q(
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(array_sort(collect_list(struct(
+            col("ts"), col("event_id"), col("event_type"), col("value")))).as("a"))
+          .select(col("user_id"),
+                  size(col("a")).cast("bigint").as("n_events"),
+                  round(expr(
+                    """aggregate(
+                         transform(a, x -> CASE WHEN x.event_type IN
+                             ('purchase', 'signup') THEN x.value
+                           ELSE -x.value END),
+                         CAST(0.0 AS DOUBLE),
+                         (acc, d) -> greatest(CAST(0.0 AS DOUBLE), acc + d))"""),
+                        6).as("balance"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH d AS (SELECT user_id,
+                     list(CASE WHEN event_type IN ('purchase', 'signup')
+                               THEN value ELSE -value END
+                          ORDER BY ts, event_id) AS deltas
+                   FROM events GROUP BY 1)
+              SELECT user_id, CAST(len(deltas) AS BIGINT) AS n_events,
+                     round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), deltas),
+                                       (acc, x) -> greatest(0.0, acc + x)), 6)
+                       AS balance
+              FROM d ORDER BY user_id""")),
+
+    // Path analysis — the top converting paths: for each purchase, the
+    // ordered types of the user's up-to-3 immediately preceding events,
+    // rendered as a path string and counted corpus-wide. One per-user
+    // window (shared exchange with every other user-keyed op) builds
+    // the trailing context in-frame — bounded 3-element state per row,
+    // never a per-user history array — then a plain count/top-10. The
+    // product-analytics complement to q_markov's one-step transition
+    // matrix: paths keep ORDER over multiple steps.
+    "q_funnel_paths" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-3, -1)
+        Tables.events(s, dir)
+          .withColumn("path_arr", collect_list(col("event_type")).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(concat_ws(">", col("path_arr")).as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(10)
+      },
+      Some("""WITH p AS (
+                SELECT event_type,
+                       COALESCE(array_to_string(list(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '>'), '')
+                         AS path
+                FROM events)
+              SELECT path, COUNT(*) AS n
+              FROM p WHERE event_type = 'purchase'
+              GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""))
   )
 }
