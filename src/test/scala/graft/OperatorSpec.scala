@@ -496,6 +496,58 @@ class OperatorSpec extends SparkSuite {
     val direct = li.agg(sum(col("l_quantity").cast(H.D))).collect()(0).getDecimal(0)
     assert(m("qty") == direct, s"observed qty ${m("qty")} != direct $direct")
   }
+
+  test("q_alloc_largest_remainder: seats sum to EXACTLY the budget, every share >= floor") {
+    // The apportionment invariants, independent of the oracle values:
+    // Hamilton's method always allocates exactly SEATS in total, and no
+    // nation gets less than its floored quota.
+    val rows = Registry.byName("q_alloc_largest_remainder").fn(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == 1000L,
+      s"allocation must sum to the 1000-seat budget")
+    assert(rows.forall(_.getLong(2) >= 0L))
+  }
+
+  test("llm_dedup_bloom: zero false negatives — structural, every row") {
+    graft.functions.Custom.register(spark)
+    val rows = Registry.byName("llm_dedup_bloom").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(4), s"false negative on doc ${r.getLong(0)}")
+      assert(r.getLong(3) >= r.getLong(2), // n_maybe >= n_true
+        s"bloom undercounted doc ${r.getLong(0)}")
+    }
+  }
+
+  test("q_join_pit: every purchase matches exactly one dimension interval") {
+    val out = Registry.byName("q_join_pit").fn(spark, sf)
+    val nPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.count() == nPurchases,
+      "PIT intervals must partition the timeline: one dim row per fact")
+    assert(out.select(col("buy_id")).distinct().count() == nPurchases,
+      "a purchase matched two intervals — intervals overlap")
+  }
+
+  test("q_capped_running_sum: balances are never negative and cap at the deposit sum") {
+    val rows = Registry.byName("q_capped_running_sum").fn(spark, sf).collect()
+    val deposits = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .groupBy(col("user_id")).agg(sum(col("value")).as("dep"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val bal = r.getDouble(2)
+      assert(bal >= 0.0, s"clamp violated for user ${r.getLong(0)}")
+      assert(bal <= deposits.getOrElse(r.getLong(0), 0.0) + 1e-6,
+        s"balance exceeds total deposits for user ${r.getLong(0)}")
+    }
+  }
+
+  test("q_hll_sliding: trailing estimate is exact in the sparse regime, per day") {
+    graft.functions.Custom.register(spark)
+    val rows = Registry.byName("q_hll_sliding").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "a day's sliding estimate left the 3-rsd bound")
+  }
 }
 
 /** Transports for the snk_rest retry tests, top-level so the
