@@ -922,6 +922,57 @@ object TextAnalysis {
                             END * sqrt(p1 * p2), 6) AS bleu2
                FROM j ORDER BY doc_id""")),
 
+    // Term burstiness — variance-to-mean ratio of a term's per-doc count
+    // over ALL docs (zeros included): a term with VMR ≈ 1 arrives
+    // Poisson-like (function words); VMR >> 1 clumps into few docs
+    // (topical/boilerplate terms) — the corpus statistic behind
+    // burstiness-aware TF weighting and boilerplate screens, orthogonal
+    // to rank-frequency (llm_zipf) and dispersion-free df. Zeros enter
+    // through the IDENTITY Σ over non-occurrences being 0: mean = Σtf/N
+    // and E[x²] = Σtf²/N need only the occurrence rows, so ONE tf reduce
+    // covers the whole N-doc population — no doc×term grid anywhere.
+    // Exact-int sums; two divisions + one subtract per term, rounded 6.
+    "llm_burstiness" -> Q(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val n = d.agg(count(lit(1)).as("n_docs"))
+        val tf = d.select(col("doc_id"), explode(expr(toksE)).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"),
+               sum(col("tf")).as("t1"), sum(col("tf") * col("tf")).as("t2"))
+          .filter(col("df") >= 10)
+          .crossJoin(broadcast(n))
+          .withColumn("mean_tf",
+            col("t1").cast("double") / col("n_docs").cast("double"))
+          .withColumn("ex2",
+            col("t2").cast("double") / col("n_docs").cast("double"))
+          .withColumn("vmr", round(
+            (col("ex2") - col("mean_tf") * col("mean_tf")) / col("mean_tf"), 6))
+          .select(col("term"), col("df"), col("t1").cast("long").as("total_tf"),
+                  round(col("mean_tf"), 6).as("mean_tf"), col("vmr"))
+          .orderBy(col("vmr").desc, col("term"))
+          .limit(20)
+      },
+      Some(s"""WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+                tf AS (SELECT doc_id, unnest($duckToks) AS term
+                       FROM documents),
+                c AS (SELECT doc_id, term, COUNT(*) AS tf
+                      FROM tf GROUP BY 1, 2),
+                s AS (SELECT term, COUNT(*) AS df,
+                             SUM(tf) AS t1, SUM(tf * tf) AS t2
+                      FROM c GROUP BY 1 HAVING COUNT(*) >= 10)
+               SELECT term, df, CAST(t1 AS BIGINT) AS total_tf,
+                      round(CAST(t1 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+                        AS mean_tf,
+                      round((CAST(t2 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                             - (CAST(t1 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                               * (CAST(t1 AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+                            / (CAST(t1 AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+                        AS vmr
+               FROM s, n
+               ORDER BY vmr DESC, term LIMIT 20""")),
+
     // ROUGE-1 / ROUGE-2 between adjacent same-source docs (candidate =
     // doc, reference = the source's next doc_id): the summarization-eval
     // staple beside llm_kappa / llm_self_bleu. Clipped n-gram overlap is

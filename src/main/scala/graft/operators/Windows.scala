@@ -174,6 +174,55 @@ object Windows {
                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
               ORDER BY user_id, event_id""")),
 
+    // Rolling z-score spike detection — each event scored against ITS OWN
+    // trailing 7-row frame (mean/std from exact-decimal power sums in the
+    // frame, the q_outliers spelling windowed): the local anomaly
+    // primitive that global z-scores (q_outliers) miss when the baseline
+    // drifts per user. All three frame sums ride the ONE user_id window
+    // exchange; the z arithmetic is the same parenthesized double chain
+    // both engines fold identically, rounded at 6. Frames shorter than 3
+    // rows emit NULL z (declared: no spike call on 2 points).
+    "q_rolling_zscore" -> Q(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-6, Window.currentRow)
+        val d = col("value").cast("decimal(18,4)")
+        Tables.events(s, dir)
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("s1", sum(d).over(w).cast("double"))
+          .withColumn("s2", sum(d * d).over(w).cast("double"))
+          .withColumn("z",
+            when(col("n") >= 3,
+              round((col("value") - col("s1") / col("n")) /
+                    sqrt(greatest(
+                      (col("s2") - col("s1") * col("s1") / col("n")) / col("n"),
+                      lit(1e-12))), 6)))
+          .select(col("user_id"), col("event_id"), col("value"),
+                  col("z"), (col("z").isNotNull && abs(col("z")) > 2.0).as("is_spike"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""WITH f AS (
+                SELECT user_id, event_id, ts, value,
+                       COUNT(*) OVER w AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w
+                            AS DOUBLE) AS s1,
+                       CAST(SUM(CAST(value AS DECIMAL(18,4))
+                                * CAST(value AS DECIMAL(18,4))) OVER w
+                            AS DOUBLE) AS s2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+              z AS (SELECT user_id, event_id, value,
+                           CASE WHEN n >= 3 THEN
+                             round((value - s1 / n)
+                                   / sqrt(greatest((s2 - s1 * s1 / n) / n,
+                                                   1e-12)), 6)
+                           END AS z
+                    FROM f)
+              SELECT user_id, event_id, value, z,
+                     (z IS NOT NULL AND abs(z) > 2.0) AS is_spike
+              FROM z ORDER BY user_id, event_id""")),
+
     // Navigation + distribution functions over the full partition frame:
     // first/last/nth order per priority class plus each order's
     // cumulative-distribution position. cume_dist is an exact small
