@@ -316,16 +316,22 @@ object Curation {
         graft.functions.Custom.register(s)
         Tables.documents(s, dir)
           .withColumn("toks", expr(toksE))
-          .withColumn("masked_arr", expr(
+          // The Bernoulli mask digests ONCE per position (review fix:
+          // masked_arr and targets_arr previously each recomputed the
+          // md5 — double hashing in the in-row hot path, and two lambda
+          // copies per engine free to drift on the next rule edit).
+          .withColumn("hits", expr(
             """transform(toks, (t, i) ->
-                 CASE WHEN tid60(concat(CAST(doc_id AS STRING), ':',
-                                        CAST(i AS STRING))) % 5 = 0
-                      THEN '<mask>' ELSE t END)"""))
+                 tid60(concat(CAST(doc_id AS STRING), ':',
+                              CAST(i AS STRING))) % 5 = 0)"""))
+          .withColumn("masked_arr", expr(
+            """zip_with(toks, hits,
+                 (t, h) -> CASE WHEN h THEN '<mask>' ELSE t END)"""))
           .withColumn("targets_arr", expr(
-            """filter(transform(toks, (t, i) ->
-                 CASE WHEN tid60(concat(CAST(doc_id AS STRING), ':',
-                                        CAST(i AS STRING))) % 5 = 0
-                      THEN t END), x -> x IS NOT NULL)"""))
+            """transform(filter(zip_with(toks, hits,
+                                         (t, h) -> struct(t AS t, h AS h)),
+                                x -> x.h),
+                         x -> x.t)"""))
           .select(col("doc_id"),
                   size(col("targets_arr")).as("n_masked"),
                   array_join(col("masked_arr"), " ").as("masked_text"),
@@ -333,23 +339,22 @@ object Curation {
           .orderBy(col("doc_id"))
       },
       Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+                    h AS (SELECT doc_id, toks,
+                                 list_transform(generate_series(1, len(toks)),
+                                   i -> ('0x' || substr(md5(
+                                          CAST(doc_id AS VARCHAR) || ':'
+                                          || CAST(i - 1 AS VARCHAR)),
+                                          1, 15))::BIGINT % 5 = 0) AS hits
+                          FROM t),
                     z AS (SELECT doc_id,
+                                 list_transform(list_zip(toks, hits),
+                                   p -> CASE WHEN p[2] THEN '<mask>'
+                                        ELSE p[1] END) AS masked_arr,
                                  list_transform(
-                                   list_zip(toks, generate_series(1, len(toks))),
-                                   p -> CASE WHEN
-                                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                                          || ':' || CAST(p[2] - 1 AS VARCHAR)),
-                                          1, 15))::BIGINT % 5 = 0
-                                     THEN '<mask>' ELSE p[1] END) AS masked_arr,
-                                 list_filter(list_transform(
-                                   list_zip(toks, generate_series(1, len(toks))),
-                                   p -> CASE WHEN
-                                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                                          || ':' || CAST(p[2] - 1 AS VARCHAR)),
-                                          1, 15))::BIGINT % 5 = 0
-                                     THEN p[1] END), x -> x IS NOT NULL)
-                                   AS targets_arr
-                          FROM t)
+                                   list_filter(list_zip(toks, hits),
+                                               p -> p[2]),
+                                   p -> p[1]) AS targets_arr
+                          FROM h)
                SELECT doc_id,
                       CAST(len(targets_arr) AS INTEGER) AS n_masked,
                       array_to_string(masked_arr, ' ') AS masked_text,

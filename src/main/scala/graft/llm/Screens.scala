@@ -508,7 +508,11 @@ object Screens {
           .agg(count(lit(1)).as("c_gs"))
         val groups = cells.groupBy(col("lang"), col("len_band"))
           .agg(sum(col("c_gs")).as("gn"))
-        val global = d.groupBy(col("source")).agg(count(lit(1)).as("c_s"))
+        // Global marginals re-reduce the CELLS table, not the corpus —
+        // the cells already partition every row, so a second corpus
+        // scan here would only recompute what Σ c_gs knows (review fix:
+        // the scan-once contract now holds as implemented).
+        val global = cells.groupBy(col("source")).agg(sum(col("c_gs")).as("c_s"))
         val tot = global.agg(sum(col("c_s")).as("n"))
         groups.crossJoin(broadcast(global)).crossJoin(broadcast(tot))
           .join(cells, Seq("lang", "len_band", "source"), "left")
@@ -530,7 +534,8 @@ object Screens {
                              FROM d GROUP BY 1, 2, 3),
                    groups AS (SELECT lang, len_band, SUM(c_gs) AS gn
                               FROM cells GROUP BY 1, 2),
-                   gsrc AS (SELECT source, COUNT(*) AS c_s FROM d GROUP BY 1),
+                   gsrc AS (SELECT source, SUM(c_gs) AS c_s
+                            FROM cells GROUP BY 1),
                    tot AS (SELECT SUM(c_s) AS n FROM gsrc),
                    grid AS (SELECT g.lang, g.len_band, g.gn,
                                    gl.source, gl.c_s, t.n,
@@ -577,9 +582,17 @@ object Screens {
           count(lit(1)).as("n_docs"),
           (sum(col("dl").cast("decimal(38,6)")) / count(lit(1)))
             .cast("decimal(38,6)").cast("double").as("avgdl"))
-        val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         val qterms = tf.filter(col("doc_id") < 5)
           .select(col("doc_id").as("q_id"), col("tok"))
+        // df restricted to QUERY terms before the broadcast (review
+        // fix): the full-vocabulary df table scales with the corpus,
+        // not the query set — broadcasting it whole was the exact
+        // executor-memory hazard the comment claimed to avoid. The
+        // semi-join keeps the shipped table bounded by |query terms|.
+        val df = tf
+          .join(broadcast(qterms.select(col("tok")).distinct()),
+                Seq("tok"), "left_semi")
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
         val hits = qterms
           .join(tf.join(dl, Seq("doc_id")), Seq("tok"))
           .filter(col("doc_id") =!= col("q_id"))
@@ -614,8 +627,9 @@ object Screens {
                                            / COUNT(*) AS DECIMAL(38,6))
                                       AS DOUBLE) AS avgdl
                           FROM dl),
-                df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
                 q AS (SELECT doc_id AS q_id, tok FROM tf WHERE doc_id < 5),
+                df AS (SELECT tok, COUNT(*) AS df FROM tf
+                       WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
                 h AS (SELECT q.q_id, t.doc_id,
                              round(round(ln((CAST(s.n_docs AS DOUBLE)
                                              - CAST(f.df AS DOUBLE) + 0.5)
