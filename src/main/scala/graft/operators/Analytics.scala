@@ -983,6 +983,193 @@ object Analytics {
                                          AS DECIMAL(38,6))) / COUNT(*)
                                 AS DECIMAL(38,6)) AS DOUBLE) AS mean_wins
                FROM events e JOIN b USING (event_type)
-               GROUP BY 1 ORDER BY 1"""))
+               GROUP BY 1 ORDER BY 1""")),
+
+    // Mann-Whitney U (Wilcoxon rank-sum) between purchase and signup
+    // amounts — the nonparametric sibling of q_ab_test for when the
+    // normality assumption behind Welch's t is off the table. Ranks are
+    // computed REDUCE-FIRST: group to one row per distinct value (the
+    // value-domain table, bounded by the 2-decimal amount domain, not by
+    // row count), then one global running sum over that reduced table
+    // gives every tie block's average rank. All rank arithmetic stays in
+    // INTEGERS by carrying doubled ranks (ar2 = 2*rank_before + t + 1, so
+    // tie-averaged .5s never leave the bigint lane): ra2 = 2*R_a and
+    // u2 = 2*U_a are exact bigints on both engines, and the only doubles
+    // are the final tie-corrected normal approximation (identical
+    // expression trees, rounded at 6). One scan, one shuffle to the
+    // value-domain table, one single-partition window over it.
+    "q_mannwhitney" -> Q(
+      (s, dir) => {
+        val byV = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "signup"))
+          .groupBy(col("value"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ta"),
+               sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("tb"))
+          .withColumn("t", col("ta") + col("tb"))
+        val before = Window.orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val a = byV
+          .withColumn("ar2",
+            lit(2L) * coalesce(sum(col("t")).over(before), lit(0L))
+              + col("t") + 1L)
+          .agg(sum(col("ta")).as("na"), sum(col("tb")).as("nb"),
+               sum(col("ta") * col("ar2")).as("ra2"),
+               sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+        val n = col("na") + col("nb")
+        val u2 = col("ra2") - col("na") * (col("na") + 1L)
+        val varU = (col("na") * col("nb")).cast("double") / 12.0 *
+          ((n + 1L).cast("double")
+             - col("ties").cast("double") / (n * (n - 1L)).cast("double"))
+        a.select(col("na"), col("nb"),
+                 (u2.cast("double") / 2.0).as("u_stat"),
+                 round((u2 - col("na") * col("nb")).cast("double")
+                         / (lit(2.0) * sqrt(varU)), 6).as("z_stat"))
+      },
+      Some("""WITH g AS (
+                SELECT value,
+                       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                            AS BIGINT) AS ta,
+                       CAST(COUNT(*) FILTER (WHERE event_type = 'signup')
+                            AS BIGINT) AS tb,
+                       CAST(COUNT(*) AS BIGINT) AS t
+                FROM events WHERE event_type IN ('purchase', 'signup')
+                GROUP BY 1),
+              r AS (SELECT ta, tb, t,
+                           2 * COALESCE(SUM(t) OVER (ORDER BY value
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) + t + 1 AS ar2
+                    FROM g),
+              a AS (SELECT CAST(SUM(ta) AS BIGINT) AS na,
+                           CAST(SUM(tb) AS BIGINT) AS nb,
+                           CAST(SUM(ta * ar2) AS BIGINT) AS ra2,
+                           CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+                    FROM r)
+              SELECT na, nb,
+                     CAST(ra2 - na * (na + 1) AS DOUBLE) / 2.0 AS u_stat,
+                     round(CAST(ra2 - na * (na + 1) - na * nb AS DOUBLE)
+                           / (2.0 * sqrt(CAST(na * nb AS DOUBLE) / 12.0
+                               * (CAST(na + nb + 1 AS DOUBLE)
+                                  - CAST(ties AS DOUBLE)
+                                    / CAST((na + nb) * (na + nb - 1)
+                                           AS DOUBLE)))), 6) AS z_stat
+              FROM a""")),
+
+    // Two-sample Kolmogorov-Smirnov between the same two amount
+    // distributions: D = max |F_a - F_b| over the pooled support. The
+    // scale-critical move is keeping the max EXACT: instead of maxing a
+    // double |ca/na - cb/nb| (whose rounding could flip argmax ties
+    // between engines), max the integer-scaled |ca*nb - cb*na| and divide
+    // ONCE at the end — bigint max is total-order deterministic, and at
+    // 1M rows/side the scaled diff tops out near 1e12, far inside bigint.
+    // Same reduce-first shape as q_mannwhitney: the window runs over the
+    // distinct-value table only.
+    "q_ks_test" -> Q(
+      (s, dir) => {
+        val byV = Tables.events(s, dir)
+          .filter(col("event_type").isin("purchase", "signup"))
+          .groupBy(col("value"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ta"),
+               sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("tb"))
+        val cum = Window.orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val full = Window.orderBy(col("value"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val a = byV
+          .select(sum(col("ta")).over(cum).as("ca"),
+                  sum(col("tb")).over(cum).as("cb"),
+                  sum(col("ta")).over(full).as("na"),
+                  sum(col("tb")).over(full).as("nb"))
+          .groupBy(col("na"), col("nb"))
+          .agg(max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+                 .as("dmax"))
+        val nn = (col("na") * col("nb")).cast("double")
+        a.select(col("na"), col("nb"),
+                 round(col("dmax").cast("double") / nn, 6).as("d_stat"),
+                 round(col("dmax").cast("double") / nn
+                         * sqrt(nn / (col("na") + col("nb")).cast("double")),
+                       6).as("ks_stat"))
+      },
+      Some("""WITH g AS (
+                SELECT value,
+                       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                            AS BIGINT) AS ta,
+                       CAST(COUNT(*) FILTER (WHERE event_type = 'signup')
+                            AS BIGINT) AS tb
+                FROM events WHERE event_type IN ('purchase', 'signup')
+                GROUP BY 1),
+              r AS (SELECT SUM(ta) OVER (ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS ca,
+                           SUM(tb) OVER (ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cb,
+                           CAST(SUM(ta) OVER () AS BIGINT) AS na,
+                           CAST(SUM(tb) OVER () AS BIGINT) AS nb
+                    FROM g),
+              a AS (SELECT na, nb,
+                           CAST(MAX(ABS(ca * nb - cb * na)) AS BIGINT) AS dmax
+                    FROM r GROUP BY na, nb)
+              SELECT na, nb,
+                     round(CAST(dmax AS DOUBLE)
+                           / CAST(na * nb AS DOUBLE), 6) AS d_stat,
+                     round(CAST(dmax AS DOUBLE) / CAST(na * nb AS DOUBLE)
+                           * sqrt(CAST(na * nb AS DOUBLE)
+                                  / CAST(na + nb AS DOUBLE)), 6) AS ks_stat
+              FROM a""")),
+
+    // Herfindahl-Hirschman revenue concentration per nation: how
+    // monopolized each nation's customer revenue is (HHI = sum of squared
+    // revenue shares; 1/n_cust = perfectly even, 1.0 = single customer).
+    // Shares never materialize: HHI = sum(rev^2) / total^2, with rev kept
+    // in the exact DECIMAL(18,4) lane (per-customer order sums of
+    // 2-decimal amounts) and rev*rev widened losslessly to DECIMAL(38,8)
+    // — (18,4)x(18,4) fits exactly in both engines, so the only doubles
+    // are the final two divisions of identically-derived exact values.
+    // Shape: one fact-table reduce to |customers| rows, one broadcast of
+    // the customer->nation dim map, one tiny groupBy over 25 nations.
+    "q_hhi" -> Q(
+      (s, dir) => {
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+                col("c_nationkey") === col("n_nationkey"))
+          .select(col("o_custkey"), col("n_name"))
+        val rev = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"))
+        rev.join(broadcast(dim), Seq("o_custkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+               sum(col("rev")).as("st"),
+               sum((col("rev") * col("rev")).cast("decimal(38,8)")).as("s2"),
+               max(col("rev")).as("mx"))
+          .select(col("n_name"), col("n_cust"),
+                  col("st").cast("double").as("revenue"),
+                  round(col("s2").cast("double")
+                          / (col("st").cast("double") * col("st").cast("double")),
+                        6).as("hhi"),
+                  round(col("mx").cast("double") / col("st").cast("double"),
+                        6).as("top_share"))
+          .orderBy(col("n_name"))
+      },
+      Some("""WITH rev AS (
+                SELECT o_custkey,
+                       SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+                FROM orders GROUP BY 1),
+              j AS (SELECT n.n_name, r.rev
+                    FROM rev r
+                    JOIN customer c ON r.o_custkey = c.c_custkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey),
+              a AS (SELECT n_name, COUNT(*) AS n_cust, SUM(rev) AS st,
+                           SUM(CAST(rev * rev AS DECIMAL(38,8))) AS s2,
+                           MAX(rev) AS mx
+                    FROM j GROUP BY 1)
+              SELECT n_name, n_cust, CAST(st AS DOUBLE) AS revenue,
+                     round(CAST(s2 AS DOUBLE)
+                           / (CAST(st AS DOUBLE) * CAST(st AS DOUBLE)),
+                           6) AS hhi,
+                     round(CAST(mx AS DOUBLE) / CAST(st AS DOUBLE),
+                           6) AS top_share
+              FROM a ORDER BY n_name"""))
   )
 }

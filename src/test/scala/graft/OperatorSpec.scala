@@ -548,6 +548,56 @@ class OperatorSpec extends SparkSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getBoolean(2)), "a day's sliding estimate left the 3-rsd bound")
   }
+
+  test("q_mannwhitney: U matches the brute-force pairwise count") {
+    // The rank-sum identity U_a = #(a>b) + #(a=b)/2 — recomputed directly
+    // from the raw pairs at fixture scale, so a broken tie-averaged rank
+    // (the doubled-rank lane) can't self-certify through the oracle.
+    val r = Registry.byName("q_mannwhitney").fn(spark, sf).collect()(0)
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val a = vals.filter(_._1 == "purchase").map(_._2)
+    val b = vals.filter(_._1 == "signup").map(_._2)
+    assert(r.getLong(0) == a.length && r.getLong(1) == b.length)
+    val brute = a.iterator.map { x =>
+      b.count(x > _) + 0.5 * b.count(x == _)
+    }.sum
+    assert(math.abs(r.getDouble(2) - brute) < 1e-9,
+      s"u_stat ${r.getDouble(2)} != brute-force $brute")
+  }
+
+  test("q_ks_test: D matches the brute-force sup over the pooled support") {
+    val r = Registry.byName("q_ks_test").fn(spark, sf).collect()(0)
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(col("event_type"), col("value")).collect()
+      .map(x => (x.getString(0), x.getDouble(1)))
+    val a = vals.filter(_._1 == "purchase").map(_._2).sorted
+    val b = vals.filter(_._1 == "signup").map(_._2).sorted
+    val d = (a ++ b).distinct.iterator.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.length
+               - b.count(_ <= v).toDouble / b.length)
+    }.max
+    assert(math.abs(r.getDouble(2) - d) < 1e-6,
+      s"d_stat ${r.getDouble(2)} != brute-force $d")
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("q_hhi: concentration bounds hold per nation") {
+    // HHI is pinched between the two share extremes: top_share^2 <= HHI
+    // (the max term alone) and HHI <= top_share (each share <= max), and
+    // can never drop below the perfectly-even floor 1/n_cust.
+    val rows = Registry.byName("q_hhi").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi, top) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(hhi >= 1.0 / n - 1e-6, s"${r.getString(0)}: hhi below even floor")
+      assert(hhi <= top + 1e-6, s"${r.getString(0)}: hhi above top_share")
+      assert(hhi >= top * top - 1e-6, s"${r.getString(0)}: hhi below top_share^2")
+    }
+  }
 }
 
 /** Transports for the snk_rest retry tests, top-level so the
