@@ -1170,6 +1170,58 @@ object Analytics {
                            6) AS hhi,
                      round(CAST(mx AS DOUBLE) / CAST(st AS DOUBLE),
                            6) AS top_share
-              FROM a ORDER BY n_name"""))
+              FROM a ORDER BY n_name""")),
+
+    // Adamic-Adar link prediction on the customer-part bipartite graph:
+    // score(c1,c2) = sum over shared parts of 1/ln(df(part)), the classic
+    // "who should be connected next" signal (here: customers with
+    // overlapping rare-part baskets). Declared semantics are RARE-part
+    // Adamic-Adar — parts with 2..50 buyers; hyper-common parts carry
+    // ~zero AA weight and are excluded from pair generation entirely,
+    // which is exactly the frequent-neighbor pruning that keeps this
+    // linear: candidate volume is sum of C(df,2) over CAPPED dfs, never a
+    // customers x customers blowup (the coSupplyEdges / q_basket_pairs
+    // discipline, in-row H.pairsE off one sorted buyer set per part).
+    // Each pair's AA summand is rounded to 6 then summed in
+    // DECIMAL(38,6), so the score sum is order-independent; the oracle
+    // keeps the equi-self-join SQL and the hash gate proves equivalence.
+    "q_link_predict" -> Q(
+      (s, dir) => {
+        val cp = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey").as("p"))
+          .join(Tables.orders(s, dir).select(col("o_orderkey"),
+                                             col("o_custkey").as("c")),
+                Seq("o_orderkey"))
+          .select(col("c"), col("p")).distinct()
+        cp.groupBy(col("p"))
+          .agg(array_sort(collect_set(col("c"))).as("cs"),
+               count(lit(1)).as("df"))
+          .filter(col("df").between(2, 50))
+          .select(round(lit(1.0) / log(col("df")), 6)
+                    .cast("decimal(38,6)").as("w"),
+                  explode(expr(H.pairsE("cs"))).as("pr"))
+          .groupBy(col("pr.a").as("ca"), col("pr.b").as("cb"))
+          .agg(count(lit(1)).as("common_parts"),
+               sum(col("w")).cast("double").as("aa_score"))
+          .filter(col("common_parts") >= 2)
+          .orderBy(col("aa_score").desc, col("ca"), col("cb"))
+          .limit(100)
+      },
+      Some("""WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                          FROM lineitem
+                          JOIN orders ON l_orderkey = o_orderkey),
+                   d AS (SELECT p, COUNT(*) AS df FROM cp GROUP BY 1
+                         HAVING COUNT(*) BETWEEN 2 AND 50),
+                   e AS (SELECT cp.c, cp.p, d.df FROM cp JOIN d USING (p)),
+                   pr AS (SELECT a.c AS ca, b.c AS cb,
+                                 CAST(round(1.0 / ln(a.df), 6)
+                                      AS DECIMAL(38,6)) AS w
+                          FROM e a JOIN e b
+                            ON a.p = b.p AND a.c < b.c)
+              SELECT ca, cb, CAST(COUNT(*) AS BIGINT) AS common_parts,
+                     CAST(SUM(w) AS DOUBLE) AS aa_score
+              FROM pr GROUP BY 1, 2
+              HAVING COUNT(*) >= 2
+              ORDER BY aa_score DESC, ca, cb LIMIT 100"""))
   )
 }

@@ -275,6 +275,35 @@ object Filters {
                       ${H.oSum("l_quantity")} AS sum_qty
                FROM lineitem
                WHERE l_quantity >= 47.0
+               GROUP BY 1 ORDER BY 1""")),
+
+    // EXECUTE IMMEDIATE — the last piece of the dynamic-SQL triad
+    // (params bind per-call, variables persist, EXECUTE IMMEDIATE runs a
+    // statement whose TEXT is itself session state). The statement string
+    // lives in a variable and its positional ? markers bind through
+    // USING, so generated ELT (a driver table of statements) runs with no
+    // string splicing anywhere. The bound literal still reaches the scan:
+    // the inner statement is analyzed like any other query, so pushdown
+    // and partial aggregation are unchanged — dynamic text costs nothing
+    // at plan time. Oracle spells the statement inline with the value.
+    "q_exec_immediate" -> Q(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("graft_ei_orders")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_stmt STRING DEFAULT ''")
+        s.sql("""SET VAR graft_stmt =
+                   'SELECT o_orderpriority, COUNT(*) AS n,
+                           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                                AS DOUBLE) AS sum_total
+                    FROM graft_ei_orders
+                    WHERE o_totalprice > ? AND o_orderstatus = ?
+                    GROUP BY o_orderpriority
+                    ORDER BY o_orderpriority'""")
+        s.sql("EXECUTE IMMEDIATE graft_stmt USING 250000.0, 'F'")
+      },
+      Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+                      ${H.oSum("o_totalprice")} AS sum_total
+               FROM orders
+               WHERE o_totalprice > 250000.0 AND o_orderstatus = 'F'
                GROUP BY 1 ORDER BY 1"""))
   )
 }

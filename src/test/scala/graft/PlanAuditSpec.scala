@@ -1212,4 +1212,34 @@ class PlanAuditSpec extends SparkSuite {
     assert("Exchange".r.findAllIn(p).size <= 2,
       s"frame collect + element pick must ride the single user_id exchange:\n$p")
   }
+
+  test("q_link_predict: pairs explode in-row off capped buyer sets — only the fact equi-join") {
+    val p = planOf("q_link_predict")
+    // Exactly one join is allowed: lineitem ⋈ orders on orderkey (the
+    // bipartite edge build). The pair generation itself must be the
+    // in-row pairsE explode — a second join would be the e⋈e self-join
+    // whose probe volume is Σ df² instead of Σ C(df,2) with df ≤ 50.
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"link prediction must never go all-pairs:\n$p")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+             .findAllIn(p).size <= 1,
+      s"only the lineitem-orders edge join may appear:\n$p")
+    assert(p.contains("partial_collect_set") || p.contains("objHashAggregate"),
+      s"buyer sets not map-side combined:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be a TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("q_mannwhitney / q_ks_test: windows run over the value-domain table only") {
+    Seq("q_mannwhitney", "q_ks_test").foreach { k =>
+      val p = planOf(k)
+      assert(!p.contains("Join"), s"$k: rank stats must be join-free:\n$p")
+      // One shuffle to the value-domain reduce, one single-partition
+      // exchange for the global rank window, nothing else.
+      assert("Exchange".r.findAllIn(p).size <= 3,
+        s"$k: more shuffles than reduce + rank window:\n$p")
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$k: value-domain reduce has no map-side combine:\n$p")
+    }
+  }
 }
