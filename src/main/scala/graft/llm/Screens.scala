@@ -655,6 +655,107 @@ object Screens {
                       doc_id, score
                FROM sc
                QUALIFY rk <= 5
+               ORDER BY q_id, rk""")),
+
+    // Reciprocal-rank fusion — the hybrid-retrieval combiner: a lexical
+    // rank list (distinct shared tokens vs each query doc) and an
+    // embedding rank list (cosine vs each query vector) fuse as
+    // sum 1/(60+rank), so a doc strong on either signal surfaces without
+    // score calibration between the two spaces. RRF only ever touches the
+    // two TOP-20 lists (a full-outer join of 20-row-per-query tables) —
+    // the corpus-sized work is one inverted-index probe of the broadcast
+    // query terms and one broadcast-probe cosine scan, both linear and
+    // identical in shape to llm_bm25_topk / llm_hard_negatives. Ranks
+    // come from rounded-6 scores with id tiebreaks, so both engines rank
+    // identically; the fused score is a 2-term double chain, rounded 6.
+    "llm_rrf_fusion" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val dt = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(array_distinct(expr(toksE))).as("tok"))
+        val qt = dt.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("q_id"), col("tok"))
+        val wl = Window.partitionBy(col("q_id"))
+          .orderBy(col("shared").desc, col("doc_id"))
+        val lex = dt.filter(col("doc_id") >= 5)
+          .join(broadcast(qt), Seq("tok"))
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(count(lit(1)).as("shared"))
+          .withColumn("rk_lex", row_number().over(wl))
+          .filter(col("rk_lex") <= 20)
+          .select(col("q_id"), col("doc_id").as("id"),
+                  col("rk_lex").cast("bigint").as("rk_lex"))
+        val e = Tables.embeddings(s, dir)
+          .withColumn("nrm", expr("sqrt(vec_dot(embedding, embedding))"))
+        val qe = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+                  col("nrm").as("q_nrm"))
+        val we = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        val emb = e.filter(col("vec_id") >= 5)
+          .crossJoin(broadcast(qe))
+          .withColumn("cos", round(expr("vec_dot(embedding, q_emb)")
+                                     / (col("nrm") * col("q_nrm")), 6))
+          .withColumn("rk_emb", row_number().over(we))
+          .filter(col("rk_emb") <= 20)
+          .select(col("q_id"), col("vec_id").as("id"),
+                  col("rk_emb").cast("bigint").as("rk_emb"))
+        val wr = Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf").desc, col("id"))
+        lex.join(emb, Seq("q_id", "id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60.0) + col("rk_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("rk_emb")), lit(0.0)), 6))
+          .withColumn("rk", row_number().over(wr))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("rk").cast("bigint").as("rk"), col("id"),
+                  col("rk_lex"), col("rk_emb"), col("rrf"))
+          .orderBy(col("q_id"), col("rk"))
+      },
+      Some(s"""WITH dt AS (SELECT doc_id,
+                                  unnest(list_distinct($duckToks)) AS tok
+                           FROM documents),
+                lexh AS (SELECT q.doc_id AS q_id, d.doc_id AS id,
+                                COUNT(*) AS shared
+                         FROM dt d JOIN dt q ON d.tok = q.tok
+                         WHERE q.doc_id < 5 AND d.doc_id >= 5
+                         GROUP BY 1, 2),
+                lex AS (SELECT q_id, id,
+                               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY shared DESC, id) AS BIGINT) AS rk_lex
+                        FROM lexh QUALIFY rk_lex <= 20),
+                n AS (SELECT vec_id, embedding,
+                             sqrt(list_sum(list_transform(
+                               list_zip(embedding, embedding),
+                               p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))))
+                               AS nrm
+                      FROM embeddings),
+                embh AS (SELECT q.vec_id AS q_id, n.vec_id AS id,
+                                round(list_sum(list_transform(
+                                        list_zip(n.embedding, q.embedding),
+                                        p -> CAST(p[1] AS DOUBLE)
+                                             * CAST(p[2] AS DOUBLE)))
+                                      / (n.nrm * q.nrm), 6) AS cos
+                         FROM n, n q
+                         WHERE q.vec_id < 5 AND n.vec_id >= 5),
+                emb AS (SELECT q_id, id,
+                               CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, id) AS BIGINT) AS rk_emb
+                        FROM embh QUALIFY rk_emb <= 20),
+                f AS (SELECT COALESCE(lex.q_id, emb.q_id) AS q_id,
+                             COALESCE(lex.id, emb.id) AS id,
+                             lex.rk_lex, emb.rk_emb,
+                             round(COALESCE(1.0 / (60.0 + lex.rk_lex), 0.0)
+                                   + COALESCE(1.0 / (60.0 + emb.rk_emb), 0.0),
+                                   6) AS rrf
+                      FROM lex FULL OUTER JOIN emb
+                        ON lex.q_id = emb.q_id AND lex.id = emb.id)
+               SELECT q_id,
+                      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+                             ORDER BY rrf DESC, id) AS BIGINT) AS rk,
+                      id, rk_lex, rk_emb, rrf
+               FROM f
+               QUALIFY rk <= 10
                ORDER BY q_id, rk"""))
   )
 }

@@ -1237,6 +1237,88 @@ object Similarity {
                         FROM byc, n)
                SELECT purity, h_c, h_l, mi,
                       round(2.0 * mi / (h_c + h_l), 6) AS nmi
-               FROM pur, hc, hl, mi"""))
+               FROM pur, hc, hl, mi""")),
+
+    // Simplified (centroid-based) silhouette per label — the linear
+    // clustering-quality score: a(v) = cosine distance to the OWN-label
+    // centroid, b(v) = distance to the nearest OTHER centroid,
+    // s = (b - a) / max(a, b) in [-1, 1]. The full silhouette's
+    // all-pairs a/b (O(n²) distances) is replaced by the k-centroid
+    // form, which is the only silhouette that survives 100 TB: the k
+    // tiny centroids broadcast (the llm_kmeans_iter shape), the corpus
+    // streams through k codegen dot products once, and the per-vector
+    // k-row fan collapses map-side via conditional max before the one
+    // |corpus|-row shuffle. Cosines round at 6; s is an identical
+    // double chain both sides, rounded 6, decimal-summed into means.
+    "llm_silhouette" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val e = Tables.embeddings(s, dir)
+        val cent = e
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(expr("CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(38,6))")).as("sd"),
+               count(lit(1)).as("n"))
+          .withColumn("cv", (col("sd") / col("n")).cast("decimal(38,6)").cast("double"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("a"))
+          .select(col("label").as("c_label"),
+                  expr("transform(a, x -> x.cv)").as("c_emb"))
+          .withColumn("c_nrm", expr(
+            "sqrt(aggregate(zip_with(c_emb, c_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v))"))
+        val sil = e.withColumn("nrm", expr(normE))
+          .crossJoin(broadcast(cent))
+          .withColumn("cos", round(
+            expr("aggregate(zip_with(embedding, c_emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+              / (col("nrm") * col("c_nrm")), 6))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(max(when(col("label") === col("c_label"), col("cos"))).as("cos_own"),
+               max(when(col("label") =!= col("c_label"), col("cos"))).as("cos_oth"))
+          .withColumn("s", round(
+            (col("cos_own") - col("cos_oth"))
+              / greatest(lit(1.0) - col("cos_own"), lit(1.0) - col("cos_oth")), 6))
+        sil.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+               (sum(col("s").cast("decimal(38,6)")) / count(lit(1)))
+                 .cast("decimal(38,6)").cast("double").as("mean_sil"),
+               sum(when(col("s") > 0.0, 1L).otherwise(0L)).as("n_well_placed"))
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH cent0 AS (
+                 SELECT label, i - 1 AS pos,
+                        CAST(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                                           AS DECIMAL(38,6))) / COUNT(*)
+                                  AS DECIMAL(38,6)) AS DOUBLE) AS cv
+                 FROM embeddings,
+                      LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+                 GROUP BY label, i),
+               cent AS (
+                 SELECT label AS c_label, list(cv ORDER BY pos) AS c_emb,
+                        sqrt(list_sum(list_transform(
+                          list_zip(list(cv ORDER BY pos), list(cv ORDER BY pos)),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS c_nrm
+                 FROM cent0 GROUP BY label),
+               scored AS (
+                 SELECT e.vec_id, e.label, c.c_label,
+                        round(list_sum(list_transform(list_zip(e.embedding, c.c_emb),
+                                p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                              / ($duckNorm * c.c_nrm), 6) AS cos
+                 FROM embeddings e CROSS JOIN cent c),
+               pv AS (
+                 SELECT vec_id, label,
+                        MAX(cos) FILTER (WHERE label = c_label) AS cos_own,
+                        MAX(cos) FILTER (WHERE label <> c_label) AS cos_oth
+                 FROM scored GROUP BY 1, 2),
+               sv AS (
+                 SELECT label,
+                        round((cos_own - cos_oth)
+                              / greatest(1.0 - cos_own, 1.0 - cos_oth), 6) AS s
+                 FROM pv)
+               SELECT label, COUNT(*) AS n,
+                      CAST(CAST(SUM(CAST(s AS DECIMAL(38,6))) / COUNT(*)
+                                AS DECIMAL(38,6)) AS DOUBLE) AS mean_sil,
+                      CAST(SUM(CASE WHEN s > 0.0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_well_placed
+               FROM sv GROUP BY label ORDER BY label"""))
   )
 }

@@ -1230,6 +1230,17 @@ class PlanAuditSpec extends SparkSuite {
       s"top-100 must be a TakeOrdered, not a global sort:\n$p")
   }
 
+  test("llm_silhouette: centroids broadcast; corpus never shuffle-joins") {
+    graft.functions.Custom.register(spark)
+    val p = planOf("llm_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"k-row centroid table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side must stream, never shuffle-join:\n$p")
+    assert(p.contains("partial_max") || p.contains("partial_sum"),
+      s"per-vector k-fan must collapse map-side:\n$p")
+  }
+
   test("q_mannwhitney / q_ks_test: windows run over the value-domain table only") {
     Seq("q_mannwhitney", "q_ks_test").foreach { k =>
       val p = planOf(k)

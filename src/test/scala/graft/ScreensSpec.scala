@@ -172,4 +172,41 @@ class ScreensSpec extends SparkSuite {
       assert(coh > 0.0 && coh <= 1.0 + 1e-6, s"coherence out of range: $coh")
     }
   }
+
+  test("llm_rrf_fusion: 10 fused hits per query, rrf non-increasing, additive when dual-listed") {
+    // cols: q_id, rk, id, rk_lex, rk_emb, rrf
+    val rows = Registry.byName("llm_rrf_fusion").fn(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 5, s"expected the 5 declared query docs, got ${byQ.keySet}")
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to 10L), s"q=$q: rank gap")
+      val scores = sorted.map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"q=$q: rrf not non-increasing")
+      sorted.foreach { r =>
+        val expect =
+          (if (r.isNullAt(3)) 0.0 else 1.0 / (60.0 + r.getLong(3))) +
+          (if (r.isNullAt(4)) 0.0 else 1.0 / (60.0 + r.getLong(4)))
+        assert(math.abs(r.getDouble(5) - expect) < 1e-6,
+          s"q=$q id=${r.getLong(2)}: rrf != sum of reciprocal ranks")
+        assert(!(r.isNullAt(3) && r.isNullAt(4)),
+          s"q=$q id=${r.getLong(2)}: fused hit absent from both lists")
+      }
+    }
+  }
+
+  test("llm_silhouette: means bounded, counts partition the corpus") {
+    val rows = Registry.byName("llm_silhouette").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "per-label counts must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 - 1e-6 && r.getDouble(2) <= 1.0 + 1e-6,
+        s"label ${r.get(0)}: mean silhouette out of [-1, 1]")
+      assert(r.getLong(3) <= r.getLong(1),
+        s"label ${r.get(0)}: well-placed count exceeds label size")
+    }
+  }
 }
