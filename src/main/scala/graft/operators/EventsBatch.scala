@@ -531,6 +531,61 @@ object EventsBatch {
                 FROM events)
               SELECT path, COUNT(*) AS n
               FROM p WHERE event_type = 'purchase'
-              GROUP BY 1 ORDER BY n DESC, path LIMIT 10"""))
+              GROUP BY 1 ORDER BY n DESC, path LIMIT 10""")),
+
+    // Interval-union coverage per user: each event opens a 5-minute
+    // activity interval; overlaps must count once (uptime/SLA math, where
+    // naive n_events x 5min double-bills bursts). The one-sweep island
+    // method: running ROWS-framed max of interval ends spots each gap
+    // (start strictly past everything open so far), a running flag sum
+    // numbers the islands, and coverage is the exact sum of island
+    // extents. Everything is integer epoch-microseconds — no doubles
+    // anywhere — and BOTH windows plus both groupBys ride the single
+    // user_id exchange (same partition key, same sort), so the fact table
+    // shuffles exactly once regardless of scale.
+    "q_interval_union" -> Q(
+      (s, dir) => {
+        val ord = Window.partitionBy(col("user_id"))
+          .orderBy(col("st"), col("event_id"))
+        val iv = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+                  unix_micros(col("ts").cast("timestamp")).as("st"))
+          .withColumn("en", col("st") + 300000000L)
+        iv.withColumn("pm", max(col("en")).over(
+              ord.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("ni", when(col("pm").isNull || col("st") > col("pm"), 1L)
+                              .otherwise(0L))
+          .withColumn("island", sum(col("ni")).over(
+              ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("st")).as("ist"), max(col("en")).as("ien"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_islands"),
+               sum(col("ien") - col("ist")).as("covered_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+                                 epoch_us(ts) + 300000000 AS en
+                          FROM events),
+                   f AS (SELECT user_id, event_id, st, en,
+                                MAX(en) OVER (PARTITION BY user_id
+                                  ORDER BY st, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+                         FROM iv),
+                   h AS (SELECT user_id, st, en,
+                                SUM(CASE WHEN pm IS NULL OR st > pm
+                                         THEN 1 ELSE 0 END) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY st, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS island
+                         FROM f),
+                   i AS (SELECT user_id, island,
+                                MIN(st) AS ist, MAX(en) AS ien
+                         FROM h GROUP BY 1, 2)
+              SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+                     CAST(SUM(ien - ist) AS BIGINT) AS covered_us
+              FROM i GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -298,6 +298,65 @@ object Trends {
                      round(serr / (n_days - 1), 6) AS mae
               FROM r, n WHERE i = n_days""")),
 
+    // Holt double exponential smoothing (level + trend) over the same
+    // daily revenue series — the forecast q_ses cannot make: SES is flat
+    // beyond t+1, Holt extrapolates the damped-free linear trend to any
+    // horizon (here t+1 and t+7). Same architecture as q_ses: the series
+    // reduces to one row per day (map-side combined), collects once into
+    // an in-row array, and the recurrence is a sequential `aggregate`
+    // fold over a (level, trend, abs-err) struct — order-pinned by
+    // construction, so the doubles are IEEE-identical to the oracle's
+    // RECURSIVE CTE running the same parenthesized update (l' spelled
+    // inline in the trend update on BOTH sides; list_reduce stays
+    // unusable for struct accumulators per the q_ses probe). alpha=0.5,
+    // beta=0.3, trend seeded at 0 so day 1 needs no lookahead.
+    "q_holt" -> Q(
+      (s, dir) => {
+        val day = Tables.orders(s, dir)
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(sum(col("o_totalprice").cast(H.D)).cast("double").as("rev"))
+        day.agg(array_sort(collect_list(struct(col("day"), col("rev"))))
+                  .as("a"))
+          .select(expr("transform(a, x -> x.rev)").as("b"))
+          .select(size(col("b")).cast("bigint").as("n_days"),
+                  expr("""aggregate(slice(b, 2, size(b) - 1),
+                            named_struct('l', element_at(b, 1),
+                                         't', CAST(0.0 AS DOUBLE),
+                                         'serr', CAST(0.0 AS DOUBLE)),
+                            (acc, y) -> named_struct(
+                              'l', 0.5 * y + 0.5 * (acc.l + acc.t),
+                              't', 0.3 * (0.5 * y + 0.5 * (acc.l + acc.t)
+                                          - acc.l) + 0.7 * acc.t,
+                              'serr', acc.serr + abs(y - (acc.l + acc.t))))""")
+                    .as("r"))
+          .select(col("n_days"),
+                  round(col("r.l") + col("r.t"), 6).as("forecast_1"),
+                  round(col("r.l") + lit(7) * col("r.t"), 6).as("forecast_7"),
+                  round(col("r.serr") / (col("n_days") - 1), 6).as("mae"))
+      },
+      Some("""WITH RECURSIVE day AS (
+                     SELECT date_trunc('day', o_orderdate) AS day,
+                            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                                 AS DOUBLE) AS rev
+                     FROM orders GROUP BY 1),
+                   d AS (SELECT CAST(row_number() OVER (ORDER BY day)
+                                     AS BIGINT) AS i, rev FROM day),
+                   n AS (SELECT COUNT(*) AS n_days FROM d),
+                   r AS (SELECT i, rev AS l, CAST(0.0 AS DOUBLE) AS t,
+                                CAST(0.0 AS DOUBLE) AS serr
+                         FROM d WHERE i = 1
+                         UNION ALL
+                         SELECT d.i,
+                                0.5 * d.rev + 0.5 * (r.l + r.t),
+                                0.3 * (0.5 * d.rev + 0.5 * (r.l + r.t)
+                                       - r.l) + 0.7 * r.t,
+                                r.serr + abs(d.rev - (r.l + r.t))
+                         FROM r JOIN d ON d.i = r.i + 1)
+              SELECT n_days, round(l + t, 6) AS forecast_1,
+                     round(l + 7 * t, 6) AS forecast_7,
+                     round(serr / (n_days - 1), 6) AS mae
+              FROM r, n WHERE i = n_days""")),
+
     // CUSUM changepoint detection on the daily revenue series — the
     // classic regime-shift locator: cumulative deviations from the global
     // mean peak (in absolute value) exactly where the level shifts. All

@@ -585,6 +585,30 @@ class OperatorSpec extends SparkSuite {
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
   }
 
+  test("q_interval_union: coverage matches a driver-side interval merge, per user") {
+    val rows = Registry.byName("q_interval_union").fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ivs = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("st"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.keySet == ivs.keySet)
+    ivs.foreach { case (u, starts) =>
+      var islands = 0L; var covered = 0L
+      var curSt = -1L; var curEn = -1L
+      starts.foreach { st =>
+        val en = st + 300000000L
+        if (st > curEn || islands == 0) {
+          if (islands > 0) covered += curEn - curSt
+          islands += 1; curSt = st; curEn = en
+        } else if (en > curEn) curEn = en
+      }
+      if (islands > 0) covered += curEn - curSt
+      assert(rows(u) == ((islands, covered)),
+        s"user $u: got ${rows(u)}, brute ($islands, $covered)")
+    }
+  }
+
   test("q_hhi: concentration bounds hold per nation") {
     // HHI is pinched between the two share extremes: top_share^2 <= HHI
     // (the max term alone) and HHI <= top_share (each share <= max), and

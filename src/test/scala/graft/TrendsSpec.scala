@@ -83,4 +83,30 @@ class TrendsSpec extends SparkSuite {
     assert(files.nonEmpty && files.forall(_.contains("zstd")),
       s"expected zstd-coded parquet parts: ${files.toSeq}")
   }
+
+  test("q_holt: distributed fold matches a sequential Scala recurrence") {
+    // The declared query's in-row aggregate() must be the SAME sequential
+    // recurrence a driver-side fold computes — recomputed here from the
+    // daily series with identical update order, bit-compared after the
+    // same rounding.
+    val r = Registry.byName("q_holt").fn(spark, sf).collect()(0)
+    val days = Tables.orders(spark, sf)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(H.D)).cast("double").as("rev"))
+      .orderBy(col("day")).collect().map(_.getDouble(1))
+    var l = days.head; var t = 0.0; var serr = 0.0
+    days.tail.foreach { y =>
+      serr += math.abs(y - (l + t))
+      val l2 = 0.5 * y + 0.5 * (l + t)
+      val t2 = 0.3 * (0.5 * y + 0.5 * (l + t) - l) + 0.7 * t
+      l = l2; t = t2
+    }
+    assert(r.getLong(0) == days.length)
+    assert(math.abs(r.getDouble(1) - (l + t)) < 1e-6,
+      s"forecast_1 ${r.getDouble(1)} != fold ${l + t}")
+    assert(math.abs(r.getDouble(2) - (l + 7 * t)) < 1e-6,
+      s"forecast_7 ${r.getDouble(2)} != fold ${l + 7 * t}")
+    assert(math.abs(r.getDouble(3) - serr / (days.length - 1)) < 1e-6,
+      s"mae ${r.getDouble(3)} != fold ${serr / (days.length - 1)}")
+  }
 }
