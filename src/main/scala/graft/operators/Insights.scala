@@ -985,6 +985,93 @@ object Insights {
                                          CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT
                      % 20 = 0
                GROUP BY l_returnflag
-               ORDER BY l_returnflag"""))
+               ORDER BY l_returnflag""")),
+
+    // Information gain of candidate decision-tree splits: for each
+    // quantity threshold, how much the return-flag entropy drops when the
+    // fact table is partitioned at it — the split-scoring primitive
+    // behind tree induction and feature triage. The fact table reduces
+    // ONCE to a |classes| x |distinct quantity| histogram (map-side
+    // combined); every threshold is then scored from that tiny table (a
+    // 4-way in-row explode, windows over <=8-row partitions), so adding
+    // thresholds costs nothing at corpus scale. Entropy terms follow the
+    // llm_entropy discipline: round the ln at 6, round the p*ln(p)
+    // summand at 6, sum in exact decimal, negate, one cast to double.
+    "q_info_gain" -> Q(
+      (s, dir) => {
+        val hist = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag").as("cls"), col("l_quantity").as("q"))
+          .agg(count(lit(1)).as("n"))
+        val cnt = hist
+          .select(col("cls"), col("q"), col("n"),
+                  explode(expr("array(10.0D, 20.0D, 30.0D, 40.0D)")).as("thr"))
+          .groupBy(col("thr"), (col("q") <= col("thr")).as("lft"), col("cls"))
+          .agg(sum(col("n")).as("nc"))
+        val wSide = Window.partitionBy(col("thr"), col("lft"))
+        val hs = cnt
+          .withColumn("ns", sum(col("nc")).over(wSide))
+          .withColumn("term", round((col("nc") / col("ns"))
+                                      * round(log(col("nc") / col("ns")), 6), 6))
+          .groupBy(col("thr"), col("lft"))
+          .agg(min(col("ns")).as("ns"),
+               (-sum(col("term").cast("decimal(38,6)"))).cast("double").as("h"))
+        val wAll = Window.rowsBetween(Window.unboundedPreceding,
+                                      Window.unboundedFollowing)
+        val par = hist.groupBy(col("cls")).agg(sum(col("n")).as("nc"))
+          .withColumn("nt", sum(col("nc")).over(wAll))
+          .withColumn("term", round((col("nc") / col("nt"))
+                                      * round(log(col("nc") / col("nt")), 6), 6))
+          .groupBy(col("nt"))
+          .agg((-sum(col("term").cast("decimal(38,6)"))).cast("double").as("h0"))
+        hs.groupBy(col("thr"))
+          .agg(sum(when(col("lft"), col("ns"))).as("n_left"),
+               sum(when(!col("lft"), col("ns"))).as("n_right"),
+               sum(when(col("lft"), col("h"))).as("h_left"),
+               sum(when(!col("lft"), col("h"))).as("h_right"))
+          .crossJoin(broadcast(par))
+          .select(col("thr"), col("n_left"), col("n_right"),
+                  round(col("h0") - (col("n_left") * col("h_left")
+                                     + col("n_right") * col("h_right"))
+                                    / col("nt"), 6).as("info_gain"))
+          .orderBy(col("thr"))
+      },
+      Some("""WITH hist AS (SELECT l_returnflag AS cls, l_quantity AS q,
+                                   COUNT(*) AS n
+                            FROM lineitem GROUP BY 1, 2),
+                   cnt AS (SELECT t.thr, h.q <= t.thr AS lft, h.cls,
+                                  CAST(SUM(h.n) AS BIGINT) AS nc
+                           FROM hist h
+                           CROSS JOIN (SELECT CAST(unnest([10.0, 20.0, 30.0,
+                                                           40.0]) AS DOUBLE)
+                                         AS thr) t
+                           GROUP BY 1, 2, 3),
+                   sides AS (SELECT thr, lft, nc,
+                                    SUM(nc) OVER (PARTITION BY thr, lft) AS ns
+                             FROM cnt),
+                   hs AS (SELECT thr, lft, CAST(MIN(ns) AS BIGINT) AS ns,
+                                 CAST(-SUM(CAST(round((nc / ns)
+                                        * round(ln(nc / ns), 6), 6)
+                                        AS DECIMAL(38,6))) AS DOUBLE) AS h
+                          FROM sides GROUP BY 1, 2),
+                   par AS (SELECT cls, CAST(SUM(n) AS BIGINT) AS nc,
+                                  CAST(SUM(SUM(n)) OVER () AS BIGINT) AS nt
+                           FROM hist GROUP BY 1),
+                   h0 AS (SELECT MIN(nt) AS nt,
+                                 CAST(-SUM(CAST(round((nc / nt)
+                                        * round(ln(nc / nt), 6), 6)
+                                        AS DECIMAL(38,6))) AS DOUBLE) AS h0
+                          FROM par),
+                   a AS (SELECT thr,
+                                CAST(SUM(CASE WHEN lft THEN ns END)
+                                     AS BIGINT) AS n_left,
+                                CAST(SUM(CASE WHEN NOT lft THEN ns END)
+                                     AS BIGINT) AS n_right,
+                                SUM(CASE WHEN lft THEN h END) AS h_left,
+                                SUM(CASE WHEN NOT lft THEN h END) AS h_right
+                         FROM hs GROUP BY 1)
+              SELECT a.thr, n_left, n_right,
+                     round(h0.h0 - (n_left * h_left + n_right * h_right)
+                                   / h0.nt, 6) AS info_gain
+              FROM a, h0 ORDER BY a.thr"""))
   )
 }

@@ -250,4 +250,29 @@ class InsightsSpec extends SparkSuite {
     assert(r.getLong(1) > 0)
     assert(r.getDouble(0) < 0.0, s"Zipf slope not negative: ${r.getDouble(0)}")
   }
+
+  test("q_info_gain: matches a driver-side entropy computation per threshold") {
+    val rows = Registry.byName("q_info_gain").fn(spark, sf).collect()
+    assert(rows.length == 4)
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def entropy(xs: Seq[String]): Double = {
+      val n = xs.size.toDouble
+      -xs.groupBy(identity).values.map { g =>
+        val p = g.size / n; p * math.log(p)
+      }.sum
+    }
+    val h0 = entropy(data.map(_._1).toSeq)
+    rows.foreach { r =>
+      val thr = r.getDouble(0)
+      val (l, rr) = data.partition(_._2 <= thr)
+      assert(r.getLong(1) == l.length && r.getLong(2) == rr.length)
+      val ig = h0 - (l.length * entropy(l.map(_._1).toSeq)
+                     + rr.length * entropy(rr.map(_._1).toSeq)) / data.length
+      assert(math.abs(r.getDouble(3) - ig) < 1e-4,
+        s"thr=$thr: info_gain ${r.getDouble(3)} != brute $ig")
+      assert(r.getDouble(3) >= -1e-6 && r.getDouble(3) <= h0 + 1e-6)
+    }
+  }
 }
