@@ -413,6 +413,80 @@ object Profiling {
                          FROM r GROUP BY 1)
               SELECT r.event_type, r.event_id, r.value, r.rk, m.qn_value
               FROM r JOIN m USING (rk)
-              ORDER BY r.event_type, r.rk"""))
+              ORDER BY r.event_type, r.rk""")),
+
+    // Referential-integrity audit across every FK edge of the star
+    // schema in one report: child rows whose FK has no parent — the
+    // registry-completeness check an ingest pipeline runs before
+    // publishing (an orphaned lineitem.l_partkey means a part was
+    // deleted or a load raced). REDUCE-FIRST per edge: the child
+    // collapses to (fk, row-count) — map-side combined, |distinct fk|
+    // rows — and only that reduced table anti-joins the parent key
+    // column, so a billion-row child costs one linear reduce, never a
+    // billion-row join probe. Dim-sized parents broadcast. The fixture
+    // is FK-clean by construction, so every edge reports 0 orphans —
+    // the audit's value is the SHAPE (7 edges, one scan each), and the
+    // ScalaTest twin injects orphans to prove the counter counts.
+    "q_ri_audit" -> Q(
+      (s, dir) => {
+        def edge(name: String, child: org.apache.spark.sql.DataFrame,
+                 fk: String, parent: org.apache.spark.sql.DataFrame,
+                 pk: String): org.apache.spark.sql.DataFrame = {
+          val reduced = child.groupBy(col(fk).as("k"))
+            .agg(count(lit(1)).as("cnt"))
+          reduced
+            .join(broadcast(parent.select(col(pk).as("k"))), Seq("k"),
+                  "left_anti")
+            .agg(coalesce(sum(col("cnt")), lit(0L)).as("n_orphan_rows"),
+                 count(lit(1)).as("n_orphan_keys"))
+            .select(lit(name).as("edge"), col("n_orphan_rows"),
+                    col("n_orphan_keys"))
+        }
+        val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir); val su = Tables.supplier(s, dir)
+        val p = Tables.part(s, dir); val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        edge("customer.nation", c, "c_nationkey", n, "n_nationkey")
+          .unionAll(edge("lineitem.orders", li, "l_orderkey", o, "o_orderkey"))
+          .unionAll(edge("lineitem.part", li, "l_partkey", p, "p_partkey"))
+          .unionAll(edge("lineitem.supplier", li, "l_suppkey", su, "s_suppkey"))
+          .unionAll(edge("nation.region", n, "n_regionkey", r, "r_regionkey"))
+          .unionAll(edge("orders.customer", o, "o_custkey", c, "c_custkey"))
+          .unionAll(edge("supplier.nation", su, "s_nationkey", n, "n_nationkey"))
+          .orderBy(col("edge"))
+      },
+      Some("""WITH e AS (
+                SELECT 'customer.nation' AS edge, c_nationkey AS k
+                FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+                UNION ALL
+                SELECT 'lineitem.orders', l_orderkey
+                FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+                UNION ALL
+                SELECT 'lineitem.part', l_partkey
+                FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+                UNION ALL
+                SELECT 'lineitem.supplier', l_suppkey
+                FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+                UNION ALL
+                SELECT 'nation.region', n_regionkey
+                FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region)
+                UNION ALL
+                SELECT 'orders.customer', o_custkey
+                FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+                UNION ALL
+                SELECT 'supplier.nation', s_nationkey
+                FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)),
+              names(edge) AS (VALUES ('customer.nation'), ('lineitem.orders'),
+                                     ('lineitem.part'), ('lineitem.supplier'),
+                                     ('nation.region'), ('orders.customer'),
+                                     ('supplier.nation')),
+              agg AS (SELECT edge, CAST(COUNT(*) AS BIGINT) AS n_orphan_rows,
+                             CAST(COUNT(DISTINCT k) AS BIGINT) AS n_orphan_keys
+                      FROM e GROUP BY 1)
+              SELECT n.edge,
+                     COALESCE(a.n_orphan_rows, 0) AS n_orphan_rows,
+                     COALESCE(a.n_orphan_keys, 0) AS n_orphan_keys
+              FROM names n LEFT JOIN agg a USING (edge)
+              ORDER BY n.edge"""))
   )
 }

@@ -609,6 +609,31 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_ri_audit: clean fixture reports 7 zero-orphan edges; injected orphan is counted") {
+    val clean = Registry.byName("q_ri_audit").fn(spark, sf).collect()
+    assert(clean.length == 7)
+    assert(clean.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L),
+      s"driver fixture must be FK-clean: ${clean.mkString(",")}")
+    // Doctored copy of the fixture: one nation row pointing at a
+    // nonexistent region — the audit must count exactly that orphan.
+    val dir = s"${graft.Fixtures.dir}/ri_orphan_fixture"
+    Seq("region", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sf/$t.parquet").write.mode("overwrite")
+        .parquet(s"$dir/$t.parquet")
+    }
+    Tables.nation(spark, sf)
+      .unionAll(spark.sql("SELECT 99 AS n_nationkey, 'ORPHANIA' AS n_name, 77 AS n_regionkey"))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    val doctored = Registry.byName("q_ri_audit").fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(doctored("nation.region") == ((1L, 1L)),
+      s"injected orphan not counted: ${doctored("nation.region")}")
+    assert(doctored("customer.nation") == ((0L, 0L)) &&
+           doctored("lineitem.orders") == ((0L, 0L)),
+      "unrelated edges must stay clean")
+  }
+
   test("q_hhi: concentration bounds hold per nation") {
     // HHI is pinched between the two share extremes: top_share^2 <= HHI
     // (the max term alone) and HHI <= top_share (each share <= max), and

@@ -1218,7 +1218,7 @@ class PlanAuditSpec extends SparkSuite {
     // Exactly one join is allowed: lineitem ⋈ orders on orderkey (the
     // bipartite edge build). The pair generation itself must be the
     // in-row pairsE explode — a second join would be the e⋈e self-join
-    // whose probe volume is Σ df² instead of Σ C(df,2) with df ≤ 50.
+    // whose probe volume is Σ df² instead of Σ C(df,2) with df ≤ 25.
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
       s"link prediction must never go all-pairs:\n$p")
     assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
