@@ -1172,6 +1172,81 @@ object Analytics {
                            6) AS top_share
               FROM a ORDER BY n_name""")),
 
+    // Spearman rank correlation between quantity and discount — the
+    // monotone-association sibling of q_agg_corr's Pearson, computed
+    // WITHOUT ever ranking the fact table: the joint (x, y) histogram
+    // reduces map-side to |x-domain| x |y-domain| cells, tie-averaged
+    // ranks come from running sums over the two tiny marginal tables
+    // (the q_mannwhitney doubled-rank bigint lane, so .5 ranks stay
+    // integers), and rho is Pearson over the weighted doubled ranks —
+    // affine-invariant, so the doubling cancels. Every sum is exact:
+    // LONG per-cell products, DECIMAL(38,0) accumulators (the oracle
+    // uses HUGEINT — both are exact integers, so the one terminal cast
+    // to DOUBLE agrees bit-for-bit). Nothing in the plan grows with the
+    // corpus except the first map-combined reduce.
+    "q_spearman" -> Q(
+      (s, dir) => {
+        val hist = Tables.lineitem(s, dir)
+          .groupBy(col("l_quantity").as("x"), col("l_discount").as("y"))
+          .agg(count(lit(1)).as("n"))
+        def ranks(key: String, r2: String) = {
+          val before = Window.orderBy(col(key))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          hist.groupBy(col(key)).agg(sum(col("n")).as("t"))
+            .withColumn("b", coalesce(sum(col("t")).over(before), lit(0L)))
+            .select(col(key), (lit(2L) * col("b") + col("t") + 1L).as(r2))
+        }
+        val d = "decimal(38,0)"
+        val a = hist
+          .join(broadcast(ranks("x", "rx2")), Seq("x"))
+          .join(broadcast(ranks("y", "ry2")), Seq("y"))
+          .agg(sum(col("n")).as("nn"),
+               sum((col("n") * col("rx2")).cast(d)).as("sx"),
+               sum((col("n") * col("ry2")).cast(d)).as("sy"),
+               sum(col("n").cast(d) * col("rx2") * col("rx2")).as("sxx"),
+               sum(col("n").cast(d) * col("ry2") * col("ry2")).as("syy"),
+               sum(col("n").cast(d) * col("rx2") * col("ry2")).as("sxy"))
+        a.select(col("nn").as("n_rows"),
+                 round((col("nn").cast(d) * col("sxy") - col("sx") * col("sy"))
+                         .cast("double")
+                       / sqrt((col("nn").cast(d) * col("sxx")
+                                 - col("sx") * col("sx")).cast("double")
+                              * (col("nn").cast(d) * col("syy")
+                                   - col("sy") * col("sy")).cast("double")),
+                       6).as("rho_spearman"))
+      },
+      Some("""WITH hist AS (SELECT l_quantity AS x, l_discount AS y,
+                                   COUNT(*) AS n
+                            FROM lineitem GROUP BY 1, 2),
+                   mx AS (SELECT x, 2 * COALESCE(SUM(t) OVER (ORDER BY x
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) + t + 1 AS rx2
+                          FROM (SELECT x, SUM(n) AS t FROM hist GROUP BY 1)),
+                   my AS (SELECT y, 2 * COALESCE(SUM(t) OVER (ORDER BY y
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) + t + 1 AS ry2
+                          FROM (SELECT y, SUM(n) AS t FROM hist GROUP BY 1)),
+                   a AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                                CAST(SUM(CAST(n AS HUGEINT) * rx2)
+                                     AS HUGEINT) AS sx,
+                                CAST(SUM(CAST(n AS HUGEINT) * ry2)
+                                     AS HUGEINT) AS sy,
+                                CAST(SUM(CAST(n AS HUGEINT) * rx2 * rx2)
+                                     AS HUGEINT) AS sxx,
+                                CAST(SUM(CAST(n AS HUGEINT) * ry2 * ry2)
+                                     AS HUGEINT) AS syy,
+                                CAST(SUM(CAST(n AS HUGEINT) * rx2 * ry2)
+                                     AS HUGEINT) AS sxy
+                         FROM hist JOIN mx USING (x) JOIN my USING (y))
+              SELECT nn AS n_rows,
+                     round(CAST(CAST(nn AS HUGEINT) * sxy - sx * sy
+                                AS DOUBLE)
+                           / sqrt(CAST(CAST(nn AS HUGEINT) * sxx - sx * sx
+                                       AS DOUBLE)
+                                  * CAST(CAST(nn AS HUGEINT) * syy - sy * sy
+                                         AS DOUBLE)), 6) AS rho_spearman
+              FROM a""")),
+
     // Adamic-Adar link prediction on the customer-part bipartite graph:
     // score(c1,c2) = sum over shared parts of 1/ln(df(part)), the classic
     // "who should be connected next" signal (here: customers with

@@ -892,6 +892,43 @@ object Trends {
       },
       Some(s"""SELECT l_returnflag, COUNT(*) AS n,
                       ${H.oSum("l_extendedprice * (1.0 - l_discount)")} AS rev
+               FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    // Parquet bloom-filter sink: point-lookup layout for a high-NDV key.
+    // Row-group zone maps (min/max) prune RANGE predicates but are
+    // useless for `l_orderkey = ?` on data that isn't sorted by it —
+    // the bloom filter is the structure that lets a reader skip row
+    // groups on equality probes at a few bits per value, which at 100 TB
+    // is the difference between touching every row group of a lake and
+    // touching the one that might match. Declared output is the faithful
+    // round-trip aggregate (the sink contract); TrendsSpec additionally
+    // opens the parquet footer and asserts the bloom header really is
+    // attached to l_orderkey and that an equality probe still returns
+    // exactly its rows through the filtered scan.
+    "snk_parquet_bloom" -> Q(
+      (s, dir) => {
+        val out = s"$fixDir/lineitem_bloom"
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+          .write.mode("overwrite")
+          .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+          .option("parquet.bloom.filter.expected.ndv#l_orderkey", "200000")
+          // parquet-mr silently SKIPS the bloom for fully
+          // dictionary-encoded column chunks (the dictionary already
+          // answers membership exactly); the small fixtures
+          // dictionary-encode l_orderkey wholesale, so the filter only
+          // materializes if dictionary encoding is off for this column —
+          // at lake scale a 200k-NDV key falls out of the dictionary on
+          // its own and this toggle becomes a no-op.
+          .option("parquet.enable.dictionary#l_orderkey", "false")
+          .parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), H.dsum(col("l_quantity")).as("qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+                      ${H.oSum("l_quantity")} AS qty
                FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -609,6 +609,35 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_spearman: matches a driver-side tie-averaged rank correlation") {
+    val r = Registry.byName("q_spearman").fn(spark, sf).collect()(0)
+    val data = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_discount")).collect()
+      .map(x => (x.getDouble(0), x.getDouble(1)))
+    def avgRanks(xs: Array[Double]): Array[Double] = {
+      val byV = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < byV.length) {
+        var j = i
+        while (j < byV.length && byV(j)._1 == byV(i)._1) j += 1
+        val rank = (i + 1 + j).toDouble / 2 // average of ranks i+1..j
+        (i until j).foreach(k => out(byV(k)._2) = rank)
+        i = j
+      }
+      out
+    }
+    val rx = avgRanks(data.map(_._1)); val ry = avgRanks(data.map(_._2))
+    val n = data.length
+    val mx = rx.sum / n; val my = ry.sum / n
+    val num = rx.zip(ry).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = math.sqrt(rx.map(a => (a - mx) * (a - mx)).sum *
+                        ry.map(b => (b - my) * (b - my)).sum)
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - num / den) < 1e-6,
+      s"rho ${r.getDouble(1)} != brute ${num / den}")
+  }
+
   test("q_ri_audit: clean fixture reports 7 zero-orphan edges; injected orphan is counted") {
     val clean = Registry.byName("q_ri_audit").fn(spark, sf).collect()
     assert(clean.length == 7)

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Trend-family invariants beyond the oracle hash: seasonal indices
   * weight-average to 1, the F2 sketch genuinely upper-bounds, and the
@@ -82,6 +83,38 @@ class TrendsSpec extends SparkSuite {
       .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
     assert(files.nonEmpty && files.forall(_.contains("zstd")),
       s"expected zstd-coded parquet parts: ${files.toSeq}")
+  }
+
+  test("snk_parquet_bloom: footer carries a bloom filter on l_orderkey; probe stays exact") {
+    val out = Registry.byName("snk_parquet_bloom").fn(spark, sf)
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), H.dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("l_returnflag"))
+    assertSameRows(out, direct)
+    val dir = new java.io.File(s"${graft.Fixtures.dir}/lineitem_bloom")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val colMeta = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "l_orderkey").get
+      assert(colMeta.getBloomFilterOffset > 0,
+        "no bloom filter offset recorded for l_orderkey")
+      val bloom = reader.readBloomFilter(colMeta)
+      assert(bloom != null, "bloom filter not readable")
+    } finally reader.close()
+    // Equality probe through the bloom-backed layout is still exact.
+    val probeKey = Tables.lineitem(spark, sf).select(min(col("l_orderkey")))
+      .head().getLong(0)
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") === probeKey).count()
+    val got = spark.read.parquet(dir.getAbsolutePath)
+      .filter(col("l_orderkey") === probeKey).count()
+    assert(got == expected && got > 0)
   }
 
   test("q_holt: distributed fold matches a sequential Scala recurrence") {
