@@ -139,6 +139,44 @@ object EventsBatch {
               GROUP BY user_id, sess_id
               ORDER BY user_id, sess_id""")),
 
+    // Native session_window() in BATCH — the single-shuffle engine
+    // operator behind what q_events_session spells as lag/flag/cumsum
+    // (three window passes). Two boundary semantics differ from the
+    // manual pattern and the oracle encodes BOTH: (1) a gap of exactly
+    // 30:00 closes the native session (intervals [ts, ts+gap) merge only
+    // when they OVERLAP, so the oracle flags diff >= gap, not >); (2) the
+    // native session end is last_event + gap, not last_event. At scale
+    // this form wins: one exchange on user_id with the merge done inside
+    // the aggregation operator, vs the manual pattern's full-partition
+    // sort plus two window passes before the groupBy even starts.
+    "q_session_window_native" -> Q(
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("sess_start"),
+                col("sw.end").as("sess_end"), col("n_events"))
+        .orderBy(col("user_id"), col("sess_start")),
+      Some("""WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              sessions AS (
+                SELECT user_id, ts,
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS sid
+                FROM flagged)
+              SELECT user_id, MIN(ts) AS sess_start,
+                     MAX(ts) + INTERVAL '30 minutes' AS sess_end,
+                     COUNT(*) AS n_events
+              FROM sessions
+              GROUP BY user_id, sid
+              ORDER BY user_id, sess_start""")),
+
     // Gaps-and-islands: per-user runs of consecutive active calendar days.
     // The classic day - row_number() anchor groups a run into one key; all
     // the work rides a single user_id-partitioned sort (distinct + window

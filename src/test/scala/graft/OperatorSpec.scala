@@ -609,6 +609,25 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_session_window_native: sessions partition the events and never overlap") {
+    val rows = Registry.byName("q_session_window_native").fn(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum == Tables.events(spark, sf).count(),
+      "session event counts must partition the corpus")
+    implicit val ldtOrd: Ordering[java.time.LocalDateTime] =
+      Ordering.fromLessThan(_ isBefore _)
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.time.LocalDateTime](1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val aEnd = a.getAs[java.time.LocalDateTime](2)
+          val bStart = b.getAs[java.time.LocalDateTime](1)
+          assert(!bStart.isBefore(aEnd),
+            s"user $u: overlapping native sessions ($aEnd vs $bStart)")
+        case _ => ()
+      }
+    }
+  }
+
   test("q_spearman: matches a driver-side tie-averaged rank correlation") {
     val r = Registry.byName("q_spearman").fn(spark, sf).collect()(0)
     val data = Tables.lineitem(spark, sf)
