@@ -360,6 +360,46 @@ object Screens {
               FROM r WHERE rk <= 3
               ORDER BY source, rk""")),
 
+    // Differentially-private release of the (lang, source) corpus counts
+    // — the publishable sibling of the k-anonymity screen: each count
+    // carries Laplace(1/epsilon) noise (epsilon=1, sensitivity 1), so no
+    // single document's presence is inferable from the release. The
+    // noise is DETERMINISTIC given the release seed: the group key runs
+    // through the same md5/tid60 60-bit uniform lane every sampled
+    // operator uses, and the Laplace draw is the inverse CDF of that
+    // uniform — no RNG, rerun-stable, bit-identical in the oracle (ln
+    // rounded at 6 per the house libm discipline). One map-combined
+    // reduce; the noise arithmetic runs on the |groups|-row table.
+    "llm_dp_counts" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s) // tid60 kernel
+        val u = "((tid60(concat(lang, ':', source, ':dp1')) % 1000000 + 0.5) / 1000000.0)"
+        Tables.documents(s, dir)
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("noise", expr(
+            s"""CASE WHEN $u < 0.5 THEN round(ln(2 * $u), 6)
+                     ELSE -round(ln(2 * (1 - $u)), 6) END"""))
+          .select(col("lang"), col("source"),
+                  round(col("n") + col("noise"), 4).as("noisy_n"),
+                  lit(1.0).as("epsilon"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH g AS (SELECT lang, source, COUNT(*) AS n
+                         FROM documents GROUP BY 1, 2),
+                   d AS (SELECT lang, source, n,
+                                (('0x' || substr(md5(lang || ':' || source
+                                                      || ':dp1'), 1, 15))::BIGINT
+                                 % 1000000 + 0.5) / 1000000.0 AS u
+                         FROM g)
+              SELECT lang, source,
+                     round(n + CASE WHEN u < 0.5
+                                    THEN round(ln(2 * u), 6)
+                                    ELSE -round(ln(2 * (1 - u)), 6) END,
+                           4) AS noisy_n,
+                     CAST(1.0 AS DOUBLE) AS epsilon
+              FROM d ORDER BY lang, source""")),
+
     // k-anonymity screen over the quasi-identifier tuple (lang, source,
     // length-band): how many QI groups exist, how many fall below each
     // anonymity threshold k ∈ {2, 5, 10}, and how many rows sit in those

@@ -196,6 +196,28 @@ class ScreensSpec extends SparkSuite {
     }
   }
 
+  test("llm_dp_counts: noise is bounded, deterministic, and never exactly zero-knowledge") {
+    graft.functions.Custom.register(spark)
+    val a = Registry.byName("llm_dp_counts").fn(spark, sf).collect()
+    val b = Registry.byName("llm_dp_counts").fn(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "seeded DP release must be rerun-stable")
+    val truth = Tables.documents(spark, sf)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(a.nonEmpty && a.length == truth.size)
+    a.foreach { r =>
+      val err = math.abs(r.getDouble(2) - truth((r.getString(0), r.getString(1))))
+      // |Laplace(1)| from a 60-bit-uniform inverse CDF is capped at
+      // ln(1e6) ~ 13.82 by the 1/1e6 grid resolution.
+      assert(err <= 13.9, s"noise out of the grid-capped Laplace range: $err")
+    }
+    // At least one group must actually be perturbed (all-zero noise
+    // would mean the uniform lane collapsed).
+    assert(a.exists(r =>
+      math.abs(r.getDouble(2) - truth((r.getString(0), r.getString(1)))) > 1e-4))
+  }
+
   test("llm_silhouette: means bounded, counts partition the corpus") {
     val rows = Registry.byName("llm_silhouette").fn(spark, sf).collect()
     assert(rows.nonEmpty)
