@@ -21,6 +21,69 @@ object Signals {
   private val toksE = "split(lower(trim(text)), ' ')"
   private val duckToks = "string_split(lower(trim(text)), ' ')"
 
+  /** The fixed logistic quality model scored per document — one
+    * codegen'd projection, no shuffle (expression chain documented on
+    * llm_classifier_apply). Shared by llm_classifier_apply (per-source
+    * calibration) and llm_ece (reliability/calibration-error report);
+    * the exact-decimal logit and the single round(6) at the sigmoid are
+    * the hash-parity contract both keys inherit. */
+  private def logisticScored(s: org.apache.spark.sql.SparkSession,
+                             dir: String) =
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksE))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("stop_ratio", expr(
+        """CAST(CAST(size(filter(toks, t ->
+             t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DECIMAL(18,6))
+           / n_toks AS DECIMAL(18,6))"""))
+      .withColumn("short_ratio", expr(
+        """CAST(CAST(size(filter(toks, t -> length(t) <= 2)) AS DECIMAL(18,6))
+           / n_toks AS DECIMAL(18,6))"""))
+      .withColumn("len_norm", expr(
+        "CAST(least(CAST(n_chars AS DECIMAL(18,6)) / 300, CAST(1.0 AS DECIMAL(18,6))) AS DECIMAL(18,6))"))
+      .withColumn("ttr", expr(
+        "CAST(CAST(size(array_distinct(toks)) AS DECIMAL(18,6)) / n_toks AS DECIMAL(18,6))"))
+      .withColumn("z", expr(
+        """CAST(CAST(-0.3 AS DECIMAL(2,1))
+                + len_norm * CAST(1.2 AS DECIMAL(2,1))
+                + stop_ratio * CAST(-0.8 AS DECIMAL(2,1))
+                + short_ratio * CAST(-1.5 AS DECIMAL(2,1))
+                + ttr * CAST(0.9 AS DECIMAL(2,1))
+           AS DECIMAL(18,7))"""))
+      .withColumn("p", round(
+        lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 6))
+
+  /** Oracle-side spelling of [[logisticScored]]'s f/z/p pipeline (CTE
+    * bodies only; callers append their own consumers). Carries n_chars
+    * through so llm_ece can derive its pseudo-label. */
+  private val duckLogistic: String =
+    s"""f AS (
+         SELECT source, n_chars,
+                CAST(CAST(len(list_filter($duckToks, t ->
+                       t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                     AS DECIMAL(18,6))
+                     / len($duckToks) AS DECIMAL(18,6)) AS stop_ratio,
+                CAST(CAST(len(list_filter($duckToks,
+                       t -> length(t) <= 2)) AS DECIMAL(18,6))
+                     / len($duckToks) AS DECIMAL(18,6)) AS short_ratio,
+                CAST(least(CAST(n_chars AS DECIMAL(18,6)) / 300,
+                           CAST(1.0 AS DECIMAL(18,6)))
+                     AS DECIMAL(18,6)) AS len_norm,
+                CAST(CAST(len(list_distinct($duckToks)) AS DECIMAL(18,6))
+                     / len($duckToks) AS DECIMAL(18,6)) AS ttr
+         FROM documents),
+       z AS (SELECT source, n_chars,
+                    CAST(CAST(-0.3 AS DECIMAL(2,1))
+                         + len_norm * CAST(1.2 AS DECIMAL(2,1))
+                         + stop_ratio * CAST(-0.8 AS DECIMAL(2,1))
+                         + short_ratio * CAST(-1.5 AS DECIMAL(2,1))
+                         + ttr * CAST(0.9 AS DECIMAL(2,1))
+                    AS DECIMAL(18,7)) AS z
+             FROM f),
+       p AS (SELECT source, n_chars,
+                    round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 6) AS p
+             FROM z)"""
+
   /** Ordered (non-distinct) 3-token grams — winnowing needs positional
     * grams, so [[graft.functions.Sketches.Shingles3]] (distinct) does
     * not apply. zip_with arity is 2, so the 3-way combine nests. */
@@ -186,29 +249,7 @@ object Signals {
     // boundary is engine-deterministic too.
     "llm_classifier_apply" -> Q(
       (s, dir) => {
-        val scored = Tables.documents(s, dir)
-          .withColumn("toks", expr(toksE))
-          .withColumn("n_toks", size(col("toks")))
-          .withColumn("stop_ratio", expr(
-            """CAST(CAST(size(filter(toks, t ->
-                 t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DECIMAL(18,6))
-               / n_toks AS DECIMAL(18,6))"""))
-          .withColumn("short_ratio", expr(
-            """CAST(CAST(size(filter(toks, t -> length(t) <= 2)) AS DECIMAL(18,6))
-               / n_toks AS DECIMAL(18,6))"""))
-          .withColumn("len_norm", expr(
-            "CAST(least(CAST(n_chars AS DECIMAL(18,6)) / 300, CAST(1.0 AS DECIMAL(18,6))) AS DECIMAL(18,6))"))
-          .withColumn("ttr", expr(
-            "CAST(CAST(size(array_distinct(toks)) AS DECIMAL(18,6)) / n_toks AS DECIMAL(18,6))"))
-          .withColumn("z", expr(
-            """CAST(CAST(-0.3 AS DECIMAL(2,1))
-                    + len_norm * CAST(1.2 AS DECIMAL(2,1))
-                    + stop_ratio * CAST(-0.8 AS DECIMAL(2,1))
-                    + short_ratio * CAST(-1.5 AS DECIMAL(2,1))
-                    + ttr * CAST(0.9 AS DECIMAL(2,1))
-               AS DECIMAL(18,7))"""))
-          .withColumn("p", round(
-            lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 6))
+        val scored = logisticScored(s, dir)
         scored.groupBy(col("source"))
           .agg(count(lit(1)).as("n"),
                sum(when(col("p") >= 0.5, 1L).otherwise(0L)).as("n_pos"),
@@ -216,38 +257,77 @@ object Signals {
                  .cast("decimal(18,6)").cast("double").as("mean_p"))
           .orderBy(col("source"))
       },
-      Some(s"""WITH f AS (
-                 SELECT source,
-                        CAST(CAST(len(list_filter($duckToks, t ->
-                               t IN ('the', 'a', 'of', 'and', 'to', 'in')))
-                             AS DECIMAL(18,6))
-                             / len($duckToks) AS DECIMAL(18,6)) AS stop_ratio,
-                        CAST(CAST(len(list_filter($duckToks,
-                               t -> length(t) <= 2)) AS DECIMAL(18,6))
-                             / len($duckToks) AS DECIMAL(18,6)) AS short_ratio,
-                        CAST(least(CAST(n_chars AS DECIMAL(18,6)) / 300,
-                                   CAST(1.0 AS DECIMAL(18,6)))
-                             AS DECIMAL(18,6)) AS len_norm,
-                        CAST(CAST(len(list_distinct($duckToks)) AS DECIMAL(18,6))
-                             / len($duckToks) AS DECIMAL(18,6)) AS ttr
-                 FROM documents),
-               z AS (SELECT source,
-                            CAST(CAST(-0.3 AS DECIMAL(2,1))
-                                 + len_norm * CAST(1.2 AS DECIMAL(2,1))
-                                 + stop_ratio * CAST(-0.8 AS DECIMAL(2,1))
-                                 + short_ratio * CAST(-1.5 AS DECIMAL(2,1))
-                                 + ttr * CAST(0.9 AS DECIMAL(2,1))
-                            AS DECIMAL(18,7)) AS z
-                     FROM f),
-               p AS (SELECT source,
-                            round(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 6) AS p
-                     FROM z)
+      Some(s"""WITH $duckLogistic
                SELECT source, COUNT(*) AS n,
                       CAST(SUM(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END)
                            AS BIGINT) AS n_pos,
                       CAST(CAST(SUM(CAST(p AS DECIMAL(18,6))) / COUNT(*)
                                 AS DECIMAL(18,6)) AS DOUBLE) AS mean_p
                FROM p GROUP BY 1 ORDER BY source""")),
+
+    // Reliability diagram + expected calibration error of the quality
+    // classifier against its length pseudo-label (y = n_chars >= 300) —
+    // the eval-report staple that says whether "p=0.9" means 90%: per
+    // confidence bin, mean confidence vs empirical accuracy, and
+    // ECE = sum over bins of (n_b/N)·|acc_b − conf_b|. The corpus work
+    // is exactly [[logisticScored]]'s scan-local projection plus ONE
+    // map-combined reduce to ≤10 bin rows; every window below runs on
+    // that bin table. conf derives from the rounded-6 p (1−p is exact at
+    // the same grain), bin edges floor the rounded value, and the
+    // gap/ECE chain is rounded-6 decimal-summed — engine-identical.
+    "llm_ece" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wAll = Window.rowsBetween(Window.unboundedPreceding,
+                                      Window.unboundedFollowing)
+        logisticScored(s, dir)
+          .withColumn("y", col("n_chars") >= 300)
+          .withColumn("conf",
+            when(col("p") >= 0.5, col("p")).otherwise(lit(1.0) - col("p")))
+          .withColumn("correct",
+            when((col("p") >= 0.5) === col("y"), 1L).otherwise(0L))
+          .withColumn("bin", least(floor(col("conf") * 10).cast("int"), lit(9)))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+               (sum(col("conf").cast("decimal(18,6)")) / count(lit(1)))
+                 .cast("decimal(18,6)").cast("double").as("mean_conf"),
+               sum(col("correct")).as("n_correct"))
+          .withColumn("accuracy",
+            round(col("n_correct").cast("double") / col("n"), 6))
+          .withColumn("nt", sum(col("n")).over(wAll))
+          .withColumn("gap_w", round(col("n").cast("double") / col("nt")
+                                       * abs(col("accuracy") - col("mean_conf")), 6))
+          .withColumn("ece",
+            sum(col("gap_w").cast("decimal(18,6)")).over(wAll).cast("double"))
+          .select(col("bin"), col("n"), col("mean_conf"), col("accuracy"),
+                  col("gap_w"), col("ece"))
+          .orderBy(col("bin"))
+      },
+      Some(s"""WITH $duckLogistic,
+                s2 AS (SELECT p,
+                              CASE WHEN p >= 0.5 THEN p ELSE 1.0 - p END AS conf,
+                              CASE WHEN (p >= 0.5) = (n_chars >= 300)
+                                   THEN 1 ELSE 0 END AS correct
+                       FROM p),
+                b AS (SELECT least(CAST(floor(conf * 10) AS INT), 9) AS bin,
+                             CAST(COUNT(*) AS BIGINT) AS n,
+                             CAST(CAST(SUM(CAST(conf AS DECIMAL(18,6)))
+                                       / COUNT(*) AS DECIMAL(18,6))
+                                  AS DOUBLE) AS mean_conf,
+                             CAST(SUM(correct) AS BIGINT) AS n_correct
+                      FROM s2 GROUP BY 1),
+                w AS (SELECT bin, n, mean_conf,
+                             round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy,
+                             SUM(n) OVER () AS nt
+                      FROM b),
+                g AS (SELECT bin, n, mean_conf, accuracy,
+                             round(CAST(n AS DOUBLE) / nt
+                                   * abs(accuracy - mean_conf), 6) AS gap_w
+                      FROM w)
+               SELECT bin, n, mean_conf, accuracy, gap_w,
+                      CAST(SUM(CAST(gap_w AS DECIMAL(18,6))) OVER ()
+                           AS DOUBLE) AS ece
+               FROM g ORDER BY bin""")),
 
     // Delete-one-GROUP jackknife CI for a corpus-level metric (mean doc
     // length) — the deterministic uncertainty quantification an eval

@@ -1172,6 +1172,44 @@ object Analytics {
                            6) AS top_share
               FROM a ORDER BY n_name""")),
 
+    // Incremental JOIN-view maintenance: the delta algebra
+    // Δ(A ⋈ B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, with A = orders split at
+    // a load cutoff and B = customers with a simulated late-arriving
+    // cohort (custkey % 10). The declared result is the maintained
+    // per-nation rollup assembled from the four decomposed joins; the
+    // oracle recomputes the join DIRECTLY from the full tables, so the
+    // hash gate proves the IVM identity — the algebra warehouses rely on
+    // to avoid full-join recompute on every load. At scale only the
+    // three delta terms are new work (each O(|Δ|) broadcast probes);
+    // A_old⋈B_old stands in for the already-materialized view.
+    "q_incremental_join_mv" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+        val aOld = o.filter(col("o_orderdate") < lit("1996-01-01"))
+        val aNew = o.filter(col("o_orderdate") >= lit("1996-01-01"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val bOld = c.filter(col("c_custkey") % 10 =!= 0)
+        val bNew = c.filter(col("c_custkey") % 10 === 0)
+        def j(a: DataFrame, b: DataFrame) =
+          a.join(broadcast(b), col("o_custkey") === col("c_custkey"))
+        j(aOld, bOld).unionAll(j(aNew, bOld))
+          .unionAll(j(aOld, bNew)).unionAll(j(aNew, bNew))
+          .join(broadcast(Tables.nation(s, dir)),
+                col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_orders"),
+               H.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy(col("n_name"))
+      },
+      Some(s"""SELECT n_name, COUNT(*) AS n_orders,
+                      ${H.oSum("o_totalprice")} AS revenue
+               FROM orders
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY 1 ORDER BY 1""")),
+
     // Spearman rank correlation between quantity and discount — the
     // monotone-association sibling of q_agg_corr's Pearson, computed
     // WITHOUT ever ranking the fact table: the joint (x, y) histogram

@@ -751,6 +751,42 @@ object Trends {
                  AND l_discount >= 0.05 AND l_discount <= 0.07
                  AND l_quantity < 24.0""")),
 
+    // TPC-H Q19 shape (discounted revenue, promo parts), adapted to the
+    // fixture's columns (no p_container/l_shipmode in the driver data —
+    // brand/size/quantity carry the same structure): the OR-of-ANDs
+    // predicate benchmark. The three disjunct groups share the join key,
+    // so Catalyst extracts the common l_partkey equi-join and pushes the
+    // partial disjuncts (p_brand IN (...), p_size <= 35, l_quantity
+    // ranges) below the join into both scans — the plan every
+    // brand-promotion query needs at lake scale, where a naive OR would
+    // block all pushdown and scan everything into the join.
+    "q_tpch_q19" -> Q(
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        Tables.lineitem(s, dir)
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .filter((col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+                     && col("l_quantity").between(1, 11)) ||
+                  (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)
+                     && col("l_quantity").between(10, 20)) ||
+                  (col("p_brand") === "Brand#3" && col("p_size").between(1, 35)
+                     && col("l_quantity").between(20, 30)))
+          .agg(H.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                 .as("revenue"),
+               count(lit(1)).as("n_rows"))
+      },
+      Some(s"""SELECT ${H.oSum("l_extendedprice * (1.0 - l_discount)")}
+                        AS revenue,
+                      COUNT(*) AS n_rows
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                      AND l_quantity BETWEEN 1 AND 11)
+                  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                      AND l_quantity BETWEEN 10 AND 20)
+                  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                      AND l_quantity BETWEEN 20 AND 30)""")),
+
     // TPC-H Q18 shape (large-volume customers): orders whose total
     // quantity clears a HAVING threshold, re-joined to their lines and
     // buyer. The scalable shape: the inner groupBy(l_orderkey) is

@@ -1230,6 +1230,18 @@ class PlanAuditSpec extends SparkSuite {
       s"top-100 must be a TakeOrdered, not a global sort:\n$p")
   }
 
+  test("q_tpch_q19: OR-of-ANDs partially pushes below the join into both scans") {
+    val p = planOf("q_tpch_q19")
+    assert(p.contains("PushedFilters"), s"no pushdown at all:\n$p")
+    // The brand/size disjunction must reach the part scan and the
+    // quantity disjunction the lineitem scan — a naive OR blocks both.
+    assert("PushedFilters: \\[[^\\]]*p_brand".r.findFirstIn(p).isDefined ||
+           "PushedFilters: \\[[^\\]]*p_size".r.findFirstIn(p).isDefined,
+      s"part-side disjuncts not pushed:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_quantity".r.findFirstIn(p).isDefined,
+      s"lineitem-side disjuncts not pushed:\n$p")
+  }
+
   test("llm_silhouette: centroids broadcast; corpus never shuffle-joins") {
     graft.functions.Custom.register(spark)
     val p = planOf("llm_silhouette")

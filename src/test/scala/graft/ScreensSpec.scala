@@ -218,6 +218,24 @@ class ScreensSpec extends SparkSuite {
       math.abs(r.getDouble(2) - truth((r.getString(0), r.getString(1)))) > 1e-4))
   }
 
+  test("llm_ece: bins partition the scored corpus; ECE is the gap sum in [0,1]") {
+    val rows = Registry.byName("llm_ece").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum == Tables.documents(spark, sf).count(),
+      "confidence bins must partition the corpus")
+    val ece = rows.head.getDouble(5)
+    assert(rows.forall(r => math.abs(r.getDouble(5) - ece) < 1e-9),
+      "ece must be the same corpus-level value on every bin row")
+    assert(math.abs(rows.map(_.getDouble(4)).sum - ece) < 1e-6,
+      "ece must equal the sum of per-bin weighted gaps")
+    assert(ece >= 0.0 && ece <= 1.0)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.5 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9,
+        s"bin ${r.getInt(0)}: mean confidence outside [0.5, 1]")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("llm_silhouette: means bounded, counts partition the corpus") {
     val rows = Registry.byName("llm_silhouette").fn(spark, sf).collect()
     assert(rows.nonEmpty)
