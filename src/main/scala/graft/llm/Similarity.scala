@@ -474,6 +474,60 @@ object Similarity {
                WHERE cos >= 0.2
                ORDER BY label, id_a, id_b""")),
 
+    // Mutual nearest neighbors over the thresholded candidate graph —
+    // the high-precision pairing signal bitext mining and record
+    // linkage use: a pair survives only when each side is the OTHER's
+    // best candidate, which kills the hub problem (one popular vector
+    // soaking up many best-of links can be kept by at most one of them).
+    // Work shape: ONE banded cosPairs pass (never two — the symmetric
+    // orientation is an in-row 2-element explode), a per-source top-1
+    // window on the candidate table (map-side prunable via
+    // WindowGroupLimit), and a best⋈best equi-join on the |ids|-row
+    // reduced table. Ranks break ties on (cos desc, dst), both engines.
+    "llm_mutual_nn" -> Q(
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sym = cosPairs(s, dir)
+          .select(col("cos"), explode(array(
+            struct(col("id_a").as("src"), col("id_b").as("dst")),
+            struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"), col("cos"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))
+        val best = sym.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("src"), col("dst"), col("cos"))
+        best.as("x")
+          .join(best.as("y"),
+                col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
+                  && col("x.src") < col("x.dst"))
+          .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),
+                  col("x.cos").as("cos"))
+          .orderBy(col("id_a"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm
+                          FROM embeddings),
+                    p AS (SELECT * FROM (
+                            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                                   round(${duckDot("a.embedding", "b.embedding")}
+                                         / (a.nrm * b.nrm), 6) AS cos
+                            FROM n a JOIN n b
+                              ON a.label = b.label AND a.vec_id < b.vec_id)
+                          WHERE cos >= 0.2),
+                    sym AS (SELECT id_a AS src, id_b AS dst, cos FROM p
+                            UNION ALL
+                            SELECT id_b AS src, id_a AS dst, cos FROM p),
+                    best AS (SELECT src, dst, cos FROM (
+                               SELECT src, dst, cos,
+                                      ROW_NUMBER() OVER (PARTITION BY src
+                                        ORDER BY cos DESC, dst) AS rk
+                               FROM sym)
+                             WHERE rk = 1)
+               SELECT x.src AS id_a, x.dst AS id_b, x.cos AS cos
+               FROM best x JOIN best y
+                 ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst
+               ORDER BY id_a""")),
+
     // Semantic-dedup threshold sweep — the tuning curve a curation run
     // reads before picking τ: for each candidate threshold, how many
     // pairs fire and how many docs would be dropped (distinct higher-id

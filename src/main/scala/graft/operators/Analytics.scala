@@ -1172,6 +1172,78 @@ object Analytics {
                            6) AS top_share
               FROM a ORDER BY n_name""")),
 
+    // Degree assortativity of the co-supply graph: Pearson correlation
+    // of endpoint degrees over every directed edge — positive means
+    // hubs prefer hubs (a core-periphery warning for partitioning:
+    // assortative hubs concentrate shuffle volume). Rides the SAME
+    // reduced edge table as triangles/pagerank; the degree table is
+    // |nodes| rows and broadcasts back onto the edge list, and all six
+    // accumulators are exact integers (DECIMAL(38,0) here, HUGEINT in
+    // the oracle — m2·sxy tops 2^63 at sf1, which is why the long lane
+    // is not enough) with one terminal double division.
+    "q_assortativity" -> Q(
+      (s, dir) => {
+        val e = coSupplyEdges(s, dir)
+        val sym = e.select(explode(array(
+            struct(col("u").as("src"), col("v").as("dst")),
+            struct(col("v").as("src"), col("u").as("dst")))).as("d"))
+          .select(col("d.src").as("src"), col("d.dst").as("dst"))
+        val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val d = "decimal(38,0)"
+        val a = sym
+          .join(broadcast(deg), Seq("src"))
+          .withColumnRenamed("deg", "du")
+          .join(broadcast(deg.select(col("src").as("dst"),
+                                     col("deg").as("dv"))), Seq("dst"))
+          .agg(count(lit(1)).as("m2"),
+               sum(col("du").cast(d)).as("sx"),
+               sum(col("dv").cast(d)).as("sy"),
+               sum(col("du").cast(d) * col("du")).as("sxx"),
+               sum(col("dv").cast(d) * col("dv")).as("syy"),
+               sum(col("du").cast(d) * col("dv")).as("sxy"))
+        val vx = col("m2").cast(d) * col("sxx") - col("sx") * col("sx")
+        val vy = col("m2").cast(d) * col("syy") - col("sy") * col("sy")
+        // a degree-regular graph has zero endpoint-degree variance; the
+        // correlation is undefined there and reports 0 by convention
+        a.select(col("m2").as("n_directed_edges"),
+                 when(vx > 0 && vy > 0,
+                      round((col("m2").cast(d) * col("sxy")
+                               - col("sx") * col("sy")).cast("double")
+                            / sqrt(vx.cast("double") * vy.cast("double")), 6))
+                   .otherwise(lit(0.0)).as("assortativity"))
+      },
+      Some("""WITH ps AS (SELECT DISTINCT s.s_nationkey AS nk,
+                                          l.l_partkey AS p, l.l_suppkey AS s
+                          FROM lineitem l
+                          JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+                   e AS (SELECT DISTINCT a.s AS u, b.s AS v
+                         FROM ps a JOIN ps b
+                           ON a.nk = b.nk AND a.p = b.p AND a.s < b.s),
+                   sym AS (SELECT u AS src, v AS dst FROM e
+                           UNION ALL SELECT v AS src, u AS dst FROM e),
+                   deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY 1),
+                   j AS (SELECT a.deg AS du, b.deg AS dv
+                         FROM sym JOIN deg a ON sym.src = a.src
+                                  JOIN deg b ON sym.dst = b.src),
+                   agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                                  CAST(SUM(CAST(du AS HUGEINT)) AS HUGEINT) AS sx,
+                                  CAST(SUM(CAST(dv AS HUGEINT)) AS HUGEINT) AS sy,
+                                  CAST(SUM(CAST(du AS HUGEINT) * du) AS HUGEINT) AS sxx,
+                                  CAST(SUM(CAST(dv AS HUGEINT) * dv) AS HUGEINT) AS syy,
+                                  CAST(SUM(CAST(du AS HUGEINT) * dv) AS HUGEINT) AS sxy
+                           FROM j)
+              SELECT m2 AS n_directed_edges,
+                     CASE WHEN CAST(m2 AS HUGEINT) * sxx - sx * sx > 0
+                           AND CAST(m2 AS HUGEINT) * syy - sy * sy > 0
+                          THEN round(CAST(CAST(m2 AS HUGEINT) * sxy - sx * sy
+                                          AS DOUBLE)
+                                     / sqrt(CAST(CAST(m2 AS HUGEINT) * sxx
+                                                 - sx * sx AS DOUBLE)
+                                            * CAST(CAST(m2 AS HUGEINT) * syy
+                                                   - sy * sy AS DOUBLE)), 6)
+                          ELSE CAST(0.0 AS DOUBLE) END AS assortativity
+              FROM agg""")),
+
     // Incremental JOIN-view maintenance: the delta algebra
     // Δ(A ⋈ B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, with A = orders split at
     // a load cutoff and B = customers with a simulated late-arriving

@@ -609,6 +609,34 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_assortativity: matches a driver-side endpoint-degree Pearson") {
+    val r = Registry.byName("q_assortativity").fn(spark, sf).collect()(0)
+    assert(r.getDouble(1) >= -1.0 - 1e-9 && r.getDouble(1) <= 1.0 + 1e-9)
+    val edges = Tables.lineitem(spark, sf)
+      .join(Tables.supplier(spark, sf),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"), col("l_partkey").as("p"),
+              col("l_suppkey").as("sk")).distinct()
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+      .groupBy(t => (t._1, t._2)).values
+      .flatMap { g =>
+        val ss = g.map(_._3).distinct.sorted
+        for (i <- ss.indices; j <- i + 1 until ss.length) yield (ss(i), ss(j))
+      }.toSeq.distinct
+    val sym = edges.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val deg = sym.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val pts = sym.map { case (u, v) => (deg(u), deg(v)) }
+    val m = pts.size.toDouble
+    val mx = pts.map(_._1).sum / m; val my = pts.map(_._2).sum / m
+    val num = pts.map { case (a, b) => (a - mx) * (b - my) }.sum
+    val den = math.sqrt(pts.map(p => (p._1 - mx) * (p._1 - mx)).sum *
+                        pts.map(p => (p._2 - my) * (p._2 - my)).sum)
+    assert(r.getLong(0) == sym.size)
+    val brute = if (den > 0) num / den else 0.0
+    assert(math.abs(r.getDouble(1) - brute) < 1e-5,
+      s"assortativity ${r.getDouble(1)} != brute $brute")
+  }
+
   test("q_session_window_native: sessions partition the events and never overlap") {
     val rows = Registry.byName("q_session_window_native").fn(spark, sf).collect()
     assert(rows.map(_.getLong(3)).sum == Tables.events(spark, sf).count(),

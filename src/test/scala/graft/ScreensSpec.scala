@@ -236,6 +236,19 @@ class ScreensSpec extends SparkSuite {
     }
   }
 
+  test("llm_mutual_nn: pairs form a matching (no vector in two pairs)") {
+    graft.functions.Custom.register(spark)
+    val rows = Registry.byName("llm_mutual_nn").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(ids.distinct.length == ids.length,
+      "mutual-NN pairs must be a matching — some vector is in two pairs")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonically ordered")
+      assert(r.getDouble(2) >= 0.2, "pair below the candidate threshold")
+    }
+  }
+
   test("llm_silhouette: means bounded, counts partition the corpus") {
     val rows = Registry.byName("llm_silhouette").fn(spark, sf).collect()
     assert(rows.nonEmpty)
