@@ -26,7 +26,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * name, dataset mtime); computing a stage for a new mtime evicts the
   * superseded entry so a regenerated fixture can't pin stale checkpoint
   * blocks for the JVM's life. */
-private[llm] object Memo {
+private[graft] object Memo {
 
   // Per-key latch (FutureTask installed via putIfAbsent), NOT
   // ConcurrentHashMap.computeIfAbsent and NOT a global synchronized:
@@ -53,7 +53,7 @@ private[llm] object Memo {
   /** Unique per-session token (identityHashCode is NOT unique — a GC'd
     * session's slot can be reused): a UUID minted once and stored in the
     * session's own conf, so the cache key dies with the session. */
-  private[llm] def sessionToken(s: SparkSession): String = synchronized {
+  private[graft] def sessionToken(s: SparkSession): String = synchronized {
     val key = "spark.graft.session.token"
     s.conf.getOption(key).getOrElse {
       val t = java.util.UUID.randomUUID().toString
@@ -61,11 +61,13 @@ private[llm] object Memo {
     }
   }
 
-  /** Max mtime of the dataset's documents parquet — regenerated fixtures
+  /** Max mtime of the stage's SOURCE parquet (documents for the text
+    * stages, lineitem for the graph edge stage) — regenerated fixtures
     * get a new cache key, and the stale entry (plus its pinned checkpoint
     * blocks) is evicted. */
-  private[llm] def dataVersion(dir: String): Long = {
-    val f = new java.io.File(dir, "documents.parquet")
+  private[graft] def dataVersion(dir: String,
+                                 table: String = "documents.parquet"): Long = {
+    val f = new java.io.File(dir, table)
     val files = if (f.isDirectory) f.listFiles() else Array(f)
     if (files == null || files.isEmpty) 0L else files.map(_.lastModified).max
   }
@@ -73,10 +75,11 @@ private[llm] object Memo {
   /** The memoized stage: compute-once per (session, dataset, name,
     * data version). `compute` must return an already-materialized
     * (checkpointed) DataFrame — see the class doc. */
-  def stage(s: SparkSession, dir: String, name: String)
+  def stage(s: SparkSession, dir: String, name: String,
+            table: String = "documents.parquet")
            (compute: => DataFrame): DataFrame = {
     val prefix = s"${sessionToken(s)}:$dir:$name:"
-    val key = s"$prefix${dataVersion(dir)}"
+    val key = s"$prefix${dataVersion(dir, table)}"
     val task = new java.util.concurrent.FutureTask[DataFrame](() => compute)
     val prior = cache.putIfAbsent(key, task)
     val winner = if (prior == null) {

@@ -31,6 +31,8 @@ object Stages {
     Seq(
       timed("stage:shingles3") { Dedup.shingled(s, dir) },
       timed("stage:near_pairs") { Dedup.nearPairs(s, dir) },
-      timed("stage:cluster_labels") { Pipeline.clusterLabels(s, dir) })
+      timed("stage:cluster_labels") { Pipeline.clusterLabels(s, dir) },
+      timed("stage:co_supply_edges") {
+        graft.operators.Analytics.coSupplyEdges(s, dir) })
   }
 }

@@ -29,7 +29,7 @@ object Analytics {
     * still collapses pairs that co-occur under several (nation, part)
     * blocks. Shared by q_graph_triangles and q_pagerank_iter; both
     * oracles keep the self-join SQL — the hash gate proves equivalence. */
-  private def coSupplyEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coSupplyEdgesPlan(s: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(s, dir)
       .select(col("s_suppkey").as("sk"), col("s_nationkey").as("nk"))
     Tables.lineitem(s, dir)
@@ -41,6 +41,20 @@ object Analytics {
       .select(col("pr.a").as("u"), col("pr.b").as("v"))
       .distinct()
   }
+
+  /** The edge table as a memoized write-once stage (graft.llm.Memo —
+    * same checkpoint discipline as the shingle/near-pair stages, keyed
+    * on lineitem's mtime): triangles, pagerank, and assortativity are a
+    * pipeline DAG off ONE materialized edge list, and Bench charges the
+    * build to its own stage:co_supply_edges line item instead of
+    * whichever graph key runs first. [[coSupplyEdgesPlan]] stays
+    * un-memoized for PlanAuditSpec to audit the builder's plan. */
+  private[graft] def coSupplyEdges(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Memo.stage(s, dir, "co_supply_edges", "lineitem.parquet") {
+      val stage = coSupplyEdgesPlan(s, dir)
+      if (s.sparkContext.getCheckpointDir.isDefined) stage.checkpoint()
+      else stage.localCheckpoint()
+    }
 
   val qs: Seq[(String, Q)] = Seq(
 

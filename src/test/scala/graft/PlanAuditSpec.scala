@@ -715,19 +715,19 @@ class PlanAuditSpec extends SparkSuite {
       s"cartesian crept into the recall probe:\n$p")
   }
 
-  test("q_graph_triangles / q_pagerank_iter: edge builder is join-free (set explode)") {
-    Seq("q_graph_triangles", "q_pagerank_iter").foreach { k =>
-      val p = planOf(k)
-      // r6 rewrite: co-supply edges come from a per-(nation, part)
-      // collect_set + in-row pair explode — the group-quadratic
-      // ps.as("a") ⋈ ps.as("b") self-join on (nk, p) must be GONE. Any
-      // join keyed on nk would be that self-join (the only other join,
-      // the supplier dim attach, broadcasts on sk).
-      assert(p.contains("collect_set"), s"$k: no set-based edge builder:\n$p")
-      assert(!"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[nk#".r
-               .findFirstIn(p).isDefined,
-        s"$k: (nk, p) self-join still present:\n$p")
-    }
+  test("co-supply edge builder: join-free set explode (audited at the stage plan)") {
+    // r6 rewrite: co-supply edges come from a per-(nation, part)
+    // collect_set + in-row pair explode — the group-quadratic
+    // ps.as("a") ⋈ ps.as("b") self-join on (nk, p) must be GONE. Since
+    // the r10 stage memoization the consumers (triangles / pagerank /
+    // assortativity) read a checkpointed edge table, so the builder's
+    // plan is audited HERE, at the un-memoized stage definition.
+    val p = graft.operators.Analytics.coSupplyEdgesPlan(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("collect_set"), s"no set-based edge builder:\n$p")
+    assert(!"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[nk#".r
+             .findFirstIn(p).isDefined,
+      s"(nk, p) self-join still present:\n$p")
   }
 
   test("llm_pmi / llm_next_token: top-N selects via TakeOrderedAndProject") {
