@@ -265,6 +265,49 @@ object Signals {
                                 AS DECIMAL(18,6)) AS DOUBLE) AS mean_p
                FROM p GROUP BY 1 ORDER BY source""")),
 
+    // LLM-watermark detection (the Kirchenbauer-style green-list
+    // z-test, public-literature form): a watermarking sampler biases
+    // generation toward a pseudorandom "green" half of the vocabulary,
+    // so watermarked text shows a green-token fraction far above 1/2
+    // and z = (2g − n)/sqrt(n) explodes. The green partition is the
+    // engine's deterministic md5/tid60 token hash (parity-pinned
+    // kernel), so detection is a pure scan-local projection — explode,
+    // two conditional counts per doc, one sqrt — and the z-threshold
+    // flag is decided on exact integers. Human text (this fixture)
+    // must sit inside |z| < 4 almost everywhere; the spec pins the
+    // false-positive rate the 4-sigma gate implies.
+    "llm_watermark_detect" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(expr(toksE)).as("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_toks"),
+               sum(when(expr("tid60(tok) % 2") === 0, 1L).otherwise(0L))
+                 .as("n_green"))
+          .select(col("doc_id"), col("n_toks"), col("n_green"),
+                  round((lit(2L) * col("n_green") - col("n_toks"))
+                          .cast("double") / sqrt(col("n_toks").cast("double")),
+                        6).as("z_green"),
+                  ((lit(2L) * col("n_green") - col("n_toks")).cast("double")
+                     > lit(4.0) * sqrt(col("n_toks").cast("double")))
+                    .as("watermarked"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest($duckToks) AS tok
+                          FROM documents),
+                    g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+                                 CAST(COUNT(*) FILTER (WHERE
+                                   ('0x' || substr(md5(tok), 1, 15))::BIGINT
+                                   % 2 = 0) AS BIGINT) AS n_green
+                          FROM t GROUP BY 1)
+               SELECT doc_id, n_toks, n_green,
+                      round(CAST(2 * n_green - n_toks AS DOUBLE)
+                            / sqrt(CAST(n_toks AS DOUBLE)), 6) AS z_green,
+                      CAST(2 * n_green - n_toks AS DOUBLE)
+                        > 4.0 * sqrt(CAST(n_toks AS DOUBLE)) AS watermarked
+               FROM g ORDER BY doc_id""")),
+
     // Reliability diagram + expected calibration error of the quality
     // classifier against its length pseudo-label (y = n_chars >= 300) —
     // the eval-report staple that says whether "p=0.9" means 90%: per

@@ -236,6 +236,37 @@ class ScreensSpec extends SparkSuite {
     }
   }
 
+  test("llm_watermark_detect: human text stays under the 4-sigma gate; a biased corpus fires it") {
+    graft.functions.Custom.register(spark)
+    val rows = Registry.byName("llm_watermark_detect").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // 4-sigma one-sided false-positive rate is ~3e-5: the 500-doc human
+    // fixture should have zero (tolerate one tail straggler).
+    assert(rows.count(_.getBoolean(4)) <= 1,
+      "human fixture text flagged as watermarked")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // Positive control THROUGH the operator: append a forged doc made
+    // only of green tokens (the same tid60 partition the detector uses)
+    // to a doctored fixture copy and run the declared key on it.
+    val green = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("tok"))
+      .distinct().filter(expr("tid60(tok) % 2 = 0"))
+      .orderBy(col("tok")).limit(30).collect().map(_.getString(0))
+    assert(green.length >= 10, "fixture vocab has too few green tokens")
+    val forged = (green ++ green).mkString(" ")
+    val dir = s"${graft.Fixtures.dir}/watermark_fixture"
+    Tables.documents(spark, sf)
+      .unionByName(spark.sql(
+        s"""SELECT 99999L AS doc_id, '$forged' AS text, 'en' AS lang,
+                   'forge' AS source, ${forged.length}L AS n_chars"""))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val doctored = Registry.byName("llm_watermark_detect").fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(doctored(99999L), "all-green forged doc must be flagged")
+    assert(doctored.count(_._2) <= 2,
+      "flag rate exploded on the doctored corpus")
+  }
+
   test("llm_mutual_nn: pairs form a matching (no vector in two pairs)") {
     graft.functions.Custom.register(spark)
     val rows = Registry.byName("llm_mutual_nn").fn(spark, sf).collect()
