@@ -357,6 +357,83 @@ object Trends {
                      round(serr / (n_days - 1), 6) AS mae
               FROM r, n WHERE i = n_days""")),
 
+    // Holt-Winters additive triple smoothing (level + trend + 7-day
+    // season) — the full classical-forecasting ladder above q_ses and
+    // q_holt. The seasonal state is a rotating 7-slot array carried
+    // INSIDE the fold accumulator: each step reads slot 1 (the value
+    // from one season ago), then appends the refreshed index to the
+    // tail — so the recurrence stays a single sequential pass in both
+    // engines (Spark in-row `aggregate`; DuckDB recursive CTE carrying
+    // a LIST column), with the level update spelled inline inside the
+    // trend and season updates exactly as q_holt pins. alpha=0.5,
+    // beta=0.3, gamma=0.25; seasons seed at 0 so no lookahead.
+    // Alignment invariant: after processing day T, slot 1 holds
+    // s_{T-6} — exactly the season index day T+1 needs (T+1 minus one
+    // 7-day season) — so the t+1 forecast is l + t + seas[1] with no
+    // extra rotation.
+    "q_holt_winters" -> Q(
+      (s, dir) => {
+        val day = Tables.orders(s, dir)
+          .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+          .agg(sum(col("o_totalprice").cast(H.D)).cast("double").as("rev"))
+        day.agg(array_sort(collect_list(struct(col("day"), col("rev"))))
+                  .as("a"))
+          .select(expr("transform(a, x -> x.rev)").as("b"))
+          .select(size(col("b")).cast("bigint").as("n_days"),
+                  expr("""aggregate(slice(b, 2, size(b) - 1),
+                            named_struct('l', element_at(b, 1),
+                                         't', CAST(0.0 AS DOUBLE),
+                                         'seas', array_repeat(CAST(0.0 AS DOUBLE), 7),
+                                         'serr', CAST(0.0 AS DOUBLE)),
+                            (acc, y) -> named_struct(
+                              'l', 0.5 * (y - element_at(acc.seas, 1))
+                                   + 0.5 * (acc.l + acc.t),
+                              't', 0.3 * (0.5 * (y - element_at(acc.seas, 1))
+                                          + 0.5 * (acc.l + acc.t) - acc.l)
+                                   + 0.7 * acc.t,
+                              'seas', concat(slice(acc.seas, 2, 6),
+                                array(0.25 * (y - (0.5 * (y - element_at(acc.seas, 1))
+                                                   + 0.5 * (acc.l + acc.t)))
+                                      + 0.75 * element_at(acc.seas, 1))),
+                              'serr', acc.serr + abs(y - (acc.l + acc.t
+                                        + element_at(acc.seas, 1)))))""")
+                    .as("r"))
+          .select(col("n_days"),
+                  round(col("r.l") + col("r.t")
+                          + expr("element_at(r.seas, 1)"), 6).as("forecast_1"),
+                  round(col("r.serr") / (col("n_days") - 1), 6).as("mae"))
+      },
+      Some("""WITH RECURSIVE day AS (
+                     SELECT date_trunc('day', o_orderdate) AS day,
+                            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                                 AS DOUBLE) AS rev
+                     FROM orders GROUP BY 1),
+                   d AS (SELECT CAST(row_number() OVER (ORDER BY day)
+                                     AS BIGINT) AS i, rev FROM day),
+                   n AS (SELECT COUNT(*) AS n_days FROM d),
+                   r AS (SELECT i, rev AS l, CAST(0.0 AS DOUBLE) AS t,
+                                [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0,
+                                 0.0, 0.0, 0.0] AS seas,
+                                CAST(0.0 AS DOUBLE) AS serr
+                         FROM d WHERE i = 1
+                         UNION ALL
+                         SELECT d.i,
+                                0.5 * (d.rev - r.seas[1])
+                                  + 0.5 * (r.l + r.t),
+                                0.3 * (0.5 * (d.rev - r.seas[1])
+                                       + 0.5 * (r.l + r.t) - r.l)
+                                  + 0.7 * r.t,
+                                list_concat(r.seas[2:7],
+                                  [0.25 * (d.rev - (0.5 * (d.rev - r.seas[1])
+                                                    + 0.5 * (r.l + r.t)))
+                                   + 0.75 * r.seas[1]]),
+                                r.serr + abs(d.rev - (r.l + r.t + r.seas[1]))
+                         FROM r JOIN d ON d.i = r.i + 1)
+              SELECT n_days,
+                     round(l + t + seas[1], 6) AS forecast_1,
+                     round(serr / (n_days - 1), 6) AS mae
+              FROM r, n WHERE i = n_days""")),
+
     // CUSUM changepoint detection on the daily revenue series — the
     // classic regime-shift locator: cumulative deviations from the global
     // mean peak (in absolute value) exactly where the level shifts. All

@@ -117,6 +117,30 @@ class TrendsSpec extends SparkSuite {
     assert(got == expected && got > 0)
   }
 
+  test("q_holt_winters: distributed fold matches a sequential Scala recurrence") {
+    val r = Registry.byName("q_holt_winters").fn(spark, sf).collect()(0)
+    val days = Tables.orders(spark, sf)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(H.D)).cast("double").as("rev"))
+      .orderBy(col("day")).collect().map(_.getDouble(1))
+    var l = days.head; var t = 0.0; var serr = 0.0
+    var seas = Array.fill(7)(0.0)
+    days.tail.foreach { y =>
+      val s1 = seas(0)
+      serr += math.abs(y - (l + t + s1))
+      val l2 = 0.5 * (y - s1) + 0.5 * (l + t)
+      val t2 = 0.3 * (0.5 * (y - s1) + 0.5 * (l + t) - l) + 0.7 * t
+      seas = seas.drop(1) :+ (0.25 * (y - (0.5 * (y - s1) + 0.5 * (l + t)))
+                              + 0.75 * s1)
+      l = l2; t = t2
+    }
+    assert(r.getLong(0) == days.length)
+    assert(math.abs(r.getDouble(1) - (l + t + seas(0))) < 1e-6,
+      s"forecast_1 ${r.getDouble(1)} != fold ${l + t + seas(0)}")
+    assert(math.abs(r.getDouble(2) - serr / (days.length - 1)) < 1e-6,
+      s"mae ${r.getDouble(2)} != fold ${serr / (days.length - 1)}")
+  }
+
   test("q_holt: distributed fold matches a sequential Scala recurrence") {
     // The declared query's in-row aggregate() must be the SAME sequential
     // recurrence a driver-side fold computes — recomputed here from the
