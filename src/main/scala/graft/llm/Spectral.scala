@@ -38,9 +38,36 @@ object Spectral {
               posexplode(col("embedding")).as(Seq("pos", "vf")))
       .select(col("id"), col("pos"), col("vf").cast("double").as("v"))
 
+  /** The exploded table as a memoized write-once stage (checkpointed,
+    * keyed on embeddings' mtime) — referenced 2K+1 times per consumer
+    * and by THREE declared keys (power/explained/abtt), so it
+    * materializes once per session+dataset instead of once per key. */
+  private[llm] def explodedStage(s: org.apache.spark.sql.SparkSession,
+                                 dir: String) =
+    Memo.stage(s, dir, "pca_exploded", "embeddings.parquet") {
+      val stage = exploded(s, dir)
+      if (s.sparkContext.getCheckpointDir.isDefined) stage.checkpoint()
+      else stage.localCheckpoint()
+    }
+
+  /** The K-round power-iteration direction as a memoized stage: the
+    * 64-row w table is the shared upstream of llm_pca_power,
+    * llm_pca_explained, and llm_abtt_apply — without the memo each key
+    * re-runs all K x 4 iteration jobs (measured 5.7 s on abtt alone).
+    * Bench charges the build to stage:pca_topdir. */
+  private[llm] def topDirStage(s: org.apache.spark.sql.SparkSession,
+                               dir: String) =
+    Memo.stage(s, dir, "pca_topdir", "embeddings.parquet") {
+      val stage = topDirection(explodedStage(s, dir))
+      if (s.sparkContext.getCheckpointDir.isDefined) stage.checkpoint()
+      else stage.localCheckpoint()
+    }
+
   /** K rounds of normalized power iteration; returns the 64-row (pos, w)
-    * direction table. Shared by llm_pca_power and llm_pca_explained. */
-  private def topDirection(e: org.apache.spark.sql.DataFrame) = {
+    * direction table. Shared (via [[topDirStage]]) by llm_pca_power,
+    * llm_pca_explained and llm_abtt_apply; un-memoized for the
+    * SpectralSpec plan audit. */
+  private[llm] def topDirection(e: org.apache.spark.sql.DataFrame) = {
     var w = e.select(col("pos")).distinct().withColumn("w", lit(0.125))
     for (_ <- 1 to K) {
       val u = e.join(broadcast(w), Seq("pos"))
@@ -85,13 +112,13 @@ object Spectral {
 
     "llm_pca_power" -> Q(
       (s, dir) => {
-        // localCheckpoint, NOT .cache(): referenced 2K+1 times so it must
-        // materialize once, but a CacheManager entry would sameResult-
-        // substitute this subtree into sibling plans with no unpersist
-        // point (the q_transitive_closure rationale; broke the
+        // Checkpointed STAGES, not .cache(): a CacheManager entry would
+        // sameResult-substitute the subtree into sibling plans with no
+        // unpersist point (the q_transitive_closure rationale; broke the
         // CacheManager-empty plan audits when it briefly was .cache()).
-        val e = exploded(s, dir).localCheckpoint()
-        topDirection(e)
+        // Since r10 the exploded table AND the K-round direction are
+        // Memo stages shared with explained/abtt.
+        topDirStage(s, dir)
           .select(col("pos"), round(col("w"), 6).as("loading"))
           .orderBy(col("pos"))
       },
@@ -107,8 +134,8 @@ object Spectral {
     // Same linear shape; the direction table is 64 broadcast rows.
     "llm_pca_explained" -> Q(
       (s, dir) => {
-        val e = exploded(s, dir).localCheckpoint() // see llm_pca_power
-        val w = topDirection(e)
+        val e = explodedStage(s, dir)
+        val w = topDirStage(s, dir)
         val p = e.join(broadcast(w), Seq("pos"))
           .groupBy(col("id"))
           .agg(sum(expr("CAST(round(v * w, 8) AS DECIMAL(28,8))"))
@@ -148,13 +175,13 @@ object Spectral {
     // both squared-norm means sum rounded scale-8 terms in decimal.
     "llm_abtt_apply" -> Q(
       (s, dir) => {
-        val e = exploded(s, dir).localCheckpoint() // see llm_pca_power
+        val e = explodedStage(s, dir)
         // w and p stay LAZY on purpose: localCheckpoint-ing either (or
         // both) was measured 12-40% SLOWER (7.2 s lazy vs 8.1/10.1 s
         // checkpointed at sf0.1) — the eager jobs serialize what the
         // single final plan otherwise pipelines, and exchange reuse
         // already shares the direction subtree between its two uses.
-        val w = topDirection(e)
+        val w = topDirStage(s, dir)
         val p = e.join(broadcast(w), Seq("pos"))
           .groupBy(col("id"))
           .agg(sum(expr("CAST(round(v * w, 8) AS DECIMAL(28,8))"))

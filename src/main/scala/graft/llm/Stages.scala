@@ -33,6 +33,7 @@ object Stages {
       timed("stage:near_pairs") { Dedup.nearPairs(s, dir) },
       timed("stage:cluster_labels") { Pipeline.clusterLabels(s, dir) },
       timed("stage:co_supply_edges") {
-        graft.operators.Analytics.coSupplyEdges(s, dir) })
+        graft.operators.Analytics.coSupplyEdges(s, dir) },
+      timed("stage:pca_topdir") { Spectral.topDirStage(s, dir) })
   }
 }

@@ -8,12 +8,17 @@ import org.apache.spark.sql.functions._
   * recovery of a rank-1 corpus's direction. */
 class SpectralSpec extends SparkSuite {
 
-  test("llm_pca_power: equi-joins + 1-row norm anchors only, no cartesian") {
-    val df = Registry.byName("llm_pca_power").fn(spark, sf)
-    val p = df.queryExecution.executedPlan.toString
+  test("power iteration builder: equi-joins + 1-row norm anchors only, no cartesian") {
+    // Since the r10 stage memoization the declared key reads a
+    // checkpointed direction table, so the iteration's plan is audited
+    // at the un-memoized builder over a locally-built exploded table.
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+              posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("id"), col("pos"), col("vf").cast("double").as("v"))
+    val p = Spectral.topDirection(e).queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"),
       s"power iteration must never pair vectors directly:\n$p")
-    df.unpersist
   }
 
   test("llm_pca_power: result is a unit vector over the embedding dims") {
