@@ -1293,6 +1293,65 @@ object Similarity {
                       round(2.0 * mi / (h_c + h_l), 6) AS nmi
                FROM pur, hc, hl, mi""")),
 
+    // Embedding drift monitor: per label, the cosine between the
+    // centroid of the even-vec_id half and the odd-vec_id half — the
+    // two-snapshot comparison an embedding pipeline runs after a model
+    // or corpus refresh (drift_cos near 1 = stable representation;
+    // a label whose halves point apart has moved). Same order-free
+    // decimal centroid lane as llm_centroids, built for BOTH halves in
+    // ONE map-combined reduce keyed (label, half, pos); the cosine then
+    // runs on the 2·|labels|·64-row reduced table. At 100 TB the
+    // "halves" become snapshot partitions and the plan is unchanged.
+    "llm_embedding_drift" -> Q(
+      (s, dir) => {
+        val half = Tables.embeddings(s, dir)
+          .select(col("label"), (col("vec_id") % 2 === 0).as("even"),
+                  posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("even"), col("pos"))
+          .agg(count(lit(1)).as("n"),
+               sum(expr("CAST(round(CAST(v AS DOUBLE), 6) AS DECIMAL(38,6))")).as("sd"))
+          .withColumn("cv", (col("sd") / col("n")).cast("decimal(38,6)").cast("double"))
+        val a = half.filter(col("even"))
+          .select(col("label"), col("pos"), col("cv").as("ca"), col("n").as("na"))
+        val b = half.filter(!col("even"))
+          .select(col("label"), col("pos"), col("cv").as("cb"), col("n").as("nb"))
+        a.join(b, Seq("label", "pos"))
+          .groupBy(col("label"))
+          .agg(min(col("na")).as("n_even"), min(col("nb")).as("n_odd"),
+               sum(expr("CAST(round(ca * cb, 8) AS DECIMAL(28,8))"))
+                 .cast("double").as("dot"),
+               sum(expr("CAST(round(ca * ca, 8) AS DECIMAL(28,8))"))
+                 .cast("double").as("aa"),
+               sum(expr("CAST(round(cb * cb, 8) AS DECIMAL(28,8))"))
+                 .cast("double").as("bb"))
+          .select(col("label"), col("n_even"), col("n_odd"),
+                  round(col("dot") / (sqrt(col("aa")) * sqrt(col("bb"))), 6)
+                    .as("drift_cos"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH half AS (
+                SELECT label, vec_id % 2 = 0 AS even, i - 1 AS pos,
+                       COUNT(*) AS n,
+                       CAST(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                                          AS DECIMAL(38,6))) / COUNT(*)
+                                 AS DECIMAL(38,6)) AS DOUBLE) AS cv
+                FROM embeddings,
+                     LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) u
+                GROUP BY 1, 2, 3),
+              j AS (SELECT a.label, a.n AS na, b.n AS nb,
+                           CAST(round(a.cv * b.cv, 8) AS DECIMAL(28,8)) AS dd,
+                           CAST(round(a.cv * a.cv, 8) AS DECIMAL(28,8)) AS aa,
+                           CAST(round(b.cv * b.cv, 8) AS DECIMAL(28,8)) AS bb
+                    FROM half a JOIN half b
+                      ON a.label = b.label AND a.pos = b.pos
+                     AND a.even AND NOT b.even)
+              SELECT label, CAST(MIN(na) AS BIGINT) AS n_even,
+                     CAST(MIN(nb) AS BIGINT) AS n_odd,
+                     round(CAST(SUM(dd) AS DOUBLE)
+                           / (sqrt(CAST(SUM(aa) AS DOUBLE))
+                              * sqrt(CAST(SUM(bb) AS DOUBLE))), 6) AS drift_cos
+              FROM j GROUP BY label ORDER BY label""")),
+
     // Simplified (centroid-based) silhouette per label — the linear
     // clustering-quality score: a(v) = cosine distance to the OWN-label
     // centroid, b(v) = distance to the nearest OTHER centroid,

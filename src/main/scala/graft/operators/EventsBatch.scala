@@ -571,6 +571,48 @@ object EventsBatch {
               FROM p WHERE event_type = 'purchase'
               GROUP BY 1 ORDER BY n DESC, path LIMIT 10""")),
 
+    // Inter-arrival gap profile — the measurement that SIZES the 30-min
+    // session gap and the streaming watermark instead of guessing them:
+    // per user, the distribution of gaps between consecutive events
+    // (p50/p95/p99/max, integer microseconds) plus how many gaps a
+    // 30-min threshold would split into new sessions (each such gap IS
+    // one session boundary in q_events_session — the spec pins that
+    // identity). One lag on the user_id exchange, one global reduce;
+    // the percentile uses the exact percentile/quantile_cont parity
+    // (q_agg_percentile spelling — integer inputs interpolate exactly).
+    "q_gap_profile" -> Q(
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("tu"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+                  unix_micros(col("ts").cast("timestamp")).as("tu"))
+          .withColumn("gap_us", col("tu") - lag(col("tu"), 1).over(byUser))
+          .filter(col("gap_us").isNotNull)
+          .agg(count(lit(1)).as("n_gaps"),
+               expr("round(percentile(gap_us, 0.5), 6)").as("p50_us"),
+               expr("round(percentile(gap_us, 0.95), 6)").as("p95_us"),
+               expr("round(percentile(gap_us, 0.99), 6)").as("p99_us"),
+               max(col("gap_us")).as("max_us"),
+               sum(when(col("gap_us") > 1800000000L, 1L).otherwise(0L))
+                 .as("n_session_breaks"))
+      },
+      Some("""WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                         AS gap_us
+                FROM events)
+              SELECT COUNT(*) AS n_gaps,
+                     round(quantile_cont(gap_us, 0.5), 6) AS p50_us,
+                     round(quantile_cont(gap_us, 0.95), 6) AS p95_us,
+                     round(quantile_cont(gap_us, 0.99), 6) AS p99_us,
+                     CAST(MAX(gap_us) AS BIGINT) AS max_us,
+                     CAST(SUM(CASE WHEN gap_us > 1800000000
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_session_breaks
+              FROM g WHERE gap_us IS NOT NULL""")),
+
     // Interval-union coverage per user: each event opens a 5-minute
     // activity interval; overlaps must count once (uptime/SLA math, where
     // naive n_events x 5min double-bills bursts). The one-sweep island

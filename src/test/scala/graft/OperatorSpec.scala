@@ -609,6 +609,20 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q_gap_profile: session-break count equals q_events_session's boundaries") {
+    val r = Registry.byName("q_gap_profile").fn(spark, sf).collect()(0)
+    val sessions = Registry.byName("q_events_session").fn(spark, sf).count()
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    // every >30-min gap IS one new-session boundary beyond each user's
+    // first session, so the two declared keys must agree exactly
+    assert(r.getLong(5) == sessions - users,
+      s"n_session_breaks ${r.getLong(5)} != sessions - users ${sessions - users}")
+    val n = Tables.events(spark, sf).count()
+    assert(r.getLong(0) == n - users, "one gap per event beyond each user's first")
+    assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3),
+      "percentiles must be monotone")
+  }
+
   test("q_assortativity: matches a driver-side endpoint-degree Pearson") {
     val r = Registry.byName("q_assortativity").fn(spark, sf).collect()(0)
     assert(r.getDouble(1) >= -1.0 - 1e-9 && r.getDouble(1) <= 1.0 + 1e-9)
