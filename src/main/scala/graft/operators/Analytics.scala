@@ -1395,10 +1395,13 @@ object Analytics {
           .join(Tables.orders(s, dir).select(col("o_orderkey"),
                                              col("o_custkey").as("c")),
                 Seq("o_orderkey"))
-          .select(col("c"), col("p")).distinct()
+          .select(col("c"), col("p"))
+        // no distinct() before the reduce: collect_set dedups repeat
+        // buyers inside the ONE p-keyed shuffle (partial sets merge
+        // map-side), so df = buyer-set size with one exchange fewer
         cp.groupBy(col("p"))
-          .agg(array_sort(collect_set(col("c"))).as("cs"),
-               count(lit(1)).as("df"))
+          .agg(array_sort(collect_set(col("c"))).as("cs"))
+          .withColumn("df", size(col("cs")).cast("bigint"))
           .filter(col("df").between(2, 25))
           .select(round(lit(1.0) / log(col("df")), 6)
                     .cast("decimal(38,6)").as("w"),
