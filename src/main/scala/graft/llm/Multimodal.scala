@@ -141,6 +141,52 @@ object Multimodal {
                      list_min(list_transform(generate_series(0, 7),
                        i -> ascii(substr(text, CAST(i * length(text) // 8 AS INT) + 1, 1)))) AS feat_min
               FROM documents
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // Frame-sampling fan-out — the video shape the other multimodal keys
+    // don't cover: each payload is treated as fixed 256-byte frames, k=4
+    // frames sample UNIFORMLY (indices floor(j·n/4), deduped when the
+    // clip is short), and every sampled frame becomes its OWN OUTPUT ROW
+    // — the one-frame-one-training-example layout. The fan-out is a pure
+    // in-row sequence/transform explode (no mapPartitions needed), so at
+    // 100 TB the frame rows materialize scan-side with no shuffle until
+    // whatever consumes them; per-frame stats read only the frame's
+    // slice (late materialization of the payload column). floor() is
+    // spelled explicitly — Spark's CAST(double AS INT) truncates but
+    // DuckDB's rounds, the one cross-engine trap in the index math.
+    "llm_multimodal_frames" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+                expr("CAST(ceil(length(text) / 256.0) AS INT)").as("n_frames"))
+        .select(col("doc_id"), col("n_frames"), col("text"),
+                explode(expr(
+                  """array_distinct(transform(sequence(0, 3),
+                       j -> CAST(floor(j * n_frames / 4.0) AS INT)))"""))
+                  .as("frame_idx"))
+        .withColumn("off", col("frame_idx") * 256 + 1)
+        .withColumn("frame_len",
+          least(lit(256), length(col("text")) - col("frame_idx") * 256))
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+                col("frame_len"),
+                ascii(expr("substr(text, off, 1)")).as("first_byte"),
+                ascii(expr("substr(text, off + frame_len - 1, 1)")).as("last_byte"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""WITH f AS (
+                SELECT doc_id, text,
+                       CAST(ceil(length(text) / 256.0) AS INT) AS n_frames
+                FROM documents),
+              x AS (
+                SELECT doc_id, n_frames, text,
+                       unnest(list_distinct(list_transform([0, 1, 2, 3],
+                         j -> CAST(floor(j * n_frames / 4.0) AS INT))))
+                         AS frame_idx
+                FROM f)
+              SELECT doc_id, n_frames, frame_idx,
+                     least(256, length(text) - frame_idx * 256) AS frame_len,
+                     ascii(substr(text, frame_idx * 256 + 1, 1)) AS first_byte,
+                     ascii(substr(text, frame_idx * 256 + 1
+                                  + least(256, length(text) - frame_idx * 256)
+                                  - 1, 1)) AS last_byte
+              FROM x ORDER BY doc_id, frame_idx"""))
   )
 }

@@ -609,6 +609,22 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("llm_multimodal_frames: sampled indices valid, frame 0 always present, slices in bounds") {
+    val rows = Registry.byName("llm_multimodal_frames").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val n = rs.head.getInt(1)
+      val idxs = rs.map(_.getInt(2)).sorted
+      assert(idxs.head == 0, s"doc $doc: uniform sample must include frame 0")
+      assert(idxs.distinct.length == idxs.length && idxs.length <= 4)
+      assert(idxs.forall(i => i >= 0 && i < n), s"doc $doc: index out of range")
+      rs.foreach { r =>
+        assert(r.getInt(3) > 0 && r.getInt(3) <= 256,
+          s"doc $doc frame ${r.getInt(2)}: slice length out of (0, 256]")
+      }
+    }
+  }
+
   test("q_gap_profile: session-break count equals q_events_session's boundaries") {
     val r = Registry.byName("q_gap_profile").fn(spark, sf).collect()(0)
     val sessions = Registry.byName("q_events_session").fn(spark, sf).count()
