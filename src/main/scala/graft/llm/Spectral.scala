@@ -58,20 +58,46 @@ object Spectral {
   private[llm] def topDirStage(s: org.apache.spark.sql.SparkSession,
                                dir: String) =
     Memo.stage(s, dir, "pca_topdir", "embeddings.parquet") {
-      // Materialized as a driver-collected LocalRelation, NOT a
-      // checkpoint: the direction is 64 rows (a documented tiny-anchor
-      // collect), and the RDD-path evaluation a checkpoint forces loses
-      // whole-plan exchange reuse across the K iteration rounds —
-      // measured 13.6 s vs 5.9 s for the same tree through collect().
-      // A LocalRelation also broadcasts into every consumer for free.
-      import scala.jdk.CollectionConverters._
-      val rows = topDirection(explodedStage(s, dir)).collect().toSeq
-      s.createDataFrame(rows.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("pos",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("w",
-            org.apache.spark.sql.types.DoubleType))))
+      // Iterates with a DRIVER-ANCHORED w: after every round the 64-row
+      // direction collects and re-enters the next round as a
+      // LocalRelation (a documented tiny-anchor collect), so each round
+      // is exactly two aggregate jobs over the checkpointed exploded
+      // table instead of re-evaluating the nested lineage of every
+      // earlier round — same expression spellings as [[topDirection]]
+      // (the audited pure builder), bit-identical values, and the final
+      // LocalRelation broadcasts into every consumer for free.
+      val e = explodedStage(s, dir)
+      def anchor(df: org.apache.spark.sql.DataFrame) = {
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(df.collect().toSeq.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("pos",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("w",
+              org.apache.spark.sql.types.DoubleType))))
+      }
+      var w = anchor(e.select(col("pos")).distinct().withColumn("w", lit(0.125)))
+      for (_ <- 1 to K) {
+        val u = e.join(broadcast(w), Seq("pos"))
+          .groupBy(col("id"))
+          .agg(sum(expr("CAST(round(v * w, 8) AS DECIMAL(28,8))"))
+                 .cast("double").as("u"))
+        val nu = u.agg(round(sqrt(
+          sum(expr("CAST(round(u * u, 8) AS DECIMAL(28,8))")).cast("double")), 9)
+          .as("nu"))
+        val un = u.crossJoin(broadcast(nu))
+          .select(col("id"), round(col("u") / col("nu"), 9).as("u"))
+        val wp = e.join(un, Seq("id"))
+          .groupBy(col("pos"))
+          .agg(sum(expr("CAST(round(v * u, 8) AS DECIMAL(28,8))"))
+                 .cast("double").as("wp"))
+        val nw = wp.agg(round(sqrt(
+          sum(expr("CAST(round(wp * wp, 8) AS DECIMAL(28,8))")).cast("double")), 9)
+          .as("nw"))
+        w = anchor(wp.crossJoin(broadcast(nw))
+          .select(col("pos"), round(col("wp") / col("nw"), 9).as("w")))
+      }
+      w
     }
 
   /** K rounds of normalized power iteration; returns the 64-row (pos, w)
