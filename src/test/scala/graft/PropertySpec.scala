@@ -439,4 +439,30 @@ class PropertySpec extends SparkSuite {
     val nonEmpty = short.filter(expr("size(shingles3(toks)) != 0")).count()
     assert(nonEmpty == 0, "shingles3 must return [] for < 3 tokens")
   }
+
+  test("rank statistics are invariant under strictly monotone value transforms") {
+    // The defining property of Mann-Whitney U, the KS D-statistic, and
+    // Spearman's rho: they depend on VALUES only through their order, so
+    // v -> 3v + 7 (and any strictly increasing map) must leave them
+    // bit-identical. Exercised THROUGH the declared keys on a doctored
+    // fixture whose value/quantity/discount columns are affinely
+    // transformed — a broken tie-averaged rank or a value-dependent
+    // shortcut would shift under the map.
+    val dir = s"${graft.Fixtures.dir}/monotone_fixture"
+    Tables.events(spark, sf)
+      .withColumn("value", col("value") * 3.0 + 7.0)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables.lineitem(spark, sf)
+      .withColumn("l_quantity", col("l_quantity") * 2.0 + 1.0)
+      .withColumn("l_discount", col("l_discount") * 5.0 + 0.25)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    def rows(key: String, d: String) =
+      Registry.byName(key).fn(spark, d).collect().map(_.toString).toSeq
+    Seq("q_mannwhitney", "q_ks_test").foreach { k =>
+      assert(rows(k, sf) == rows(k, dir),
+        s"$k changed under a strictly monotone value transform")
+    }
+    assert(rows("q_spearman", sf) == rows("q_spearman", dir),
+      "Spearman's rho changed under monotone transforms of both variables")
+  }
 }
