@@ -117,6 +117,36 @@ class TrendsSpec extends SparkSuite {
     assert(got == expected && got > 0)
   }
 
+  test("q_holt / q_holt_winters: a constant series forecasts the constant with zero MAE") {
+    // Analytic fixed point of every exponential-smoothing recurrence:
+    // level locks to the constant, trend and seasonal terms stay at
+    // their zero seed, every one-step error is exactly 0.0 — any
+    // drift here means the recurrence leaks between state components.
+    val dir = s"${graft.Fixtures.dir}/constant_series_fixture"
+    // one order per day at a constant price: daily revenue is EXACTLY
+    // 100.0 for every day in the span, so the law is exact
+    Tables.orders(spark, sf)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("o_orderdate"))
+      .agg(min(col("o_orderkey")).as("o_orderkey"))
+      .withColumn("o_custkey", lit(0L))
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_totalprice", lit(100.0))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val nDays = Tables.orders(spark, sf)
+      .select(date_trunc("day", col("o_orderdate"))).distinct().count()
+    val h = Registry.byName("q_holt").fn(spark, dir).collect()(0)
+    assert(h.getLong(0) == nDays)
+    assert(h.getDouble(1) == 100.0 && h.getDouble(2) == 100.0
+             && h.getDouble(3) == 0.0,
+      s"holt fixed point violated: $h")
+    val hw = Registry.byName("q_holt_winters").fn(spark, dir).collect()(0)
+    assert(hw.getDouble(1) == 100.0 && hw.getDouble(2) == 0.0,
+      s"holt-winters fixed point violated: $hw")
+  }
+
   test("q_holt_winters: distributed fold matches a sequential Scala recurrence") {
     val r = Registry.byName("q_holt_winters").fn(spark, sf).collect()(0)
     val days = Tables.orders(spark, sf)
