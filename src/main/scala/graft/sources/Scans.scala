@@ -281,6 +281,45 @@ object Scans {
               FROM lineitem
               ORDER BY l_orderkey, ln""")),
 
+    // BYTE-EXACT nested-document emission — the guarantee q_json_shred's
+    // round trip doesn't pin: the literal JSON string a REST consumer
+    // receives (the reference's registry POST payloads). Both engines
+    // emit compact no-space JSON with insertion-ordered keys, so the
+    // hash gate compares the serialized documents byte for byte —
+    // integer/string fields only (float formatting is the one divergent
+    // surface: Spark writes 1.0, DuckDB 1; doubles stay in shred-style
+    // keys). Children nest sorted by line number inside one hash
+    // shuffle; the doc build is scan-local after it.
+    "q_json_nest" -> Q(
+      (s, dir) => {
+        val lines = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(struct(
+            col("l_linenumber").as("ln"),
+            col("l_partkey").as("part")))).as("lines"))
+        Tables.orders(s, dir)
+          .join(lines, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey").as("order_id"),
+                  to_json(struct(col("o_orderkey").as("order_id"),
+                                 col("o_orderstatus").as("status"),
+                                 col("lines"))).as("doc"))
+          .orderBy(col("order_id"))
+      },
+      Some("""WITH l AS (
+                SELECT l_orderkey,
+                       json('[' || string_agg(
+                         CAST(json_object('ln', l_linenumber,
+                                          'part', l_partkey) AS VARCHAR),
+                         ',' ORDER BY l_linenumber, l_partkey) || ']')
+                         AS lines
+                FROM lineitem GROUP BY 1)
+              SELECT o_orderkey AS order_id,
+                     CAST(json_object('order_id', o_orderkey,
+                                      'status', o_orderstatus,
+                                      'lines', lines) AS VARCHAR) AS doc
+              FROM orders JOIN l ON o_orderkey = l_orderkey
+              ORDER BY order_id""")),
+
     // Unstructured line source — raw text ingest (log shipping, crawl
     // dumps): schema-less lines in, one string column out. The engine
     // side is spark.read.text (splittable, scan-parallel at any size);
