@@ -61,25 +61,52 @@ private[graft] object Memo {
     }
   }
 
-  /** Max mtime of the stage's SOURCE parquet (documents for the text
-    * stages, lineitem for the graph edge stage) — regenerated fixtures
-    * get a new cache key, and the stale entry (plus its pinned checkpoint
-    * blocks) is evicted. */
+  /** Max mtime across ALL of the stage's SOURCE parquets (documents for
+    * the text stages; lineitem AND supplier for the graph edge stage) —
+    * regenerating ANY input gives a new cache key, and the stale entry
+    * (plus its pinned checkpoint blocks) is evicted. A single-table key
+    * for a multi-source stage is the stale-checkpoint hazard this very
+    * doc warns about: regenerate the secondary table alone and the memo
+    * serves the old stage for the JVM's life (r10 ADVICE finding on
+    * co_supply_edges). */
+  private[graft] def dataVersion(dir: String, tables: Seq[String]): Long =
+    tables.map { t =>
+      val f = new java.io.File(dir, t)
+      val files = if (f.isDirectory) f.listFiles() else Array(f)
+      if (files == null || files.isEmpty) 0L else files.map(_.lastModified).max
+    }.max
+
   private[graft] def dataVersion(dir: String,
-                                 table: String = "documents.parquet"): Long = {
-    val f = new java.io.File(dir, table)
-    val files = if (f.isDirectory) f.listFiles() else Array(f)
-    if (files == null || files.isEmpty) 0L else files.map(_.lastModified).max
-  }
+                                 table: String = "documents.parquet"): Long =
+    dataVersion(dir, Seq(table))
+
+  /** Lineage cut for iterative per-round materializations: RELIABLE
+    * checkpoint when the session has a checkpoint dir (the real-cluster
+    * setting — blocks land on the cluster's fault-tolerant store and
+    * survive executor loss), localCheckpoint otherwise (local mode /
+    * tests, where executor == driver and reliability adds only a disk
+    * round-trip). Unconditional localCheckpoint in a loop pins lineage
+    * to EXECUTOR memory: on a real cluster one lost executor kills the
+    * whole iterative job — the reason every loop goes through here. */
+  private[graft] def cut(s: SparkSession)(df: DataFrame): DataFrame =
+    if (s.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
 
   /** The memoized stage: compute-once per (session, dataset, name,
     * data version). `compute` must return an already-materialized
     * (checkpointed) DataFrame — see the class doc. */
   def stage(s: SparkSession, dir: String, name: String,
             table: String = "documents.parquet")
+           (compute: => DataFrame): DataFrame =
+    stage(s, dir, name, Seq(table))(compute)
+
+  /** Multi-source variant: the cache key carries max(mtime) over every
+    * listed table, so regenerating any one input invalidates the stage. */
+  def stage(s: SparkSession, dir: String, name: String,
+            tables: Seq[String])
            (compute: => DataFrame): DataFrame = {
     val prefix = s"${sessionToken(s)}:$dir:$name:"
-    val key = s"$prefix${dataVersion(dir, table)}"
+    val key = s"$prefix${dataVersion(dir, tables)}"
     val task = new java.util.concurrent.FutureTask[DataFrame](() => compute)
     val prior = cache.putIfAbsent(key, task)
     val winner = if (prior == null) {

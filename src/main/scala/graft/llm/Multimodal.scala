@@ -158,6 +158,11 @@ object Multimodal {
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"), col("text"),
                 expr("CAST(ceil(length(text) / 256.0) AS INT)").as("n_frames"))
+        // An empty payload has n_frames=0 yet the sequence(0,3) fan-out
+        // would still emit a frame_idx=0 row with frame_len=0 and
+        // out-of-range substr probes — filter BEFORE the explode so
+        // empty clips emit no frame rows (frame_len stays in (0, 256]).
+        .filter(col("n_frames") >= 1)
         .select(col("doc_id"), col("n_frames"), col("text"),
                 explode(expr(
                   """array_distinct(transform(sequence(0, 3),
@@ -180,7 +185,7 @@ object Multimodal {
                        unnest(list_distinct(list_transform([0, 1, 2, 3],
                          j -> CAST(floor(j * n_frames / 4.0) AS INT))))
                          AS frame_idx
-                FROM f)
+                FROM f WHERE n_frames >= 1)
               SELECT doc_id, n_frames, frame_idx,
                      least(256, length(text) - frame_idx * 256) AS frame_len,
                      ascii(substr(text, frame_idx * 256 + 1, 1)) AS first_byte,

@@ -360,16 +360,20 @@ object Screens {
               FROM r WHERE rk <= 3
               ORDER BY source, rk""")),
 
-    // Differentially-private release of the (lang, source) corpus counts
-    // — the publishable sibling of the k-anonymity screen: each count
-    // carries Laplace(1/epsilon) noise (epsilon=1, sensitivity 1), so no
-    // single document's presence is inferable from the release. The
-    // noise is DETERMINISTIC given the release seed: the group key runs
-    // through the same md5/tid60 60-bit uniform lane every sampled
-    // operator uses, and the Laplace draw is the inverse CDF of that
-    // uniform — no RNG, rerun-stable, bit-identical in the oracle (ln
-    // rounded at 6 per the house libm discipline). One map-combined
-    // reduce; the noise arithmetic runs on the |groups|-row table.
+    // DP-release COMPUTATION SHAPE over the (lang, source) corpus counts
+    // — a deterministic, rerun-stable SIMULATION of the Laplace-mechanism
+    // release (epsilon=1, sensitivity 1), not an actual privacy
+    // guarantee: the "noise" here derives from the PUBLIC group key
+    // (lang:source:dp1) through the same md5/tid60 uniform lane every
+    // sampled operator uses, so anyone can recompute and subtract it
+    // exactly. That keying is deliberate — it is what makes the key
+    // oracle-gateable (inverse-CDF Laplace from a fixed seed, ln rounded
+    // at 6 per the house libm discipline, bit-identical in DuckDB). A
+    // real epsilon-DP release keys the draw on a SECRET per-release seed
+    // (swap the ':dp1' literal for the secret); the aggregation shape,
+    // sensitivity bookkeeping, and noise arithmetic are exactly this
+    // plan. One map-combined reduce; the noise arithmetic runs on the
+    // |groups|-row table.
     "llm_dp_counts" -> Q(
       (s, dir) => {
         graft.functions.Custom.register(s) // tid60 kernel

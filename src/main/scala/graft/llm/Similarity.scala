@@ -133,15 +133,14 @@ object Similarity {
     * llm_confusion (per-class metrics) and llm_kappa (the corpus-level
     * chance-corrected summary). */
   private def confBase(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    // localCheckpoint the |classes|²-bounded count table: rt/ct/tp below
+    // Memo.cut the |classes|²-bounded count table: rt/ct/tp below
     // branch from it three ways, and without the cut each branch would
     // re-run the whole kNN corpus scan (the expensive upstream) — the
     // q_transitive_closure materialization rationale, applied to a DAG
     // fan-out instead of a loop.
-    val m = knnPreds(s, dir)
+    val m = Memo.cut(s)(knnPreds(s, dir)
       .groupBy(col("true_label"), col("pred_label"))
-      .agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .agg(count(lit(1)).as("n")))
     val rt = m.groupBy(col("true_label").as("cls"))
       .agg(sum(col("n")).as("n_true"))
     val ct = m.groupBy(col("pred_label").as("cls"))
@@ -732,17 +731,16 @@ object Similarity {
         val e = Tables.embeddings(s, dir).withColumn("nrm", expr(normE))
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-        val pool = e.filter(col("vec_id") =!= 0)
+        // One corpus scan TOTAL: sims and every greedy round branch
+        // from the pool, so without this cut each argmax would re-run
+        // the retrieval scan — at 100 TB that's the difference between
+        // "rerank is free" and "rerank is k extra corpus passes".
+        val pool = Memo.cut(s)(e.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
           .withColumn("rel", round(
             expr(dotE("embedding", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
           .select(col("vec_id"), col("embedding"), col("nrm"), col("rel"))
-          .orderBy(col("rel").desc, col("vec_id")).limit(8)
-          // One corpus scan TOTAL: sims and every greedy round branch
-          // from the pool, so without this cut each argmax would re-run
-          // the retrieval scan — at 100 TB that's the difference between
-          // "rerank is free" and "rerank is k extra corpus passes".
-          .localCheckpoint()
+          .orderBy(col("rel").desc, col("vec_id")).limit(8))
         val cand = pool.select(col("vec_id"), col("embedding"), col("nrm"), col("rel"))
         val selSide = pool.select(col("vec_id").as("sid"),
                                   col("embedding").as("semb"), col("nrm").as("snrm"))
@@ -1224,12 +1222,11 @@ object Similarity {
     // from the rounded sums.
     "llm_cluster_purity" -> Q(
       (s, dir) => {
-        val ct = Tables.embeddings(s, dir)
+        val ct = Memo.cut(s)(Tables.embeddings(s, dir)
           .select(expr(codeE).as("bucket"), col("label"))
           .groupBy(col("bucket"), col("label"))
-          .agg(count(lit(1)).as("n_cl"))
-          .localCheckpoint() // tiny; referenced by 4 reductions below
-        val n = ct.agg(sum(col("n_cl")).as("n")).localCheckpoint()
+          .agg(count(lit(1)).as("n_cl"))) // tiny; referenced by 4 reductions below
+        val n = Memo.cut(s)(ct.agg(sum(col("n_cl")).as("n")))
         val byC = ct.groupBy(col("bucket")).agg(
           sum(col("n_cl")).as("n_c"), max(col("n_cl")).as("n_max"))
         val byL = ct.groupBy(col("label")).agg(sum(col("n_cl")).as("n_l"))

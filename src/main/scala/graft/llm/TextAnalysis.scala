@@ -720,19 +720,20 @@ object TextAnalysis {
     // vocab; every iteration is a vocab-sized agg (tens of k rows at
     // any corpus size — vocab growth is sub-linear in corpus size),
     // with a 1-ROW collect per round as the argmax anchor and a
-    // localCheckpoint cutting the per-round replace lineage. That —
+    // Memo.cut (reliable checkpoint on a cluster, localCheckpoint
+    // locally) cutting the per-round replace lineage. That —
     // looping over the vocabulary, never the text — is what makes BPE
     // training feasible at 100 TB.
     "llm_bpe_train" -> Q(
       (s, dir) => {
         import s.implicits._
+        val cut = Memo.cut(s) _
         val K = 3
         val pairsOf = "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"
-        var vocab = Tables.documents(s, dir)
+        var vocab = cut(Tables.documents(s, dir)
           .select(explode(expr(toksE)).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
-          .filter(length(col("tok")) >= 2)
-          .localCheckpoint()
+          .filter(length(col("tok")) >= 2))
         val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
         for (r <- 1 to K) {
           // 1-row argmax anchor (documented driver-side collect — the
@@ -749,10 +750,9 @@ object TextAnalysis {
             p.replace(j.toChar.toString, merges(j - 1)._2)
           }
           merges += ((r, raw, display, top.getLong(1)))
-          vocab = vocab
+          vocab = cut(vocab
             .withColumn("tok", replace(col("tok"), lit(raw), lit(r.toChar.toString)))
-            .filter(length(col("tok")) >= 2)
-            .localCheckpoint()
+            .filter(length(col("tok")) >= 2))
         }
         merges.toSeq.map { case (r, _, d, n) => (r, d, n) }
           .toDF("round", "pair", "n").orderBy(col("round"))

@@ -44,13 +44,16 @@ object Analytics {
 
   /** The edge table as a memoized write-once stage (graft.llm.Memo —
     * same checkpoint discipline as the shingle/near-pair stages, keyed
-    * on lineitem's mtime): triangles, pagerank, and assortativity are a
+    * on max(mtime) over BOTH inputs, lineitem and supplier, so
+    * regenerating either alone invalidates the cached edge table):
+    * triangles, pagerank, and assortativity are a
     * pipeline DAG off ONE materialized edge list, and Bench charges the
     * build to its own stage:co_supply_edges line item instead of
     * whichever graph key runs first. [[coSupplyEdgesPlan]] stays
     * un-memoized for PlanAuditSpec to audit the builder's plan. */
   private[graft] def coSupplyEdges(s: SparkSession, dir: String): DataFrame =
-    graft.llm.Memo.stage(s, dir, "co_supply_edges", "lineitem.parquet") {
+    graft.llm.Memo.stage(s, dir, "co_supply_edges",
+                         Seq("lineitem.parquet", "supplier.parquet")) {
       val stage = coSupplyEdgesPlan(s, dir)
       if (s.sparkContext.getCheckpointDir.isDefined) stage.checkpoint()
       else stage.localCheckpoint()
@@ -588,33 +591,33 @@ object Analytics {
     // WITH RECURSIVE descends the same forest.
     "q_transitive_closure" -> Q(
       (s, dir) => {
-        // Per-round materialization is localCheckpoint, NOT .cache():
-        // the checkpoint cuts the doubling lineage (cache would let it
+        // Per-round materialization is Memo.cut (reliable checkpoint on
+        // a real cluster, localCheckpoint locally), NOT .cache(): the
+        // checkpoint cuts the doubling lineage (cache would let it
         // grow to the full O(log d) join tree on recompute), never
         // registers in CacheManager (a cached part subtree would
         // sameResult-substitute into sibling queries' audited plans
         // with no unpersist point — the r6-s4 hazard class), and
         // superseded rounds are reclaimed by ContextCleaner when the
         // loop drops the reference.
+        val cut = graft.llm.Memo.cut(s) _
         val nodes = Tables.part(s, dir).select(col("p_partkey").as("id"))
-        var state = nodes.select(
+        var state = cut(nodes.select(
             col("id"),
             when(col("id") >= 7, expr("id div 7")).otherwise(col("id")).as("anc"),
             when(col("id") >= 7, lit(1)).otherwise(lit(0)).cast("int").as("depth"),
-            (col("id") < 7).as("done"))
-          .localCheckpoint()
+            (col("id") < 7).as("done")))
         var pending = state.filter(!col("done")).count()
         while (pending > 0) {
           val j = state.select(col("id").as("jid"), col("anc").as("janc"),
                                col("depth").as("jdepth"), col("done").as("jdone"))
-          val next = state.join(j, col("anc") === col("jid"), "left")
+          val next = cut(state.join(j, col("anc") === col("jid"), "left")
             .select(
               col("id"),
               when(col("done"), col("anc")).otherwise(col("janc")).as("anc"),
               when(col("done"), col("depth"))
                 .otherwise(col("depth") + col("jdepth")).cast("int").as("depth"),
-              when(col("done"), lit(true)).otherwise(col("jdone")).as("done"))
-            .localCheckpoint()
+              when(col("done"), lit(true)).otherwise(col("jdone")).as("done")))
           pending = next.filter(!col("done")).count()
           state = next
         }
@@ -686,25 +689,24 @@ object Analytics {
     // + join-aggregate.
     "q_hierarchy_rollup" -> Q(
       (s, dir) => {
-        // localCheckpoint, not .cache(), for the same three reasons as
-        // q_transitive_closure above (lineage cut, no CacheManager
-        // sibling-plan substitution, ContextCleaner reclamation).
-        val p = Tables.part(s, dir)
+        // Memo.cut (reliable checkpoint on a cluster), not .cache(), for
+        // the same three reasons as q_transitive_closure above (lineage
+        // cut, no CacheManager sibling-plan substitution, ContextCleaner
+        // reclamation).
+        val cut = graft.llm.Memo.cut(s) _
+        val p = cut(Tables.part(s, dir)
           .select(col("p_partkey").as("id"),
-                  col("p_retailprice").cast(H.D).as("price"))
-          .localCheckpoint()
+                  col("p_retailprice").cast(H.D).as("price")))
         // closure pairs (node, anc): every proper ancestor of every node
-        var frontier = p.select(col("id"),
+        var frontier = cut(p.select(col("id"),
             when(col("id") >= 7, expr("id div 7")).as("cur"))
-          .filter(col("cur").isNotNull)
-          .localCheckpoint()
+          .filter(col("cur").isNotNull))
         var pairs = frontier
         var n = frontier.count()
         while (n > 0) {
-          val next = frontier
+          val next = cut(frontier
             .filter(col("cur") >= 7)
-            .select(col("id"), expr("cur div 7").as("cur"))
-            .localCheckpoint()
+            .select(col("id"), expr("cur div 7").as("cur")))
           n = next.count()
           if (n > 0) pairs = pairs.unionByName(next)
           frontier = next
@@ -792,9 +794,10 @@ object Analytics {
     // minus already-settled nodes (left-anti on the distance table) —
     // each round shuffles only frontier-sized data and settled nodes
     // never re-probe, so total work is O(E) across all rounds, the
-    // textbook distributed-BFS bound. Per-round localCheckpoint for the
-    // same three reasons as q_transitive_closure (lineage cut, no
-    // CacheManager sibling substitution, ContextCleaner reclamation).
+    // textbook distributed-BFS bound. Per-round Memo.cut (reliable
+    // checkpoint on a cluster) for the same three reasons as
+    // q_transitive_closure (lineage cut, no CacheManager sibling
+    // substitution, ContextCleaner reclamation).
     // The hop cap is part of the declared semantics (both engines stop
     // at MAX_HOPS) and sits above the graph's diameter at every fixture
     // sf (bipartite small-world: everything reachable settles in ≤ 4);
@@ -803,6 +806,7 @@ object Analytics {
     // derivation, min-dist folded after the bounded recursion.
     "q_shortest_path" -> Q(
       (s, dir) => {
+        val cut = graft.llm.Memo.cut(s) _
         val MAX_HOPS = 6
         val e0 = Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_suppkey"))
@@ -812,26 +816,23 @@ object Analytics {
           .select(col("o_custkey").as("c"),
                   (-col("l_suppkey") - 1L).as("sN"))
           .distinct()
-        val und = e0.select(col("c").as("u"), col("sN").as("v"))
-          .unionByName(e0.select(col("sN").as("u"), col("c").as("v")))
-          .localCheckpoint()
-        var dist = Tables.customer(s, dir)
+        val und = cut(e0.select(col("c").as("u"), col("sN").as("v"))
+          .unionByName(e0.select(col("sN").as("u"), col("c").as("v"))))
+        var dist = cut(Tables.customer(s, dir)
           .filter(col("c_custkey") === 0)
           .select(col("c_custkey").as("node"))
-          .withColumn("dist", lit(0))
-          .localCheckpoint()
+          .withColumn("dist", lit(0)))
         var frontier = dist
         var hop = 0
         var n = frontier.count()
         while (hop < MAX_HOPS && n > 0) {
           hop += 1
-          val next = frontier.join(und, col("node") === col("u"))
+          val next = cut(frontier.join(und, col("node") === col("u"))
             .select(col("v").as("node")).distinct()
             .join(dist, Seq("node"), "left_anti")
-            .withColumn("dist", lit(hop))
-            .localCheckpoint()
+            .withColumn("dist", lit(hop)))
           n = next.count()
-          if (n > 0) dist = dist.unionByName(next).localCheckpoint()
+          if (n > 0) dist = cut(dist.unionByName(next))
           frontier = next
         }
         dist.select(col("node"), col("dist").cast("int").as("dist"))
@@ -1028,7 +1029,13 @@ object Analytics {
               + col("t") + 1L)
           .agg(sum(col("ta")).as("na"), sum(col("tb")).as("nb"),
                sum(col("ta") * col("ar2")).as("ra2"),
-               sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+               // The t³ tie-correction term accumulates in DECIMAL(38,0),
+               // not the bigint lane: a tie block of t ~ 1e7 puts t³ at
+               // 1e21 > 2^63, where non-ANSI bigint wraps SILENTLY while
+               // DuckDB's BIGINT errors — the q_spearman/q_assortativity
+               // wide-lane discipline (oracle mirrors with HUGEINT).
+               sum((col("t") * col("t")).cast("decimal(38,0)") * col("t")
+                     - col("t")).as("ties"))
         val n = col("na") + col("nb")
         val u2 = col("ra2") - col("na") * (col("na") + 1L)
         val varU = (col("na") * col("nb")).cast("double") / 12.0 *
@@ -1056,7 +1063,7 @@ object Analytics {
               a AS (SELECT CAST(SUM(ta) AS BIGINT) AS na,
                            CAST(SUM(tb) AS BIGINT) AS nb,
                            CAST(SUM(ta * ar2) AS BIGINT) AS ra2,
-                           CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+                           SUM(CAST(t AS HUGEINT) * t * t - t) AS ties
                     FROM r)
               SELECT na, nb,
                      CAST(ra2 - na * (na + 1) AS DOUBLE) / 2.0 AS u_stat,

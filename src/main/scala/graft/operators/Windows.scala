@@ -468,7 +468,7 @@ object Windows {
         val evAll = Tables.events(s, dir)
         // "yesterday's dim": materialized from the pre-cutoff prefix once;
         // the DECLARED work below touches only this table + the delta.
-        val dimOld = build(evAll.filter(col("ts") < cutoff)).localCheckpoint()
+        val dimOld = graft.llm.Memo.cut(s)(build(evAll.filter(col("ts") < cutoff)))
         val delta = evAll.filter(col("ts") >= cutoff)
         val lastOpen = dimOld.filter(col("is_current"))
           .select(col("user_id"), col("status").as("open_status"))
