@@ -135,6 +135,23 @@ def main():
 
     lines += [
         "",
+        "## Adjudications (machine-readable)",
+        "",
+        "Keys whose scale behavior carries a standing adjudication — one",
+        "JSON object per line, `role` ∈ {demo-anchor}: a demo-anchor is",
+        "CORRECT and oracle-gated but deliberately super-linear; it exists",
+        "as ground truth for a linear-scale production sibling and must",
+        "not be read as the 100 TB plan.",
+        "",
+        "```json",
+        '{"key": "fn_jaro", "role": "demo-anchor", "exponent_sf1": 1.35,'
+        ' "production_sibling": "fn_jaro_snm", "reason": "exact all-pairs'
+        ' Jaro-Winkler inside schema-fixed blocks is inherently quadratic'
+        ' (BASELINE r8-sf1 adjudication: no lossless JW>=0.93 prefilter'
+        ' exists for these names); kept as the kernel + recall ground'
+        ' truth for fn_jaro_snm (e=0.37, recall 1.0 vs exact top-100)"}',
+        "```",
+        "",
         "## Streaming surfaces (SURVEY §2i — batch-equivalence ScalaTest,",
         "no DuckDB oracle by contract)",
         "",

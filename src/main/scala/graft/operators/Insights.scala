@@ -751,9 +751,11 @@ object Insights {
     // schema-fixed (5×25), so block sizes grow with the corpus and the
     // exact all-pairs cost is Σ block² — measured e = 1.35, and the
     // adjudication derives why no lossless JW-0.93 prefilter exists for
-    // these names. This key therefore stays the EXACT anchor (it is the
-    // oracle ground truth for the kernel and for fn_jaro_snm's recall
-    // row); the linear-scale production variant is fn_jaro_snm below.
+    // these names. ADJUDICATED ROLE: demo-anchor (KEYS.md
+    // "Adjudications" carries the machine-readable record) — this key
+    // is the EXACT oracle ground truth for the kernel and for
+    // fn_jaro_snm's recall row, NOT the 100 TB plan; the linear-scale
+    // production variant is fn_jaro_snm below.
     // Top-100 under a total (jw, id, id) order.
     "fn_jaro" -> Q(
       (s, dir) => jaroExactTop(s, dir),
