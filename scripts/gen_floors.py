@@ -55,6 +55,7 @@ def main():
     except (FileNotFoundError, json.JSONDecodeError):
         prev = {}
     doc = {
+        "sf": prev.get("sf", "/root/testdata/sf0.1"),
         "sentinel_cpu": sent.get("sentinel_cpu", prev.get("sentinel_cpu")),
         "sentinel_io": sent.get("sentinel_io", prev.get("sentinel_io")),
         "keys": floors,
