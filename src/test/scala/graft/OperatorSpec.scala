@@ -625,6 +625,20 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("llm_multimodal_frames: an empty payload emits NO frame rows (r10 advice)") {
+    // Pre-r11 a length-0 document got n_frames=0 yet still emitted one
+    // frame_idx=0 row with frame_len=0 and out-of-range substr probes,
+    // breaking the (0, 256] invariant above on any fixture with an
+    // empty text. Pin the filter with a purpose-built mini fixture.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-frames").toString
+    Seq((1L, ""), (2L, "x" * 300)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Registry.byName("llm_multimodal_frames").fn(spark, dir).collect()
+    assert(rows.forall(_.getLong(0) == 2L), "empty doc must emit no frame rows")
+    assert(rows.nonEmpty && rows.forall(r => r.getInt(3) > 0 && r.getInt(3) <= 256))
+  }
+
   test("q_gap_profile: session-break count equals q_events_session's boundaries") {
     val r = Registry.byName("q_gap_profile").fn(spark, sf).collect()(0)
     val sessions = Registry.byName("q_events_session").fn(spark, sf).count()
