@@ -26,7 +26,8 @@ object Registry {
     llm.Curation.qs ++
     llm.Screens.qs ++
     llm.Signals.qs ++
-    llm.Spectral.qs
+    llm.Spectral.qs ++
+    llm.Training.qs
 
   lazy val byName: Map[String, Q] = all.toMap
 

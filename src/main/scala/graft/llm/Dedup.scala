@@ -729,6 +729,76 @@ object Dedup {
                SELECT t.doc_id, t.n_sh, t.n_true, m.n_maybe,
                       (m.n_maybe >= t.n_true) AS no_false_neg
                FROM truth t JOIN maybe m ON t.doc_id = m.doc_id
-               ORDER BY t.doc_id"""))
+               ORDER BY t.doc_id""")),
+
+    // Content-defined chunking dedup (the FastCDC/Rabin shape at token
+    // granularity): chunk boundaries fall where the rolling 2-gram hash
+    // ≡ 0 (mod 32), so a chunk boundary depends only on LOCAL content —
+    // an insertion early in a document shifts every fixed-size block but
+    // leaves all later CDC chunks identical, which is why storage dedup
+    // uses it. Report: chunks shared across occurrences (the dedup win),
+    // top 30. Per-document the whole split is one scan-pipelined in-row
+    // array program — gram hashes via zip_with over aligned slices
+    // (never element_at(computed array, i), the documented Shingles3
+    // trap), then each chunk materializes via one slice per BOUNDARY, so
+    // total per-doc work is Σ chunk lengths = O(tokens). The only
+    // corpus-wide shuffle is the final chunk-hash aggregation, whose
+    // width is the chunk stream (~tokens/32 records) — at 100 TB this is
+    // the same agg shape as exact dedup, just on chunk keys.
+    "llm_cdc_chunks" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s) // tid60 kernel
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .withColumn("hs", expr(
+            """zip_with(slice(toks, 1, size(toks) - 1),
+                        slice(toks, 2, size(toks) - 1),
+                        (a, b) -> tid60(concat(a, ' ', b)))"""))
+          .withColumn("sp", expr(
+            """filter(transform(hs, (h, i) ->
+                 IF(pmod(h, 32) = 0, i + 1, -1)), x -> x > 0)"""))
+          .select(col("doc_id"), explode(expr(
+            """zip_with(concat(array(0), sp),
+                        concat(sp, array(size(toks))),
+                        (a, b) -> array_join(slice(toks, a + 1, b - a), ' '))"""))
+            .as("chunk"))
+          .groupBy(md5(col("chunk")).as("chunk_hash"),
+                   size(split(col("chunk"), " ")).as("chunk_toks"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+               count(lit(1)).as("n_occ"))
+          .filter(col("n_occ") >= 2)
+          .orderBy(col("n_occ").desc, col("n_docs").desc, col("chunk_hash"))
+          .limit(30)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+                    h AS (SELECT doc_id, toks,
+                            list_transform(generate_series(1, len(toks) - 1),
+                              i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]),
+                                    1, 15))::BIGINT) AS hs
+                          FROM t),
+                    sp AS (SELECT doc_id, toks,
+                             list_filter(list_transform(
+                               generate_series(1, len(hs)),
+                               i -> CASE WHEN hs[i] % 32 = 0 THEN i
+                                         ELSE -1 END), x -> x > 0) AS sp
+                           FROM h),
+                    c AS (SELECT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, len(sp) + 1),
+                              k -> array_to_string(list_slice(toks,
+                                     CASE WHEN k = 1 THEN 1
+                                          ELSE sp[k-1] + 1 END,
+                                     CASE WHEN k = len(sp) + 1 THEN len(toks)
+                                          ELSE sp[k] END), ' '))) AS chunk
+                          FROM sp)
+               SELECT md5(chunk) AS chunk_hash,
+                      len(string_split(chunk, ' ')) AS chunk_toks,
+                      COUNT(DISTINCT doc_id) AS n_docs,
+                      COUNT(*) AS n_occ
+               FROM c
+               GROUP BY 1, 2
+               HAVING COUNT(*) >= 2
+               ORDER BY n_occ DESC, n_docs DESC, chunk_hash
+               LIMIT 30"""))
   )
 }
