@@ -747,21 +747,7 @@ object Dedup {
     // the same agg shape as exact dedup, just on chunk keys.
     "llm_cdc_chunks" -> Q(
       (s, dir) => {
-        graft.functions.Custom.register(s) // tid60 kernel
-        Tables.documents(s, dir)
-          .withColumn("toks", expr(toksE))
-          .withColumn("hs", expr(
-            """zip_with(slice(toks, 1, size(toks) - 1),
-                        slice(toks, 2, size(toks) - 1),
-                        (a, b) -> tid60(concat(a, ' ', b)))"""))
-          .withColumn("sp", expr(
-            """filter(transform(hs, (h, i) ->
-                 IF(pmod(h, 32) = 0, i + 1, -1)), x -> x > 0)"""))
-          .select(col("doc_id"), explode(expr(
-            """zip_with(concat(array(0), sp),
-                        concat(sp, array(size(toks))),
-                        (a, b) -> array_join(slice(toks, a + 1, b - a), ' '))"""))
-            .as("chunk"))
+        cdcChunkStream(s, dir)
           .groupBy(md5(col("chunk")).as("chunk_hash"),
                    size(split(col("chunk"), " ")).as("chunk_toks"))
           .agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -770,27 +756,7 @@ object Dedup {
           .orderBy(col("n_occ").desc, col("n_docs").desc, col("chunk_hash"))
           .limit(30)
       },
-      Some(s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
-                    h AS (SELECT doc_id, toks,
-                            list_transform(generate_series(1, len(toks) - 1),
-                              i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]),
-                                    1, 15))::BIGINT) AS hs
-                          FROM t),
-                    sp AS (SELECT doc_id, toks,
-                             list_filter(list_transform(
-                               generate_series(1, len(hs)),
-                               i -> CASE WHEN hs[i] % 32 = 0 THEN i
-                                         ELSE -1 END), x -> x > 0) AS sp
-                           FROM h),
-                    c AS (SELECT doc_id,
-                            unnest(list_transform(
-                              generate_series(1, len(sp) + 1),
-                              k -> array_to_string(list_slice(toks,
-                                     CASE WHEN k = 1 THEN 1
-                                          ELSE sp[k-1] + 1 END,
-                                     CASE WHEN k = len(sp) + 1 THEN len(toks)
-                                          ELSE sp[k] END), ' '))) AS chunk
-                          FROM sp)
+      Some(s"""WITH $duckCdcCtes
                SELECT md5(chunk) AS chunk_hash,
                       len(string_split(chunk, ' ')) AS chunk_toks,
                       COUNT(DISTINCT doc_id) AS n_docs,
@@ -799,6 +765,90 @@ object Dedup {
                GROUP BY 1, 2
                HAVING COUNT(*) >= 2
                ORDER BY n_occ DESC, n_docs DESC, chunk_hash
-               LIMIT 30"""))
+               LIMIT 30""")),
+
+    // CDC storage-savings aggregate — the number a storage/dedup team
+    // actually quotes: corpus tokens vs tokens after chunk-level dedup
+    // (store each distinct chunk once). Rides the same chunk stream as
+    // llm_cdc_chunks; the whole report is one (hash, len) aggregate
+    // then one scalar reduce, so the added cost over the chunk split is
+    // a single map-side-combined shuffle on chunk keys.
+    "llm_cdc_ratio" -> Q(
+      (s, dir) => {
+        cdcChunkStream(s, dir)
+          .groupBy(md5(col("chunk")).as("chunk_hash"),
+                   size(split(col("chunk"), " ")).as("chunk_toks"))
+          .agg(count(lit(1)).as("n_occ"))
+          .agg(sum(col("chunk_toks").cast("long") * col("n_occ"))
+                 .as("total_toks"),
+               sum(col("chunk_toks").cast("long")).as("unique_toks"),
+               count(lit(1)).as("n_unique_chunks"),
+               sum(col("n_occ")).as("n_chunks"),
+               (sum(col("chunk_toks").cast("long")).cast("decimal(18,6)")
+                 / sum(col("chunk_toks").cast("long") * col("n_occ")))
+                 .cast("decimal(18,6)").cast("double").as("dedup_ratio"))
+      },
+      Some(s"""WITH $duckCdcCtes,
+                    g AS (SELECT md5(chunk) AS chunk_hash,
+                                 len(string_split(chunk, ' ')) AS chunk_toks,
+                                 COUNT(*) AS n_occ
+                          FROM c GROUP BY 1, 2)
+               SELECT CAST(SUM(chunk_toks * n_occ) AS BIGINT) AS total_toks,
+                      CAST(SUM(chunk_toks) AS BIGINT) AS unique_toks,
+                      COUNT(*) AS n_unique_chunks,
+                      CAST(SUM(n_occ) AS BIGINT) AS n_chunks,
+                      CAST(CAST(CAST(SUM(chunk_toks) AS DECIMAL(18,6))
+                                / SUM(chunk_toks * n_occ) AS DECIMAL(18,6))
+                           AS DOUBLE) AS dedup_ratio
+               FROM g"""))
   )
+
+  /** The CDC chunk stream (doc_id, chunk): rolling 2-gram-hash
+    * boundaries (hash ≡ 0 mod 32), one in-row array program per
+    * document — shared by llm_cdc_chunks / llm_cdc_ratio. */
+  private def cdcChunkStream(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.Custom.register(s) // tid60 kernel
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksE))
+      .withColumn("hs", expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+                    slice(toks, 2, size(toks) - 1),
+                    (a, b) -> tid60(concat(a, ' ', b)))"""))
+      .withColumn("sp", expr(
+        """filter(transform(hs, (h, i) ->
+             IF(pmod(h, 32) = 0, i + 1, -1)), x -> x > 0)"""))
+      .select(col("doc_id"), explode(expr(
+        """zip_with(concat(array(0), sp),
+                    concat(sp, array(size(toks))),
+                    (a, b) -> array_join(slice(toks, a + 1, b - a), ' '))"""))
+        .as("chunk"))
+  }
+
+  /** DuckDB CTEs producing the same `c(doc_id, chunk)` stream. */
+  // def, not val: referenced from the `queries` map val above, which
+  // initializes FIRST in object-body order — a val here would still be
+  // null when the map's interpolated SQL strings are built.
+  private def duckCdcCtes: String =
+    s"""t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        h AS (SELECT doc_id, toks,
+                list_transform(generate_series(1, len(toks) - 1),
+                  i -> ('0x' || substr(md5(toks[i] || ' ' || toks[i+1]),
+                        1, 15))::BIGINT) AS hs
+              FROM t),
+        sp AS (SELECT doc_id, toks,
+                 list_filter(list_transform(
+                   generate_series(1, len(hs)),
+                   i -> CASE WHEN hs[i] % 32 = 0 THEN i
+                             ELSE -1 END), x -> x > 0) AS sp
+               FROM h),
+        c AS (SELECT doc_id,
+                unnest(list_transform(
+                  generate_series(1, len(sp) + 1),
+                  k -> array_to_string(list_slice(toks,
+                         CASE WHEN k = 1 THEN 1
+                              ELSE sp[k-1] + 1 END,
+                         CASE WHEN k = len(sp) + 1 THEN len(toks)
+                              ELSE sp[k] END), ' '))) AS chunk
+              FROM sp)"""
 }

@@ -347,6 +347,87 @@ object Pipeline {
                GROUP BY lang
                ORDER BY lang""")),
 
+    // Preference-pair construction (the DPO/RLHF data shape): within each
+    // near-dup cluster, (chosen, rejected) = the highest- vs lowest-
+    // quality member — near-duplicates are the natural "same content,
+    // different quality" pairing a preference tuner wants, and clusters
+    // with no quality spread carry no signal (filtered). Rides two
+    // already-memoized artifacts: the cluster-label stage and the exact-
+    // decimal quality score (recomputed inline — a scan-pipelined
+    // projection, no extra shuffle), so the only new work is one window
+    // + one aggregate over the LABELED subset (paired docs only, a small
+    // fraction of the corpus). Ties break deterministically: min doc_id
+    // among the argmax-quality members, max doc_id among the argmin —
+    // decimal equality is exact, so the argmax set is engine-identical.
+    "llm_preference_pairs" -> Q(
+      (s, dir) => {
+        val labels = clusterLabels(s, dir)
+          .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        val quality = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksFunnel))
+          .withColumn("n_toks", size(col("toks")))
+          .withColumn("stop_ratio", (size(expr(
+              "filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))"))
+            .cast("decimal(18,6)") / col("n_toks")).cast("decimal(18,6)"))
+          .withColumn("short_ratio", (size(expr(
+              "filter(toks, t -> length(t) <= 2)"))
+            .cast("decimal(18,6)") / col("n_toks")).cast("decimal(18,6)"))
+          .withColumn("len_score", expr(
+            "CAST(least(CAST(n_chars AS DECIMAL(18,6)) / 300, CAST(1.0 AS DECIMAL(18,6))) AS DECIMAL(18,6))"))
+          .withColumn("quality", expr(
+            """CAST(len_score * CAST(0.5 AS DECIMAL(2,1))
+                    + (CAST(1.0 AS DECIMAL(2,1)) - stop_ratio) * CAST(0.3 AS DECIMAL(2,1))
+                    + (CAST(1.0 AS DECIMAL(2,1)) - short_ratio) * CAST(0.2 AS DECIMAL(2,1))
+               AS DECIMAL(18,7))"""))
+          .select(col("doc_id"), col("quality"))
+        val w = Window.partitionBy(col("cluster_id"))
+        labels.join(quality, Seq("doc_id"))
+          .withColumn("qmax", max(col("quality")).over(w))
+          .withColumn("qmin", min(col("quality")).over(w))
+          .filter(col("qmax") > col("qmin"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+               min(when(col("quality") === col("qmax"), col("doc_id")))
+                 .as("chosen_id"),
+               max(when(col("quality") === col("qmin"), col("doc_id")))
+                 .as("rejected_id"),
+               max(col("qmax")).cast("double").as("chosen_q"),
+               min(col("qmin")).cast("double").as("rejected_q"),
+               max(col("qmax") - col("qmin")).cast("double").as("margin"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.duckNearPairsCtes},
+               $duckClusterCtes,
+               q AS (SELECT doc_id,
+                       CAST(len_score * CAST(0.5 AS DECIMAL(2,1))
+                            + (CAST(1.0 AS DECIMAL(2,1)) - stop_ratio) * CAST(0.3 AS DECIMAL(2,1))
+                            + (CAST(1.0 AS DECIMAL(2,1)) - short_ratio) * CAST(0.2 AS DECIMAL(2,1))
+                       AS DECIMAL(18,7)) AS quality
+                     FROM (SELECT doc_id,
+                             CAST(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DECIMAL(18,6))
+                                  / len(string_split(lower(trim(text)), ' ')) AS DECIMAL(18,6)) AS stop_ratio,
+                             CAST(CAST(len(list_filter(string_split(lower(trim(text)), ' '),
+                                 t -> length(t) <= 2)) AS DECIMAL(18,6))
+                                  / len(string_split(lower(trim(text)), ' ')) AS DECIMAL(18,6)) AS short_ratio,
+                             CAST(least(CAST(n_chars AS DECIMAL(18,6)) / 300, 1.0)
+                                  AS DECIMAL(18,6)) AS len_score
+                           FROM documents)),
+               j AS (SELECT l.id AS doc_id, l.cluster_id, q.quality,
+                            MAX(q.quality) OVER (PARTITION BY l.cluster_id) AS qmax,
+                            MIN(q.quality) OVER (PARTITION BY l.cluster_id) AS qmin
+                     FROM labels l JOIN q ON q.doc_id = l.id)
+               SELECT cluster_id, COUNT(*) AS n_members,
+                      MIN(CASE WHEN quality = qmax THEN doc_id END) AS chosen_id,
+                      MAX(CASE WHEN quality = qmin THEN doc_id END) AS rejected_id,
+                      CAST(MAX(qmax) AS DOUBLE) AS chosen_q,
+                      CAST(MIN(qmin) AS DOUBLE) AS rejected_q,
+                      CAST(MAX(qmax - qmin) AS DOUBLE) AS margin
+               FROM j
+               WHERE qmax > qmin
+               GROUP BY cluster_id
+               ORDER BY cluster_id""")),
+
     // Filter-funnel report: how many documents each curation gate would
     // remove, cumulatively — the triage report run before committing to a
     // filter stack. One conditional-aggregation pass; each stage is the

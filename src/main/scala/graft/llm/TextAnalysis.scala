@@ -198,6 +198,101 @@ object TextAnalysis {
               FROM documents
               ORDER BY doc_id""")),
 
+    // Tokenizer fertility per language — the standard tokenizer-eval
+    // metric (subword tokens emitted per whitespace word): fertility,
+    // the word-split rate (words needing ≥ 2 subwords), and mean word
+    // length. Segmentation is the same BPE-ish regex as llm_token_count,
+    // applied per WORD so the split rate is exact rather than inferred
+    // from document totals. Scale shape: one explode to corpus-token
+    // rows (the shape every text key here already uses) and one
+    // map-side-combinable per-lang aggregate — no joins, no window.
+    "llm_tokenizer_fertility" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"), explode(expr(toksE)).as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("n_sub", expr(
+          "size(regexp_extract_all(w, '[a-z]+|[0-9]+|[^a-z0-9]', 0))"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+             sum(col("n_sub")).as("n_subtoks"),
+             (sum(col("n_sub")).cast("decimal(18,6)") / count(lit(1)))
+               .cast("decimal(18,6)").cast("double").as("fertility"),
+             (sum(when(col("n_sub") >= 2, 1L).otherwise(0L))
+               .cast("decimal(18,6)") / count(lit(1)))
+               .cast("decimal(18,6)").cast("double").as("split_rate"),
+             (sum(length(col("w")).cast("long")).cast("decimal(18,6)")
+               / count(lit(1)))
+               .cast("decimal(18,6)").cast("double").as("avg_word_len"))
+        .orderBy(col("lang")),
+      Some(s"""SELECT lang, COUNT(*) AS n_words,
+                      CAST(SUM(n_sub) AS BIGINT) AS n_subtoks,
+                      CAST(CAST(CAST(SUM(n_sub) AS DECIMAL(18,6)) / COUNT(*)
+                           AS DECIMAL(18,6)) AS DOUBLE) AS fertility,
+                      CAST(CAST(CAST(SUM(CASE WHEN n_sub >= 2 THEN 1 ELSE 0 END)
+                                AS DECIMAL(18,6)) / COUNT(*)
+                           AS DECIMAL(18,6)) AS DOUBLE) AS split_rate,
+                      CAST(CAST(CAST(SUM(length(w)) AS DECIMAL(18,6)) / COUNT(*)
+                           AS DECIMAL(18,6)) AS DOUBLE) AS avg_word_len
+               FROM (SELECT lang, w,
+                       len(regexp_extract_all(w, '[a-z]+|[0-9]+|[^a-z0-9]'))
+                         AS n_sub
+                     FROM (SELECT lang, unnest($duckToks) AS w FROM documents)
+                     WHERE length(w) > 0)
+               GROUP BY lang
+               ORDER BY lang""")),
+
+    // Code-document detection signals — the curation gate that routes
+    // source-code-looking text away from the prose pipeline (or into a
+    // code corpus): symbol ratio, code-punctuation density (;{}()=<>),
+    // digit ratio, and the boolean the router keys on. Pure per-row
+    // projection over regex match counts (one scan, codegen'd, no
+    // shuffle but the final sort); ratios stay in the exact-decimal lane.
+    "llm_code_detect" -> Q(
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("n_sym", expr(
+          "size(regexp_extract_all(text, '[^a-zA-Z0-9 ]', 0))").cast("long"))
+        .withColumn("n_code", expr(
+          "size(regexp_extract_all(text, '[;{}()=<>]', 0))").cast("long"))
+        .withColumn("n_digit", expr(
+          "size(regexp_extract_all(text, '[0-9]', 0))").cast("long"))
+        .withColumn("sym_ratio",
+          (col("n_sym").cast("decimal(18,6)") / col("n_chars"))
+            .cast("decimal(18,6)"))
+        .withColumn("code_ratio",
+          (col("n_code").cast("decimal(18,6)") / col("n_chars"))
+            .cast("decimal(18,6)"))
+        .withColumn("digit_ratio",
+          (col("n_digit").cast("decimal(18,6)") / col("n_chars"))
+            .cast("decimal(18,6)"))
+        .withColumn("is_code",
+          col("sym_ratio") >= expr("CAST(0.05 AS DECIMAL(18,6))") &&
+          col("code_ratio") >= expr("CAST(0.01 AS DECIMAL(18,6))"))
+        .select(col("doc_id"), col("n_sym"), col("n_code"), col("n_digit"),
+                col("sym_ratio").cast("double").as("sym_ratio"),
+                col("code_ratio").cast("double").as("code_ratio"),
+                col("digit_ratio").cast("double").as("digit_ratio"),
+                col("is_code"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, n_sym, n_code, n_digit,
+                     CAST(sym_ratio AS DOUBLE) AS sym_ratio,
+                     CAST(code_ratio AS DOUBLE) AS code_ratio,
+                     CAST(digit_ratio AS DOUBLE) AS digit_ratio,
+                     (sym_ratio >= CAST(0.05 AS DECIMAL(18,6))
+                      AND code_ratio >= CAST(0.01 AS DECIMAL(18,6))) AS is_code
+              FROM (SELECT doc_id, n_sym, n_code, n_digit,
+                      CAST(CAST(n_sym AS DECIMAL(18,6)) / n_chars
+                           AS DECIMAL(18,6)) AS sym_ratio,
+                      CAST(CAST(n_code AS DECIMAL(18,6)) / n_chars
+                           AS DECIMAL(18,6)) AS code_ratio,
+                      CAST(CAST(n_digit AS DECIMAL(18,6)) / n_chars
+                           AS DECIMAL(18,6)) AS digit_ratio
+                    FROM (SELECT doc_id, n_chars,
+                            len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_sym,
+                            len(regexp_extract_all(text, '[;{}()=<>]')) AS n_code,
+                            len(regexp_extract_all(text, '[0-9]')) AS n_digit
+                          FROM documents))
+              ORDER BY doc_id""")),
+
     // N-gram LM corpus prep: top-3 bigrams per lang by frequency. The
     // bigram array is built with zip_with over two slices — the array
     // arguments evaluate once per ROW (never per element), dodging the

@@ -767,6 +767,75 @@ class OperatorSpec extends SparkSuite {
       assert(hhi >= top * top - 1e-6, s"${r.getString(0)}: hhi below top_share^2")
     }
   }
+
+  test("llm_preference_pairs: chosen strictly outranks rejected, ids distinct, " +
+       "pair stays inside its cluster, margin is the quality gap") {
+    val rows = Registry.byName("llm_preference_pairs").fn(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture has near-dup clusters with quality spread")
+    val labels = Registry.byName("llm_dedup_cluster").fn(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (cid, n, chosen, rejected) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (cq, rq, margin) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(n >= 2, s"cluster $cid: pair from a singleton")
+      assert(chosen != rejected, s"cluster $cid: chosen == rejected")
+      assert(cq > rq, s"cluster $cid: chosen_q $cq !> rejected_q $rq")
+      assert(math.abs(margin - (cq - rq)) < 1e-9,
+        s"cluster $cid: margin $margin != ${cq - rq}")
+      assert(labels(chosen) == cid && labels(rejected) == cid,
+        s"cluster $cid: pair member labeled elsewhere")
+    }
+  }
+
+  test("llm_tokenizer_fertility: fertility >= 1, split_rate in [0,1], " +
+       "word counts partition the corpus") {
+    val rows = Registry.byName("llm_tokenizer_fertility").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, nSub) = (r.getLong(1), r.getLong(2))
+      val (fert, split) = (r.getDouble(3), r.getDouble(4))
+      assert(nSub >= nWords, s"${r.getString(0)}: fewer subtokens than words")
+      assert(fert >= 1.0 - 1e-9, s"${r.getString(0)}: fertility < 1")
+      assert(split >= 0.0 && split <= 1.0, s"${r.getString(0)}: split_rate")
+    }
+    val totalWords = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), " ")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    assert(rows.map(_.getLong(1)).sum == totalWords,
+      "per-lang word counts must partition the nonempty-word corpus count")
+  }
+
+  test("llm_code_detect: ratios bounded, code punct is a subset of symbols, " +
+       "the boolean matches its own thresholds") {
+    val rows = Registry.byName("llm_code_detect").fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSym, nCode) = (r.getLong(1), r.getLong(2))
+      val (sym, code, digit) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(nCode <= nSym, s"doc ${r.getLong(0)}: code punct exceeds symbols")
+      Seq(sym, code, digit).foreach(x =>
+        assert(x >= 0.0 && x <= 1.0, s"doc ${r.getLong(0)}: ratio $x"))
+      assert(r.getBoolean(7) == (sym >= 0.05 && code >= 0.01),
+        s"doc ${r.getLong(0)}: is_code disagrees with thresholds")
+    }
+  }
+
+  test("llm_cdc_chunks: every reported chunk is genuinely shared and " +
+       "the report is ranked by occurrence") {
+    val rows = Registry.byName("llm_cdc_chunks").fn(spark, sf).collect()
+    assert(rows.length <= 30)
+    rows.foreach { r =>
+      val (toks, nDocs, nOcc) = (r.getInt(1), r.getLong(2), r.getLong(3))
+      assert(nOcc >= 2, "reported chunk not shared")
+      assert(nDocs <= nOcc, "distinct docs exceed occurrences")
+      assert(toks >= 1, "empty chunk")
+    }
+    val occs = rows.map(_.getLong(3))
+    assert(occs.sameElements(occs.sorted(Ordering[Long].reverse)),
+      "rows not ranked by n_occ desc")
+  }
 }
 
 /** Transports for the snk_rest retry tests, top-level so the
