@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses runMain's LAST stdout line as the bench JSON.
+// Two sbt behaviors break that: the default LoggedOutput strategy wraps
+// every forked-process line in "[info] ", and sbt appends its own
+// "[success] Total time..." trailer after main returns. Route forked run
+// output straight to stdout and suppress the success banner so the JSON
+// totals line IS the last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which lintUnused can't see.
+Global / excludeLintKeys += showSuccess
 // Suites share ONE SparkSession (SparkSuite.getOrCreate), and two of them
 // mutate session-global state the others assert on: KernelSubstitutionSpec
 // removes/restores optimizer rules while PlanAuditSpec reads plan shapes,

@@ -11,7 +11,9 @@ cd "$(dirname "$0")/.."
 for i in $(seq 1 "$N"); do
   SPARK_GRAFT_SF_DIR="$SF" sbt "runMain graft.Bench" \
     > "/tmp/bench_${TAG}_${i}.log" 2>&1
-  tail -c 300 "/tmp/bench_${TAG}_${i}.log" | grep -q success \
-    || echo "WARN: run $i may have failed (no [success] tail)" >&2
+  # build.sbt suppresses [success] since r12; the completion marker is
+  # the totals JSON line itself.
+  tail -c 2000 "/tmp/bench_${TAG}_${i}.log" | grep -q '"metric":"total"' \
+    || echo "WARN: run $i may have failed (no totals JSON tail)" >&2
 done
 echo "sweep ${TAG} done: $N runs"

@@ -255,14 +255,17 @@ object TextAnalysis {
           "size(regexp_extract_all(text, '[;{}()=<>]', 0))").cast("long"))
         .withColumn("n_digit", expr(
           "size(regexp_extract_all(text, '[0-9]', 0))").cast("long"))
+        // greatest(n_chars, 1): an empty document must yield 0-ratios and
+        // is_code = false, not NULL ratios and a NULL boolean (engine-
+        // divergent and spec-crashing) — r12 advisor fix.
         .withColumn("sym_ratio",
-          (col("n_sym").cast("decimal(18,6)") / col("n_chars"))
+          (col("n_sym").cast("decimal(18,6)") / greatest(col("n_chars"), lit(1L)))
             .cast("decimal(18,6)"))
         .withColumn("code_ratio",
-          (col("n_code").cast("decimal(18,6)") / col("n_chars"))
+          (col("n_code").cast("decimal(18,6)") / greatest(col("n_chars"), lit(1L)))
             .cast("decimal(18,6)"))
         .withColumn("digit_ratio",
-          (col("n_digit").cast("decimal(18,6)") / col("n_chars"))
+          (col("n_digit").cast("decimal(18,6)") / greatest(col("n_chars"), lit(1L)))
             .cast("decimal(18,6)"))
         .withColumn("is_code",
           col("sym_ratio") >= expr("CAST(0.05 AS DECIMAL(18,6))") &&
@@ -286,7 +289,7 @@ object TextAnalysis {
                            AS DECIMAL(18,6)) AS code_ratio,
                       CAST(CAST(n_digit AS DECIMAL(18,6)) / n_chars
                            AS DECIMAL(18,6)) AS digit_ratio
-                    FROM (SELECT doc_id, n_chars,
+                    FROM (SELECT doc_id, greatest(n_chars, 1) AS n_chars,
                             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_sym,
                             len(regexp_extract_all(text, '[;{}()=<>]')) AS n_code,
                             len(regexp_extract_all(text, '[0-9]')) AS n_digit

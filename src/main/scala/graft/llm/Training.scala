@@ -76,25 +76,40 @@ object Training {
 
   /** One DuckDB training round: score with the weights of CTE `wPrev`,
     * aggregate the rounded gradient contributions, emit the updated
-    * weights. Spelled to match the Spark side token for token. */
+    * weights. Spelled to match the Spark side token for token.
+    *
+    * Rounding discipline (r12, per advisor): every per-row term snaps to
+    * the micro grid via floor(x·1e6 + 0.5)/1e6 — floor acts on the binary
+    * double identically in both engines, where round()'s decimal-repr tie
+    * handling diverges at .xxxxxx5 boundaries (the llm_kl_corpus_shift /
+    * llm_embed_quantize precedent). Micro-integer contributions sum
+    * exactly in DECIMAL(18,0); the per-example mean re-snaps with the
+    * same floor. The loss clamps p into [1e-6, 1-1e-6] via greatest()
+    * before ln() so a saturated sigmoid (p rounds to exactly 0 or 1 once
+    * |w·x| ≳ 14.5) cannot raise ln(0) in DuckDB while Spark returns
+    * -Infinity — unreachable at Iters=3/lr=0.5 but engine-divergent. */
   private def duckRound(i: Int, wPrev: String): String = {
     def grad(x: String) =
-      s"""round(CAST(SUM(CAST(round((p - y) * CAST($x AS DOUBLE), 6)
-             AS DECIMAL(18,6))) AS DOUBLE) / (SELECT n FROM n), 6)"""
+      s"""floor(CAST(SUM(CAST(floor((p - y) * CAST($x AS DOUBLE) * 1e6 + 0.5)
+             AS DECIMAL(18,0))) AS DOUBLE) / (SELECT n FROM n) + 0.5) / 1e6"""
     s"""s$i AS (SELECT f.*,
-                       round(1.0 / (1.0 + exp(-CAST(w.wb + w.wl * x_len
-                           + w.ws * x_stop + w.wt * x_ttr AS DOUBLE))), 6) AS p
+                       floor(1.0 / (1.0 + exp(-CAST(w.wb + w.wl * x_len
+                           + w.ws * x_stop + w.wt * x_ttr AS DOUBLE)))
+                             * 1e6 + 0.5) / 1e6 AS p
                 FROM f, $wPrev w),
         g$i AS (SELECT
-                  round(CAST(SUM(CAST(round(p - y, 6) AS DECIMAL(18,6)))
-                        AS DOUBLE) / (SELECT n FROM n), 6) AS gb,
+                  floor(CAST(SUM(CAST(floor((p - y) * 1e6 + 0.5)
+                        AS DECIMAL(18,0))) AS DOUBLE)
+                        / (SELECT n FROM n) + 0.5) / 1e6 AS gb,
                   ${grad("x_len")} AS gl,
                   ${grad("x_stop")} AS gs,
                   ${grad("x_ttr")} AS gt,
-                  round(CAST(SUM(CAST(round(CASE WHEN y = 1 THEN -ln(p)
-                                            ELSE -ln(1.0 - p) END, 6)
-                        AS DECIMAL(18,6))) AS DOUBLE) / (SELECT n FROM n), 6)
-                    AS loss
+                  floor(CAST(SUM(CAST(floor((CASE WHEN y = 1
+                            THEN -ln(greatest(p, 1e-6))
+                            ELSE -ln(greatest(1.0 - p, 1e-6)) END)
+                            * 1e6 + 0.5)
+                        AS DECIMAL(18,0))) AS DOUBLE)
+                        / (SELECT n FROM n) + 0.5) / 1e6 AS loss
                 FROM s$i),
         w$i AS (SELECT
                   CAST(w.wb - CAST(0.5 AS DECIMAL(2,1))
@@ -126,22 +141,30 @@ object Training {
           // toPlainString: BigDecimal(0).setScale(7) prints "0E-7" in
           // scientific notation, which is not a SQL decimal literal.
           def p(w: BigDecimal) = w.underlying.toPlainString
+          // Micro-grid discipline mirroring duckRound token for token:
+          // floor(x·1e6 + 0.5)/1e6 per term, exact DECIMAL(18,0) sums,
+          // clamped ln. See duckRound's scaladoc for why.
           val scored = f.withColumn("p",
-            expr(s"""round(1.0 / (1.0 + exp(-CAST(CAST(${p(wb)} AS DECIMAL(18,7))
+            expr(s"""floor(1.0 / (1.0 + exp(-CAST(CAST(${p(wb)} AS DECIMAL(18,7))
                         + CAST(${p(wl)} AS DECIMAL(18,7)) * x_len
                         + CAST(${p(ws)} AS DECIMAL(18,7)) * x_stop
-                        + CAST(${p(wt)} AS DECIMAL(18,7)) * x_ttr AS DOUBLE))), 6)"""))
-          def grad(x: String) = round(
-            sum(expr(s"CAST(round((p - y) * CAST($x AS DOUBLE), 6) AS DECIMAL(18,6))"))
-              .cast("double") / n, 6)
+                        + CAST(${p(wt)} AS DECIMAL(18,7)) * x_ttr AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6"""))
+          // mean-of-micro-integers: floor(Σmicro/n + 0.5)/1e6, the exact
+          // operation order of duckRound (Σmicro/n is already in micro
+          // units, so the re-snap needs no further ·1e6).
+          def m6(c: org.apache.spark.sql.Column) =
+            floor(c.cast("double") / n + lit(0.5)) / lit(1e6)
+          def grad(x: String) = m6(
+            sum(expr(s"CAST(floor((p - y) * CAST($x AS DOUBLE) * 1e6 + 0.5) AS DECIMAL(18,0))")))
           val g = scored.agg(
-            round(sum(expr("CAST(round(p - y, 6) AS DECIMAL(18,6))"))
-              .cast("double") / n, 6).as("gb"),
+            m6(sum(expr("CAST(floor((p - y) * 1e6 + 0.5) AS DECIMAL(18,0))"))).as("gb"),
             grad("x_len").as("gl"), grad("x_stop").as("gs"),
             grad("x_ttr").as("gt"),
-            round(sum(expr("""CAST(round(CASE WHEN y = 1 THEN -ln(p)
-                                   ELSE -ln(1.0 - p) END, 6) AS DECIMAL(18,6))"""))
-              .cast("double") / n, 6).as("loss")).head()
+            m6(sum(expr("""CAST(floor((CASE WHEN y = 1
+                                THEN -ln(greatest(p, 1e-6))
+                                ELSE -ln(greatest(1.0 - p, 1e-6)) END)
+                                * 1e6 + 0.5) AS DECIMAL(18,0))"""))).as("loss")).head()
           // BigDecimal.valueOf round-trips the round(_, 6) doubles
           // exactly (shortest-repr toString), so the update stays in the
           // exact-decimal lane: scale 6 gradient × 0.5 = scale 7 weight.
