@@ -800,30 +800,189 @@ object Dedup {
                       CAST(CAST(CAST(SUM(chunk_toks) AS DECIMAL(18,6))
                                 / SUM(chunk_toks * n_occ) AS DECIMAL(18,6))
                            AS DOUBLE) AS dedup_ratio
-               FROM g"""))
+               FROM g""")),
+
+    // END-TO-END incremental-ingest funnel (r11 VERDICT #6) — the
+    // composition a nightly crawl-ingest actually runs, over the standing
+    // (even doc_ids) + incoming (odd doc_ids) corpus split:
+    //   1. EXACT: incoming hash ∈ standing hash set → 'exact_dup'
+    //      (cheapest test first: one broadcast semi-probe on a 64-hex key);
+    //   2. BLOOM pre-screen: incoming shingles probed against the standing
+    //      corpus's bloom (the llm_dedup_bloom filter, identical
+    //      arithmetic); n_maybe = 0 → 'novel_fastpath' — the doc skips
+    //      every downstream verification, which at 100 TB is most docs
+    //      and most of the win;
+    //   3. CDC chunk overlap: ≥ half of the doc's CDC chunks already in
+    //      the standing chunk store (integer compare 2·n_shared ≥
+    //      n_chunks — no decimal lane) → 'cdc_dup';
+    //   4. else 'admitted'. Survivors = admitted ∪ novel_fastpath.
+    // Scale shape: ONE full-text scan total ([[ingestFeatPath]]
+    // materializes hash+shingles+chunks in a single projection; pinned in
+    // PlanAuditSpec — the final plan never touches documents.parquet);
+    // the standing-side structures (hash set, ≤4231-word bloom, chunk-
+    // hash set) are all broadcast-sized or key-only, and every join is
+    // broadcast-left so the incoming side never shuffles its text. The
+    // oracle recomputes the survivor set DENSELY in SQL — including
+    // rebuilding the identical bloom — so the hash gate checks the whole
+    // funnel's routing, not just the pieces.
+    "llm_ingest_e2e" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val F = s.read.parquet(ingestFeatPath(s, dir))
+        val inc = F.filter(col("doc_id") % 2 =!= 0)
+        val stand = F.filter(col("doc_id") % 2 === 0)
+        val standH = stand.select(col("h").as("h_old")).distinct()
+        val WORDS = 4231L // m = 4231*62 bits — the llm_dedup_bloom geometry
+        def wordMask(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("doc_id"), col("tok"),
+                  explode(expr(s"""transform(sequence(0, 3), k ->
+                    tid60(concat(tok, '#', CAST(k AS STRING))) % ${WORDS * 62}L)"""))
+                    .as("idx"))
+          .select(col("doc_id"), col("tok"),
+                  expr("idx div 62").as("word"),
+                  expr("shiftleft(1L, CAST(idx % 62 AS INT))").as("mask"))
+        val bloom = wordMask(stand.select(col("doc_id"), explode(col("sh")).as("tok")))
+          .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+        val maybe = wordMask(inc.select(col("doc_id"), explode(col("sh")).as("tok")))
+          .join(broadcast(bloom), Seq("word"), "left")
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(min(when(expr("bits is not null and (bits & mask) = mask"),
+                        1).otherwise(0)).as("hit"))
+          .groupBy(col("doc_id")).agg(sum(col("hit")).cast("long").as("n_maybe"))
+        val standC = stand.select(explode(col("chunks")).as("chunk"))
+          .select(md5(col("chunk")).as("ch_old")).distinct()
+        val cdc = inc.select(col("doc_id"), explode(col("chunks")).as("chunk"))
+          .withColumn("ch", md5(col("chunk")))
+          .join(broadcast(standC), col("ch") === col("ch_old"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+               sum(when(col("ch_old").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+        inc.select(col("doc_id"), col("h"), size(col("sh")).cast("long").as("n_sh"))
+          .join(broadcast(standH), col("h") === col("h_old"), "left")
+          .join(maybe, Seq("doc_id"), "left")
+          .join(cdc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sh"),
+                  coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+                  coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+                  coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+                  when(col("h_old").isNotNull, "exact_dup")
+                    .when(coalesce(col("n_maybe"), lit(0L)) === 0, "novel_fastpath")
+                    .when(coalesce(col("n_shared"), lit(0L)) * 2 >=
+                          coalesce(col("n_chunks"), lit(0L)), "cdc_dup")
+                    .otherwise("admitted").as("verdict"))
+          .withColumn("admitted",
+                      col("verdict").isin("novel_fastpath", "admitted"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $duckCdcCtes,
+                    s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
+                    hsh AS (SELECT doc_id,
+                                   sha256(substr(lower(trim(text)), 1, 40)) AS h
+                            FROM documents),
+                    stand_h AS (SELECT DISTINCT h FROM hsh WHERE doc_id % 2 = 0),
+                    bits AS (SELECT doc_id, tok,
+                                    (('0x' || substr(md5(tok || '#' || k), 1, 15))::BIGINT
+                                     % 262322) AS idx
+                             FROM (SELECT doc_id, unnest(sh) AS tok FROM s),
+                                  (SELECT unnest(['0','1','2','3']) AS k) g),
+                    wb AS (SELECT doc_id, tok, idx // 62 AS word,
+                                  (1::BIGINT << CAST(idx % 62 AS INTEGER)) AS mask
+                           FROM bits),
+                    bloom AS (SELECT word, bit_or(mask) AS bits
+                              FROM wb WHERE doc_id % 2 = 0 GROUP BY 1),
+                    probe AS (SELECT w.doc_id, w.tok,
+                                     MIN(CASE WHEN b.bits IS NOT NULL
+                                               AND (b.bits & w.mask) = w.mask
+                                              THEN 1 ELSE 0 END) AS hit
+                              FROM wb w LEFT JOIN bloom b ON w.word = b.word
+                              WHERE w.doc_id % 2 <> 0
+                              GROUP BY 1, 2),
+                    maybe AS (SELECT doc_id, CAST(SUM(hit) AS BIGINT) AS n_maybe
+                              FROM probe GROUP BY 1),
+                    stand_c AS (SELECT DISTINCT md5(chunk) AS ch FROM c
+                                WHERE doc_id % 2 = 0),
+                    cdc AS (SELECT c.doc_id, COUNT(*) AS n_chunks,
+                                   CAST(SUM(CASE WHEN sc.ch IS NOT NULL
+                                            THEN 1 ELSE 0 END) AS BIGINT)
+                                     AS n_shared
+                            FROM c LEFT JOIN stand_c sc ON md5(c.chunk) = sc.ch
+                            WHERE c.doc_id % 2 <> 0
+                            GROUP BY 1),
+                    inc AS (SELECT h.doc_id, h.h,
+                                   CAST(len(s.sh) AS BIGINT) AS n_sh
+                            FROM hsh h JOIN s USING (doc_id)
+                            WHERE h.doc_id % 2 <> 0)
+               SELECT doc_id, n_sh, n_maybe, n_chunks, n_shared, verdict,
+                      verdict IN ('novel_fastpath', 'admitted') AS admitted
+               FROM (SELECT i.doc_id, i.n_sh,
+                            COALESCE(m.n_maybe, 0) AS n_maybe,
+                            COALESCE(d.n_chunks, 0) AS n_chunks,
+                            COALESCE(d.n_shared, 0) AS n_shared,
+                            CASE WHEN sh2.h IS NOT NULL THEN 'exact_dup'
+                                 WHEN COALESCE(m.n_maybe, 0) = 0
+                                   THEN 'novel_fastpath'
+                                 WHEN 2 * COALESCE(d.n_shared, 0)
+                                      >= COALESCE(d.n_chunks, 0)
+                                   THEN 'cdc_dup'
+                                 ELSE 'admitted' END AS verdict
+                     FROM inc i
+                     LEFT JOIN stand_h sh2 ON i.h = sh2.h
+                     LEFT JOIN maybe m ON m.doc_id = i.doc_id
+                     LEFT JOIN cdc d ON d.doc_id = i.doc_id)
+               ORDER BY doc_id"""))
   )
 
   /** The CDC chunk stream (doc_id, chunk): rolling 2-gram-hash
     * boundaries (hash ≡ 0 mod 32), one in-row array program per
     * document — shared by llm_cdc_chunks / llm_cdc_ratio. */
-  private def cdcChunkStream(s: org.apache.spark.sql.SparkSession,
-                             dir: String): org.apache.spark.sql.DataFrame = {
-    graft.functions.Custom.register(s) // tid60 kernel
-    Tables.documents(s, dir)
-      .withColumn("toks", expr(toksE))
-      .withColumn("hs", expr(
+  /** The CDC chunk ARRAY per document (doc_id, chunks) — the un-exploded
+    * form [[cdcChunkStream]] rides, factored out so the ingest pipeline's
+    * one-scan featurization ([[ingestFeatPath]]) can materialize it
+    * alongside the exact hash and shingles in a single projection. */
+  /** Adds the CDC columns to a frame holding a materialized `toks`
+    * column: `hs`/`sp` as their own columns (each evaluated once per
+    * row — inlining them into [[cdcChunksFromSp]] would run the tid60
+    * gram-hash program twice per row), then the chunk array. Shared by
+    * [[cdcChunkStream]] and the ingest featurization. */
+  private def withCdcChunks(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("hs", expr(
         """zip_with(slice(toks, 1, size(toks) - 1),
                     slice(toks, 2, size(toks) - 1),
                     (a, b) -> tid60(concat(a, ' ', b)))"""))
       .withColumn("sp", expr(
         """filter(transform(hs, (h, i) ->
              IF(pmod(h, 32) = 0, i + 1, -1)), x -> x > 0)"""))
-      .select(col("doc_id"), explode(expr(
+      .withColumn("chunks", expr(
         """zip_with(concat(array(0), sp),
                     concat(sp, array(size(toks))),
                     (a, b) -> array_join(slice(toks, a + 1, b - a), ' '))"""))
-        .as("chunk"))
+
+  private def cdcChunkStream(s: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.Custom.register(s) // tid60 kernel
+    withCdcChunks(Tables.documents(s, dir).withColumn("toks", expr(toksE)))
+      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
   }
+
+  /** The ingest pipeline's ONE full-text pass: every per-doc signal the
+    * funnel needs — exact-dup hash, 3-shingle array, CDC chunk array —
+    * computed in a single projection over documents and written once
+    * (atomic-rename published, mtime-versioned). Everything downstream of
+    * this file moves hashes and token-free keys only; at 100 TB this is
+    * the difference between one corpus scan and three. Pinned in
+    * PlanAuditSpec: llm_ingest_e2e's final plan reads THIS path and never
+    * documents.parquet. */
+  private[graft] def ingestFeatPath(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): String =
+    Memo.materializedPath(s, dir, "ingest_feat") { tmp =>
+      graft.functions.Custom.register(s)
+      withCdcChunks(Tables.documents(s, dir).withColumn("toks", expr(toksE)))
+        .select(col("doc_id"),
+                sha2(expr("substr(lower(trim(text)), 1, 40)"), 256).as("h"),
+                expr("shingles3(toks)").as("sh"),
+                col("chunks"))
+        .write.parquet(tmp)
+    }
 
   /** DuckDB CTEs producing the same `c(doc_id, chunk)` stream. */
   // def, not val: referenced from the `queries` map val above, which

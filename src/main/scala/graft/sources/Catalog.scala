@@ -47,21 +47,68 @@ object Catalog {
   private def render(e: Entry): String =
     s"""{"name":"${esc(e.name)}","format":"${esc(e.format)}","path":"${esc(e.path)}","partition_cols":[${e.partitionCols.map(c => "\"" + esc(c) + "\"").mkString(",")}]}"""
 
-  /** Register (or replace) table definitions. Read-modify-write under an
-    * atomic rename: last writer wins per name, the file is never torn. */
-  def register(catalogDir: String, entries: Seq[Entry]): Unit = {
-    val dir = java.nio.file.Paths.get(catalogDir)
-    java.nio.file.Files.createDirectories(dir)
-    val merged = (load(catalogDir).map(e => e.name -> e).toMap ++
-                  entries.map(e => e.name -> e).toMap)
-      .values.toSeq.sortBy(_.name)
-    val tmp = dir.resolve(s".tables-${java.util.UUID.randomUUID}.tmp")
-    java.nio.file.Files.writeString(tmp,
-      merged.map(render).mkString("", "\n", "\n"))
-    java.nio.file.Files.move(tmp, file(catalogDir),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  /** Writer serialization (r11 VERDICT #5 — the catalog was single-writer):
+    * the read-modify-write in [[mutate]] is a lost-update race when two
+    * publishers run concurrently (A and B both read, both merge their own
+    * entry, the second rename silently drops the first's). Correctness
+    * here is SERIALIZATION, not cleverness: a JVM-global monitor covers
+    * in-process writers (two sessions in one JVM — the common local-mode
+    * shape — and also required because JDK file locks are per-JVM and
+    * throw OverlappingFileLockException across threads), and an OS
+    * advisory lock on a sidecar `.catalog.lock` covers cross-process
+    * writers on the same (shared-fs) catalog dir. Readers never take the
+    * lock: the atomic rename already guarantees they see a complete old
+    * or complete new file. Conflict semantics are pinned LAST-WRITER-WINS
+    * per table name (the registry-upsert shape) — no version vector; at
+    * lake scale the same discipline holds because publishes are
+    * metadata-only and rare relative to reads. */
+  private val writerLock = new Object
+
+  private def mutate(catalogDir: String)(f: Seq[Entry] => Seq[Entry]): Unit =
+    writerLock.synchronized {
+      val dir = java.nio.file.Paths.get(catalogDir)
+      java.nio.file.Files.createDirectories(dir)
+      val ch = java.nio.channels.FileChannel.open(
+        dir.resolve(".catalog.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      val lk = ch.lock()
+      try {
+        val next = f(load(catalogDir)).sortBy(_.name)
+        val tmp = dir.resolve(s".tables-${java.util.UUID.randomUUID}.tmp")
+        java.nio.file.Files.writeString(tmp,
+          next.map(render).mkString("", "\n", "\n"))
+        java.nio.file.Files.move(tmp, file(catalogDir),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally { lk.release(); ch.close() }
+    }
+
+  /** Register (or REPLACE — last writer wins per name) table definitions.
+    * Serialized read-modify-write under an atomic rename: concurrent
+    * registrations of different names all survive, and the file is never
+    * torn. */
+  def register(catalogDir: String, entries: Seq[Entry]): Unit =
+    mutate(catalogDir) { cur =>
+      (cur.map(e => e.name -> e).toMap ++
+       entries.map(e => e.name -> e).toMap).values.toSeq
+    }
+
+  /** Drop a table definition (metadata only — data files are never
+    * touched). Returns true when the name existed. */
+  def drop(catalogDir: String, name: String): Boolean = {
+    var existed = false // decided under the writer lock, not before it
+    mutate(catalogDir) { cur =>
+      existed = cur.exists(_.name == name)
+      cur.filterNot(_.name == name)
+    }
+    existed
   }
+
+  /** Reset the catalog to empty — fixture-rerun hygiene (a stale entry
+    * from an older code version must never survive into a listing). */
+  def reset(catalogDir: String): Unit =
+    mutate(catalogDir)(_ => Seq.empty)
 
   /** All definitions (empty if the catalog does not exist yet). Plain
     * JDK parsing for the fixed field shape [[render]] emits — the

@@ -31,6 +31,9 @@ object Scans {
   val xlsxDatesDirPath = s"$fixDir/orders_xlsx_dates"
   val xlsxDatesTsvPath = s"$fixDir/orders_xlsx_dates.tsv"
   val catalogMetaPath = s"$fixDir/catalog_meta"
+  val catalogReplacePath = s"$fixDir/catalog_meta_replace"
+  val catalogListPath = s"$fixDir/catalog_meta_list"
+  val catalogListTsvPath = s"$fixDir/catalog_list.tsv"
   val avroDirPath = s"$fixDir/nation_avro"
   val avroTsvPath = s"$fixDir/nation_avro.tsv"
   val xmlDirPath = s"$fixDir/nation_xml"
@@ -192,6 +195,71 @@ object Scans {
                      min(n.n_name) AS first_nation
               FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
               GROUP BY r.r_name ORDER BY r.r_name""")),
+
+    // Catalog REPLACE semantics (r11 VERDICT #5): a name is re-published
+    // to point at different data — the registry-upsert shape — and a
+    // session created AFTER the replace must resolve the NEW binding,
+    // while a dropped name must be gone. The query registers cat_t →
+    // nation, replaces it with cat_t → region (last-writer-wins, pinned
+    // in Catalog's writer-lock scaladoc + CatalogSpec's concurrency
+    // tests), registers-then-drops cat_drop_me, and resolves cat_t from
+    // a brand-new session. The hash gate is genuine: a replace that
+    // keeps the old binding returns 25 nation rows, a drop that doesn't
+    // land leaves the view attachable — both break the compare.
+    "src_catalog_replace" -> Q(
+      (s, dir) => {
+        Catalog.reset(catalogReplacePath)
+        Catalog.register(catalogReplacePath, Seq(
+          Catalog.Entry("cat_t", "parquet", s"$dir/nation.parquet", Nil),
+          Catalog.Entry("cat_drop_me", "parquet", s"$dir/nation.parquet", Nil)))
+        Catalog.register(catalogReplacePath, Seq( // REPLACE: same name, new data
+          Catalog.Entry("cat_t", "parquet", s"$dir/region.parquet", Nil)))
+        Catalog.drop(catalogReplacePath, "cat_drop_me")
+        val s2 = s.newSession() // resolution from the persisted file alone
+        Catalog.attach(s2, catalogReplacePath)
+        s2.sql("""SELECT r_regionkey, r_name FROM cat_t
+                  ORDER BY r_regionkey""")
+      },
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // Catalog LISTING — the information_schema.tables of the lake. The
+    // query drives the register → replace → drop state machine from a
+    // clean catalog and lists the FINAL state; the oracle TSV is the
+    // expected final state spelled as literals (never derived from
+    // load()), so the hash gate checks the state machine itself: a
+    // replace that appends instead of upserting, a drop that misses, or
+    // a listing that leaks the lock/tmp sidecars all break it. O(#tables)
+    // driver-side metadata by design — the catalog never touches data.
+    "src_catalog_list" -> Q(
+      (s, dir) => {
+        Catalog.reset(catalogListPath)
+        Catalog.register(catalogListPath, Seq(
+          Catalog.Entry("t_events", "parquet", s"$dir/events.parquet", Seq("dt")),
+          Catalog.Entry("t_lineitem", "parquet", s"$dir/lineitem.parquet", Nil),
+          Catalog.Entry("t_tmp", "csv", s"$dir/tmp.csv", Nil)))
+        Catalog.register(catalogListPath, Seq( // replace: partition layout evolved
+          Catalog.Entry("t_events", "parquet", s"$dir/events.parquet",
+                        Seq("dt", "hr"))))
+        Catalog.drop(catalogListPath, "t_tmp")
+        writeFixture(catalogListTsvPath,
+          "name\tformat\trel_path\tpartition_cols\n" +
+          "t_events\tparquet\tevents.parquet\tdt,hr\n" +
+          "t_lineitem\tparquet\tlineitem.parquet\t-\n")
+        val rows = Catalog.load(catalogListPath).map { e =>
+          (e.name, e.format,
+           e.path.stripPrefix(dir).stripPrefix("/"),
+           if (e.partitionCols.isEmpty) "-" else e.partitionCols.mkString(","))
+        }
+        import s.implicits._
+        rows.toDF("name", "format", "rel_path", "partition_cols")
+          .orderBy(col("name"))
+      },
+      Some(s"""SELECT name, format, rel_path, partition_cols
+               FROM read_csv('$catalogListTsvPath', delim='\t', header=true,
+                             columns={'name': 'VARCHAR', 'format': 'VARCHAR',
+                                      'rel_path': 'VARCHAR',
+                                      'partition_cols': 'VARCHAR'})
+               ORDER BY name""")),
 
     // Excel DATE cells + a second worksheet — the two highest-frequency
     // real-workbook features the raw-string sheet1 contract of src_xlsx

@@ -1253,6 +1253,22 @@ class PlanAuditSpec extends SparkSuite {
       s"per-vector k-fan must collapse map-side:\n$p")
   }
 
+  test("llm_ingest_e2e: one full-text scan — the final plan reads the " +
+       "materialized featurization, never documents.parquet, and every " +
+       "standing-side structure broadcasts") {
+    // The ingest funnel's 100 TB claim (r11 VERDICT #6): text is read
+    // ONCE (ingestFeatPath's single projection materializes hash +
+    // shingles + chunks); the funnel itself moves token-free keys only.
+    graft.functions.Custom.register(spark)
+    val p = planOf("llm_ingest_e2e")
+    assert(!p.contains("documents.parquet"),
+      s"final plan re-scans the raw corpus — featurization not honored:\n$p")
+    assert(p.contains("ingest_feat"),
+      s"final plan does not read the materialized featurization:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      s"standing-side structures (hash set / bloom / chunk store) not broadcast:\n$p")
+  }
+
   test("q_mannwhitney / q_ks_test: windows run over the value-domain table only") {
     Seq("q_mannwhitney", "q_ks_test").foreach { k =>
       val p = planOf(k)

@@ -30,6 +30,51 @@ class CatalogSpec extends AnyFunSuite with graft.SparkSuite {
     assert(loaded(1).format == "csv")
   }
 
+  test("concurrent writers: N threads registering distinct names all survive") {
+    // Pins r11 VERDICT #5: the pre-r12 unserialized read-modify-write
+    // lost updates under exactly this shape (two sessions publishing
+    // concurrently). 16 threads × 8 tables each, one register per table.
+    val dir = tmpDir()
+    val threads = (0 until 16).map { t =>
+      new Thread(() => (0 until 8).foreach { i =>
+        Catalog.register(dir, Seq(
+          Catalog.Entry(f"t${t}%02d_$i", "parquet", s"/data/$t/$i", Nil)))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val loaded = Catalog.load(dir)
+    assert(loaded.size == 128, s"lost updates: ${128 - loaded.size} entries dropped")
+    assert(loaded.map(_.name) == loaded.map(_.name).sorted)
+  }
+
+  test("concurrent REPLACE of the same name: last-writer-wins, never torn") {
+    val dir = tmpDir()
+    val paths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (0 until 8).map { t =>
+      new Thread(() => (0 until 20).foreach { i =>
+        val p = s"/data/v$t-$i"; paths.add(p)
+        Catalog.register(dir, Seq(Catalog.Entry("hot", "parquet", p, Nil)))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val loaded = Catalog.load(dir) // parses ⇒ never torn
+    assert(loaded.size == 1 && loaded.head.name == "hot")
+    assert(paths.contains(loaded.head.path)) // one of the writes, atomically
+  }
+
+  test("drop removes the name only; reset empties; both are metadata-only") {
+    val dir = tmpDir()
+    Catalog.register(dir, Seq(
+      Catalog.Entry("keep", "parquet", "/data/keep", Nil),
+      Catalog.Entry("gone", "csv", "/data/gone", Nil)))
+    assert(Catalog.drop(dir, "gone"))
+    assert(!Catalog.drop(dir, "gone")) // second drop: already absent
+    assert(!Catalog.drop(dir, "never_existed"))
+    assert(Catalog.load(dir).map(_.name) == Seq("keep"))
+    Catalog.reset(dir)
+    assert(Catalog.load(dir).isEmpty)
+  }
+
   test("load on a missing catalog is empty, not an error") {
     assert(Catalog.load(tmpDir() + "/nope").isEmpty)
   }

@@ -285,6 +285,23 @@ class StreamingSpec extends SparkSuite {
       finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
 
+  /** r11 VERDICT #7: the provider CONF alone can lie — a query that
+    * silently fell back to the HDFS-backed memory provider still passes
+    * every semantic assertion. The RUNNING query's state operator must
+    * report RocksDB-specific custom metrics (rocksdbCommitLatency etc.),
+    * which only the RocksDB provider emits. Call while the query is
+    * still started (progress is per-query, not per-session). */
+  private def assertRocksDBEngaged(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    import scala.jdk.CollectionConverters._
+    val metricKeys = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .flatMap(so => so.customMetrics.keySet().asScala)
+      .distinct
+    assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+      s"state store did NOT engage RocksDB (silent provider fallback) — " +
+      s"custom metrics seen: ${metricKeys.sorted.mkString(", ")}")
+  }
+
   sessionizers.foreach { case (tag, sessionize, rocks) =>
     test(s"st_sessionize_state[$tag]: stateful sessions == batch sessions") {
       withRocksDB(rocks) {
@@ -300,6 +317,7 @@ class StreamingSpec extends SparkSuite {
           evs.grouped(100).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
           ms.addData(Seq(sentinel)); q.processAllAvailable()
           ms.addData(Nil); q.processAllAvailable()
+          if (rocks) assertRocksDBEngaged(q)
         } finally q.stop()
         val out = spark.table(s"t_sess_$tag").filter(col("user_id") =!= -1L)
         // Batch truth: the lag/cumsum sessionization over the same rows.
@@ -321,6 +339,7 @@ class StreamingSpec extends SparkSuite {
         .outputMode(OutputMode.Update()).start()
       try {
         evs.grouped(150).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+        assertRocksDBEngaged(q)
       } finally q.stop()
     }
     // Last emission per user = final running totals.
@@ -581,6 +600,7 @@ class StreamingSpec extends SparkSuite {
         .outputMode(OutputMode.Update()).start()
       try {
         evs.grouped(150).foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+        assertRocksDBEngaged(q)
       } finally q.stop()
     }
     // Last emission per (user, type) = final counter value.
