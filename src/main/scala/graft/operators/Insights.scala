@@ -29,12 +29,24 @@ object Insights {
     * the ground truth fn_jaro_snm measures its recall against. Exact,
     * therefore Σ block² (adjudicated in BASELINE §r8-sf1); callers must
     * have run Custom.register. */
-  private def jaroExactTop(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** Exact-quadratic JW top-100 (ground truth). `excludeEqual = true`
+    * restricts to genuinely NEAR pairs (name_a ≠ name_b): under ScaleGen
+    * replication names copy verbatim, so at sf10 every name has ~100
+    * exact copies and the unrestricted top-100 saturates with ONE
+    * clique's id-ordered jw = 1.0 pairs — a tie artifact that measures
+    * the id tiebreaker, not the matcher (see the sf10 recall
+    * adjudication in BASELINE.md). Production removes exact duplicates
+    * BEFORE fuzzy matching (llm_dedup_exact / the llm_ingest_e2e funnel
+    * stage 1); the near-restricted variant is the recall ground truth
+    * for what SNM exists to find. */
+  private[graft] def jaroExactTop(s: org.apache.spark.sql.SparkSession,
+                                  dir: String,
+                                  excludeEqual: Boolean = false) = {
     graft.functions.Custom.register(s)
     val c = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
               col("c_nationkey"))
-    c.as("a").join(c.as("b"),
+    val scored = c.as("a").join(c.as("b"),
         col("a.c_mktsegment") === col("b.c_mktsegment") &&
           col("a.c_nationkey") === col("b.c_nationkey") &&
           col("a.c_custkey") < col("b.c_custkey"))
@@ -42,7 +54,27 @@ object Insights {
               col("a.c_name").as("name_a"), col("b.c_name").as("name_b"))
       .withColumn("jw", round(expr("jaro_winkler(name_a, name_b)"), 6))
       .filter(col("jw") >= 0.93)
+    (if (excludeEqual) scored.filter(col("name_a") =!= col("name_b"))
+     else scored)
       .select(col("id_a"), col("id_b"), col("jw"))
+      .orderBy(col("jw").desc, col("id_a"), col("id_b"))
+      .limit(100)
+  }
+
+  /** The declared fn_jaro_snm plan, factored so ScaleRecall can measure
+    * both the raw and the near-restricted recall (same flag semantics as
+    * [[jaroExactTop]]). */
+  private[graft] def snmTop(s: org.apache.spark.sql.SparkSession,
+                            dir: String,
+                            excludeEqual: Boolean = false) = {
+    graft.functions.Custom.register(s)
+    val scored = snmCandidates(Tables.customer(s, dir), SNM_W)
+      .withColumn("jw", round(expr("jaro_winkler(name_a, name_b)"), 6))
+      .filter(col("jw") >= 0.93)
+    (if (excludeEqual) scored.filter(col("name_a") =!= col("name_b"))
+     else scored)
+      .select(col("id_a"), col("id_b"), col("jw"))
+      .distinct() // a pair can surface in both passes
       .orderBy(col("jw").desc, col("id_a"), col("id_b"))
       .limit(100)
   }
@@ -790,16 +822,7 @@ object Insights {
     // cost model this key exists to escape (a first draft measured
     // e = 1.12 / 44.7 s at sf1 for exactly that reason).
     "fn_jaro_snm" -> Q(
-      (s, dir) => {
-        graft.functions.Custom.register(s)
-        snmCandidates(Tables.customer(s, dir), SNM_W)
-          .withColumn("jw", round(expr("jaro_winkler(name_a, name_b)"), 6))
-          .filter(col("jw") >= 0.93)
-          .select(col("id_a"), col("id_b"), col("jw"))
-          .distinct() // a pair can surface in both passes
-          .orderBy(col("jw").desc, col("id_a"), col("id_b"))
-          .limit(100)
-      },
+      (s, dir) => snmTop(s, dir),
       Some("""WITH c AS (SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
                                 reverse(c_name) AS rname
                          FROM customer),
