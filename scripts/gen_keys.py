@@ -149,7 +149,12 @@ def main():
         ' Jaro-Winkler inside schema-fixed blocks is inherently quadratic'
         ' (BASELINE r8-sf1 adjudication: no lossless JW>=0.93 prefilter'
         ' exists for these names); kept as the kernel + recall ground'
-        ' truth for fn_jaro_snm (e=0.37, recall 1.0 vs exact top-100)"}',
+        ' truth for fn_jaro_snm (e=0.37 at sf1, e=0.13 at sf10; recall is'
+        ' W-SLA-tunable and MEASURED, not assumed — graft.ScaleRecall'
+        ' w_curve, BASELINE fn_jaro_snm measured recall r12: W=10 0.62,'
+        ' 25 0.77, 50 0.90, 100 1.00 top-100 on the exact-name-deduped'
+        ' corpus; the earlier recall-1.0-at-sf1 claim was tie-saturated'
+        ' by ScaleGen verbatim name copies and is superseded)"}',
         "```",
         "",
         "## Streaming surfaces (SURVEY §2i — batch-equivalence ScalaTest,",
