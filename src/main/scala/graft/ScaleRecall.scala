@@ -5,9 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Measured-recall harness for the approximate record-linkage plan:
   * the EXACT quadratic JW join is the ground truth (a measurement tool,
-  * so re-importing its Σ block² cost once is the point, not a defect),
-  * persisted ONCE and read by every view below — at sf10 the exact join
-  * is ~23 min, so each additional view must not re-execute it.
+  * so paying its Σ block² cost is the point, not a defect). The scored
+  * stream is deliberately NOT persisted — at replicated scales it fits
+  * no store (the r12 disk-full finding: 63% of within-block pairs clear
+  * JW 0.93 on TPC-H's self-similar names) — so each view below is its
+  * own streaming pass over the join (TakeOrdered for the tops,
+  * executor-side distinct for the name sets): ~3× the scoring cost at
+  * sf1 (~57 s extra), bounded memory at every sf. `--dedup-only` skips
+  * the quadratic views entirely where even streaming them is
+  * prohibitive (sf10: ~5.7B scored pairs).
   *
   * Four recalls, because under ScaleGen replication they answer
   * different questions (BASELINE.md "fn_jaro_snm measured recall at

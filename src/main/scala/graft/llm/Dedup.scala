@@ -932,18 +932,15 @@ object Dedup {
                ORDER BY doc_id"""))
   )
 
-  /** The CDC chunk stream (doc_id, chunk): rolling 2-gram-hash
-    * boundaries (hash ≡ 0 mod 32), one in-row array program per
-    * document — shared by llm_cdc_chunks / llm_cdc_ratio. */
-  /** The CDC chunk ARRAY per document (doc_id, chunks) — the un-exploded
-    * form [[cdcChunkStream]] rides, factored out so the ingest pipeline's
-    * one-scan featurization ([[ingestFeatPath]]) can materialize it
-    * alongside the exact hash and shingles in a single projection. */
-  /** Adds the CDC columns to a frame holding a materialized `toks`
-    * column: `hs`/`sp` as their own columns (each evaluated once per
-    * row — inlining them into [[cdcChunksFromSp]] would run the tid60
-    * gram-hash program twice per row), then the chunk array. Shared by
-    * [[cdcChunkStream]] and the ingest featurization. */
+  /** Adds the CDC chunk-ARRAY column (`chunks`) to a frame holding a
+    * materialized `toks` column: rolling 2-gram-hash boundaries
+    * (hash ≡ 0 mod 32), with `hs`/`sp` as their own columns so each is
+    * evaluated once per row (inlining would run the tid60 gram-hash
+    * program twice per row). One in-row array program per document —
+    * shared by [[cdcChunkStream]] (the exploded per-chunk form) and the
+    * ingest pipeline's one-scan featurization ([[ingestFeatPath]]),
+    * which materializes the array alongside the exact hash and shingles
+    * in a single projection. */
   private def withCdcChunks(df: org.apache.spark.sql.DataFrame) =
     df.withColumn("hs", expr(
         """zip_with(slice(toks, 1, size(toks) - 1),
@@ -957,6 +954,8 @@ object Dedup {
                     concat(sp, array(size(toks))),
                     (a, b) -> array_join(slice(toks, a + 1, b - a), ' '))"""))
 
+  /** The CDC chunk stream (doc_id, chunk) — [[withCdcChunks]] exploded
+    * per chunk; shared by llm_cdc_chunks / llm_cdc_ratio. */
   private def cdcChunkStream(s: org.apache.spark.sql.SparkSession,
                              dir: String): org.apache.spark.sql.DataFrame = {
     graft.functions.Custom.register(s) // tid60 kernel

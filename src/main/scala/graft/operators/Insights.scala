@@ -24,25 +24,14 @@ object Insights {
     * in r6 so the co-supply edge builders in Analytics reuse it). */
   private def pairsE(arr: String) = H.pairsE(arr)
 
-  /** Exact all-pairs jaro_winkler ≥ 0.93 top-100 within
-    * (mktsegment, nationkey) blocks — the declared fn_jaro result AND
-    * the ground truth fn_jaro_snm measures its recall against. Exact,
-    * therefore Σ block² (adjudicated in BASELINE §r8-sf1); callers must
-    * have run Custom.register. */
-  /** Exact-quadratic JW top-100 (ground truth). `excludeEqual = true`
-    * restricts to genuinely NEAR pairs (name_a ≠ name_b): under ScaleGen
-    * replication names copy verbatim, so at sf10 every name has ~100
-    * exact copies and the unrestricted top-100 saturates with ONE
-    * clique's id-ordered jw = 1.0 pairs — a tie artifact that measures
-    * the id tiebreaker, not the matcher (see the sf10 recall
-    * adjudication in BASELINE.md). Production removes exact duplicates
-    * BEFORE fuzzy matching (llm_dedup_exact / the llm_ingest_e2e funnel
-    * stage 1); the near-restricted variant is the recall ground truth
-    * for what SNM exists to find. */
   /** Exact-quadratic scored pairs (id_a, id_b, name_a, name_b, jw ≥ 0.93)
-    * over an arbitrary (c_custkey, c_name, c_mktsegment, c_nationkey)
-    * corpus — the ground-truth stream ScaleRecall persists ONCE and
-    * derives every recall view from. */
+    * within (mktsegment, nationkey) blocks over an arbitrary
+    * (c_custkey, c_name, c_mktsegment, c_nationkey) corpus — the
+    * declared fn_jaro substrate AND the ground-truth stream ScaleRecall
+    * derives every recall view from (each view is its own streaming
+    * pass; the stream is never persisted — r12 disk-full finding).
+    * Exact, therefore Σ block² (adjudicated in BASELINE §r8-sf1);
+    * callers must have run Custom.register. */
   private[graft] def jaroScoredOf(corpus: org.apache.spark.sql.DataFrame) = {
     val c = corpus.select(col("c_custkey"), col("c_name"),
                           col("c_mktsegment"), col("c_nationkey"))
@@ -66,10 +55,15 @@ object Insights {
       .filter(col("jw") >= 0.93)
 
   /** Top-100 under the declared (jw desc, id_a, id_b) total order.
-    * `excludeEqual` restricts to genuinely NEAR pairs (name_a ≠ name_b)
-    * — under ScaleGen replication names copy verbatim, so the
-    * unrestricted top-100 saturates with exact-duplicate cliques' id-
-    * ordered jw = 1.0 pairs (see BASELINE.md's sf10 recall adjudication). */
+    * `excludeEqual = true` restricts to genuinely NEAR pairs
+    * (name_a ≠ name_b): under ScaleGen replication names copy VERBATIM,
+    * so at sf10 every name has ~100 exact copies and the unrestricted
+    * top-100 saturates with ONE clique's id-ordered jw = 1.0 pairs — a
+    * tie artifact that measures the id tiebreaker, not the matcher (see
+    * BASELINE.md's sf10 recall adjudication). Production removes exact
+    * duplicates BEFORE fuzzy matching (the llm_ingest_e2e funnel stage
+    * 1); the near-restricted variant is the recall ground truth for
+    * what SNM exists to find. */
   private[graft] def topPairs(scored: org.apache.spark.sql.DataFrame,
                               excludeEqual: Boolean = false) =
     (if (excludeEqual) scored.filter(col("name_a") =!= col("name_b"))
@@ -85,6 +79,11 @@ object Insights {
     topPairs(jaroScoredOf(Tables.customer(s, dir)))
   }
 
+  /** The declared fn_jaro_snm window. One definition shared with the
+    * adversarial recall spec, so a silent production change to W moves
+    * the measured recall the spec pins. */
+  private[graft] val SNM_W = 10
+
   /** Multi-pass sorted-neighborhood CANDIDATE pairs (Hernández–Stolfo)
     * over a (c_custkey, c_name, c_mktsegment, c_nationkey) corpus:
     * within each (mktsegment, nationkey) block, sort once by c_name and
@@ -95,11 +94,6 @@ object Insights {
     * fn_jaro_snm uses on a middle-edit corpus and at shrunken windows.
     * Returns (id_a, id_b, name_a, name_b), duplicates across passes
     * retained (callers distinct after scoring). */
-  /** The declared fn_jaro_snm window. One definition shared with the
-    * adversarial recall spec, so a silent production change to W moves
-    * the measured recall the spec pins. */
-  private[graft] val SNM_W = 10
-
   private[graft] def snmCandidates(corpus: org.apache.spark.sql.DataFrame,
                                    W: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

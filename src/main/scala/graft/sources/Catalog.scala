@@ -72,16 +72,21 @@ object Catalog {
         dir.resolve(".catalog.lock"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.WRITE)
-      val lk = ch.lock()
+      // ch.lock() can itself throw (read-only/full filesystem): the channel
+      // must close on THAT path too, so lock acquisition sits inside the
+      // outer try whose finally owns the channel.
       try {
-        val next = f(load(catalogDir)).sortBy(_.name)
-        val tmp = dir.resolve(s".tables-${java.util.UUID.randomUUID}.tmp")
-        java.nio.file.Files.writeString(tmp,
-          next.map(render).mkString("", "\n", "\n"))
-        java.nio.file.Files.move(tmp, file(catalogDir),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally { lk.release(); ch.close() }
+        val lk = ch.lock()
+        try {
+          val next = f(load(catalogDir)).sortBy(_.name)
+          val tmp = dir.resolve(s".tables-${java.util.UUID.randomUUID}.tmp")
+          java.nio.file.Files.writeString(tmp,
+            next.map(render).mkString("", "\n", "\n"))
+          java.nio.file.Files.move(tmp, file(catalogDir),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally lk.release()
+      } finally ch.close()
     }
 
   /** Register (or REPLACE — last writer wins per name) table definitions.
