@@ -887,6 +887,62 @@ object Insights {
               SELECT id_a, id_b, jw FROM top
               ORDER BY jw DESC, id_a, id_b""")),
 
+    // The recall-SLA sibling (r12 VERDICT #1): SAME dedup-first SNM
+    // kernel, W = 50 — the measured ≥ 0.9 point on the W-curve
+    // (ScaleRecall: W=10/25/50/100 → 0.62/0.77/0.90/1.00, replication-
+    // invariant across sf0.1/sf1/sf10). Cost stays linear (rows × 2W
+    // comparisons; 5× fn_jaro_snm's candidate count, still nowhere near
+    // the exact plan's Σ block²). fn_jaro_snm (W=10) remains declared as
+    // the cheap point on the same curve — production picks W from the
+    // recall SLA, and this key IS the ≥0.9-SLA pick.
+    "fn_jaro_snm_w50" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val reps = Tables.customer(s, dir)
+          .groupBy(col("c_mktsegment"), col("c_nationkey"), col("c_name"))
+          .agg(min(col("c_custkey")).as("c_custkey"))
+        topPairs(snmScoredOf(reps, 50))
+      },
+      Some("""WITH c0 AS (SELECT c_mktsegment, c_nationkey, c_name,
+                                 MIN(c_custkey) AS c_custkey
+                          FROM customer GROUP BY 1, 2, 3),
+                   c AS (SELECT c_custkey, c_name, c_mktsegment, c_nationkey,
+                                reverse(c_name) AS rname
+                         FROM c0),
+                   p1 AS (SELECT c_mktsegment, c_nationkey, c_custkey, c_name,
+                                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment, c_nationkey
+                                                    ORDER BY c_name, c_custkey) AS rn
+                          FROM c),
+                   p2 AS (SELECT c_mktsegment, c_nationkey, c_custkey, c_name,
+                                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment, c_nationkey
+                                                    ORDER BY rname, c_custkey) AS rn
+                          FROM c),
+                   ks AS (SELECT unnest(generate_series(1, 50)) AS k),
+                   cand AS (
+                     SELECT LEAST(a.c_custkey, b.c_custkey) AS id_a,
+                            GREATEST(a.c_custkey, b.c_custkey) AS id_b,
+                            a.c_name AS name_a, b.c_name AS name_b
+                     FROM p1 a CROSS JOIN ks JOIN p1 b
+                       ON a.c_mktsegment = b.c_mktsegment
+                      AND a.c_nationkey = b.c_nationkey
+                      AND b.rn = a.rn + ks.k
+                     UNION ALL
+                     SELECT LEAST(a.c_custkey, b.c_custkey),
+                            GREATEST(a.c_custkey, b.c_custkey),
+                            a.c_name, b.c_name
+                     FROM p2 a CROSS JOIN ks JOIN p2 b
+                       ON a.c_mktsegment = b.c_mktsegment
+                      AND a.c_nationkey = b.c_nationkey
+                      AND b.rn = a.rn + ks.k),
+                   top AS (
+                     SELECT DISTINCT id_a, id_b,
+                            round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+                     FROM cand
+                     WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.93
+                     ORDER BY jw DESC, id_a, id_b LIMIT 100)
+              SELECT id_a, id_b, jw FROM top
+              ORDER BY jw DESC, id_a, id_b""")),
+
     // Audience overlap: distinct users per event-type pair, WITHOUT a
     // user-level self-join — the corpus reduces to one row per user
     // (set of types they emitted), pairs explode in-row (≤ C(5,2) per

@@ -33,8 +33,18 @@ object Catalog {
   case class Entry(name: String, format: String, path: String,
                    partitionCols: Seq[String])
 
+  /** One versioned-history line: the binding `entry` took effect at
+    * catalog `version` / wall-clock `ts` (`op` = "put"), or the name was
+    * dropped at that version (`op` = "drop", entry carries the name
+    * only). `ts` is ISO-8601 UTC — informational for timestamp-based
+    * as-of; the version number is the deterministic handle. */
+  case class Binding(version: Long, ts: String, op: String, entry: Entry)
+
   private def file(catalogDir: String) =
     java.nio.file.Paths.get(catalogDir, "tables.jsonl")
+
+  private def histFile(catalogDir: String) =
+    java.nio.file.Paths.get(catalogDir, "history.jsonl")
 
   private def esc(s: String): String =
     s.flatMap {
@@ -78,7 +88,37 @@ object Catalog {
       try {
         val lk = ch.lock()
         try {
-          val next = f(load(catalogDir)).sortBy(_.name)
+          val cur = load(catalogDir)
+          val next = f(cur).sortBy(_.name)
+          // Versioned history (r12 VERDICT #6 — time-travel reads): every
+          // effective change appends put/drop lines at version = max + 1
+          // BEFORE the current-state file is published, under the same
+          // lock, so a version visible in tables.jsonl always exists in
+          // history. No-op mutations burn no version.
+          val curBy = cur.map(e => e.name -> e).toMap
+          val nextBy = next.map(e => e.name -> e).toMap
+          val puts = next.filterNot(e => curBy.get(e.name).contains(e))
+          val drops = cur.map(_.name).filterNot(nextBy.contains).sorted
+          if (puts.nonEmpty || drops.nonEmpty) {
+            val hist = loadHistory(catalogDir)
+            val v = hist.lastOption.map(_.version).getOrElse(0L) + 1
+            // fixed-width millis (Instant.toString drops trailing zeros,
+            // which breaks the lexicographic = chronological invariant
+            // asOfTimestamp's string compare relies on)
+            val ts = java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+              .withZone(java.time.ZoneOffset.UTC)
+              .format(java.time.Instant.now())
+            val appended = hist ++
+              puts.map(e => Binding(v, ts, "put", e)) ++
+              drops.map(n => Binding(v, ts, "drop", Entry(n, "", "", Nil)))
+            val htmp = dir.resolve(s".history-${java.util.UUID.randomUUID}.tmp")
+            java.nio.file.Files.writeString(htmp,
+              appended.map(renderHist).mkString("", "\n", "\n"))
+            java.nio.file.Files.move(htmp, histFile(catalogDir),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
           val tmp = dir.resolve(s".tables-${java.util.UUID.randomUUID}.tmp")
           java.nio.file.Files.writeString(tmp,
             next.map(render).mkString("", "\n", "\n"))
@@ -132,6 +172,86 @@ object Catalog {
 
   private def unesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  // ---- versioned history / time-travel (r12 VERDICT #6) ----------------
+  // history.jsonl is the append-only binding log (rewritten whole under
+  // the writer lock + atomic rename — same torn-read guarantee as
+  // tables.jsonl; O(#versions × changed names), metadata only). A reader
+  // replays bindings ≤ V to reconstruct the catalog as-of any version —
+  // the Delta/Iceberg snapshot-log shape at one-file scale. At 100 TB the
+  // log still costs nothing: data files never move through it, and an
+  // as-of read plans exactly like a current read once the path resolves.
+
+  private def renderHist(b: Binding): String =
+    if (b.op == "drop")
+      s"""{"v":${b.version},"ts":"${esc(b.ts)}","op":"drop","name":"${esc(b.entry.name)}"}"""
+    else
+      s"""{"v":${b.version},"ts":"${esc(b.ts)}","op":"put","name":"${esc(b.entry.name)}","format":"${esc(b.entry.format)}","path":"${esc(b.entry.path)}","partition_cols":[${b.entry.partitionCols.map(c => "\"" + esc(c) + "\"").mkString(",")}]}"""
+
+  /** The full binding log, version-ordered (empty when the catalog has
+    * no history yet — catalogs written before r13 keep working; their
+    * history starts at the first post-upgrade mutation). */
+  def loadHistory(catalogDir: String): Seq[Binding] = {
+    val f = histFile(catalogDir)
+    if (!java.nio.file.Files.isRegularFile(f)) return Seq.empty
+    val PutP = """\{"v":(\d+),"ts":"(.*?)","op":"put","name":"(.*?)","format":"(.*?)","path":"(.*?)","partition_cols":\[(.*?)\]\}""".r
+    val DropP = """\{"v":(\d+),"ts":"(.*?)","op":"drop","name":"(.*?)"\}""".r
+    scala.io.Source.fromFile(f.toFile, "UTF-8").getLines().toSeq.collect {
+      case PutP(v, ts, n, fmt, p, cols) =>
+        val pc = if (cols.isEmpty) Seq.empty[String]
+                 else cols.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+        Binding(v.toLong, unesc(ts), "put",
+                Entry(unesc(n), unesc(fmt), unesc(p), pc.map(unesc)))
+      case DropP(v, ts, n) =>
+        Binding(v.toLong, unesc(ts), "drop", Entry(unesc(n), "", "", Nil))
+    }
+  }
+
+  /** Latest catalog version (0 = never mutated). */
+  def currentVersion(catalogDir: String): Long =
+    loadHistory(catalogDir).lastOption.map(_.version).getOrElse(0L)
+
+  /** The catalog AS OF `version`: replay bindings ≤ version, last write
+    * per name wins, drops tombstone. version ≥ current returns the
+    * current state; version 0 is empty. */
+  def asOf(catalogDir: String, version: Long): Seq[Entry] = {
+    val state = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+    loadHistory(catalogDir).foreach { b =>
+      if (b.version <= version) {
+        if (b.op == "put") state(b.entry.name) = b.entry
+        else state.remove(b.entry.name)
+      }
+    }
+    state.values.toSeq.sortBy(_.name)
+  }
+
+  /** The catalog AS OF a wall-clock instant: the highest version whose
+    * ts ≤ `ts` (ISO-8601 ts compare is chronological). Before the first
+    * version → empty catalog. */
+  def asOfTimestamp(catalogDir: String, ts: String): Seq[Entry] = {
+    val upTo = loadHistory(catalogDir).filter(_.ts <= ts)
+      .lastOption.map(_.version).getOrElse(0L)
+    asOf(catalogDir, upTo)
+  }
+
+  /** Resolve a name to a DataFrame as-of a catalog version. */
+  def openAsOf(s: SparkSession, catalogDir: String, name: String,
+               version: Long): DataFrame = {
+    val e = asOf(catalogDir, version).find(_.name == name).getOrElse(
+      throw new NoSuchElementException(
+        s"catalog $catalogDir has no table '$name' as of v$version"))
+    graft.Tables.configure(s)
+    s.read.format(e.format).load(e.path)
+  }
+
+  /** Remove the catalog AND its history — fixture-rerun hygiene for the
+    * time-travel key, whose version numbers must start from 1 on every
+    * run ([[reset]] keeps history: resetting is itself a versioned drop
+    * of every binding, which is the correct production semantic). */
+  def resetAll(catalogDir: String): Unit = writerLock.synchronized {
+    java.nio.file.Files.deleteIfExists(file(catalogDir))
+    java.nio.file.Files.deleteIfExists(histFile(catalogDir))
+  }
 
   /** Resolve a name to a DataFrame in ANY session — the catalog, not the
     * caller, knows the path and format. */

@@ -34,6 +34,7 @@ object Scans {
   val catalogReplacePath = s"$fixDir/catalog_meta_replace"
   val catalogListPath = s"$fixDir/catalog_meta_list"
   val catalogListTsvPath = s"$fixDir/catalog_list.tsv"
+  val catalogAsofPath = s"$fixDir/catalog_meta_asof"
   val avroDirPath = s"$fixDir/nation_avro"
   val avroTsvPath = s"$fixDir/nation_avro.tsv"
   val xmlDirPath = s"$fixDir/nation_xml"
@@ -260,6 +261,57 @@ object Scans {
                                       'rel_path': 'VARCHAR',
                                       'partition_cols': 'VARCHAR'})
                ORDER BY name""")),
+
+    // Catalog TIME-TRAVEL read (r12 VERDICT #6 — the last registry-shape
+    // pattern): every mutation appends versioned put/drop bindings to an
+    // append-only history log (history.jsonl, same lock + atomic-rename
+    // discipline as tables.jsonl), and `asOf(v)` replays bindings ≤ v —
+    // the Delta/Iceberg snapshot-log shape at one-file scale. The query
+    // drives register → replace(+new name) → drop from a CLEAN history
+    // (resetAll, so versions start at 1 deterministically), then reads
+    // EVERY version's resolved state: name + row count + min of each
+    // table's name column, all through openAsOf. The oracle spells the
+    // expected (version, name, source-table) state machine as literals
+    // and derives counts from the real tables, so a replay that resolves
+    // v1 to the latest binding, misses the v3 tombstone, or burns a
+    // version on a no-op breaks the hash. Metadata-only at any scale:
+    // the log is O(#versions × changed names); an as-of read plans
+    // exactly like a current read once the path resolves.
+    "src_catalog_asof" -> Q(
+      (s, dir) => {
+        Catalog.resetAll(catalogAsofPath)
+        Catalog.register(catalogAsofPath, Seq( // v1
+          Catalog.Entry("cat_tt", "parquet", s"$dir/nation.parquet", Nil)))
+        Catalog.register(catalogAsofPath, Seq( // v2: replace + a new name
+          Catalog.Entry("cat_tt", "parquet", s"$dir/region.parquet", Nil),
+          Catalog.Entry("cat_aux", "parquet", s"$dir/nation.parquet", Nil)))
+        Catalog.drop(catalogAsofPath, "cat_tt") // v3: tombstone
+        val states = (1L to Catalog.currentVersion(catalogAsofPath))
+          .flatMap { v =>
+            Catalog.asOf(catalogAsofPath, v).map(e => (v, e.name))
+          } // ≤ #versions × #names driver-side METADATA rows, never data
+        states.map { case (v, name) =>
+          val df = Catalog.openAsOf(s, catalogAsofPath, name, v)
+          df.agg(count(lit(1)).as("n_rows"),
+                 min(col(df.columns(1))).as("first_name"))
+            .select(lit(v.toInt).as("version"), lit(name).as("name"),
+                    col("n_rows"), col("first_name"))
+        }.reduce(_ unionAll _).orderBy(col("version"), col("name"))
+      },
+      Some("""WITH states AS (
+                SELECT * FROM (VALUES (1, 'cat_tt', 'nation'),
+                                      (2, 'cat_aux', 'nation'),
+                                      (2, 'cat_tt', 'region'),
+                                      (3, 'cat_aux', 'nation'))
+                       AS t(version, name, src)),
+                   srcs AS (
+                SELECT 'nation' AS src, count(*) AS n_rows,
+                       min(n_name) AS first_name FROM nation
+                UNION ALL
+                SELECT 'region', count(*), min(r_name) FROM region)
+              SELECT s.version, s.name, c.n_rows, c.first_name
+              FROM states s JOIN srcs c ON s.src = c.src
+              ORDER BY s.version, s.name""")),
 
     // Excel DATE cells + a second worksheet — the two highest-frequency
     // real-workbook features the raw-string sheet1 contract of src_xlsx
