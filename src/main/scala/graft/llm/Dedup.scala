@@ -831,48 +831,7 @@ object Dedup {
         val F = s.read.parquet(ingestFeatPath(s, dir))
         val inc = F.filter(col("doc_id") % 2 =!= 0)
         val stand = F.filter(col("doc_id") % 2 === 0)
-        val standH = stand.select(col("h").as("h_old")).distinct()
-        val WORDS = 4231L // m = 4231*62 bits — the llm_dedup_bloom geometry
-        def wordMask(df: org.apache.spark.sql.DataFrame) = df
-          .select(col("doc_id"), col("tok"),
-                  explode(expr(s"""transform(sequence(0, 3), k ->
-                    tid60(concat(tok, '#', CAST(k AS STRING))) % ${WORDS * 62}L)"""))
-                    .as("idx"))
-          .select(col("doc_id"), col("tok"),
-                  expr("idx div 62").as("word"),
-                  expr("shiftleft(1L, CAST(idx % 62 AS INT))").as("mask"))
-        val bloom = wordMask(stand.select(col("doc_id"), explode(col("sh")).as("tok")))
-          .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
-        val maybe = wordMask(inc.select(col("doc_id"), explode(col("sh")).as("tok")))
-          .join(broadcast(bloom), Seq("word"), "left")
-          .groupBy(col("doc_id"), col("tok"))
-          .agg(min(when(expr("bits is not null and (bits & mask) = mask"),
-                        1).otherwise(0)).as("hit"))
-          .groupBy(col("doc_id")).agg(sum(col("hit")).cast("long").as("n_maybe"))
-        val standC = stand.select(explode(col("chunks")).as("chunk"))
-          .select(md5(col("chunk")).as("ch_old")).distinct()
-        val cdc = inc.select(col("doc_id"), explode(col("chunks")).as("chunk"))
-          .withColumn("ch", md5(col("chunk")))
-          .join(broadcast(standC), col("ch") === col("ch_old"), "left")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_chunks"),
-               sum(when(col("ch_old").isNotNull, 1L).otherwise(0L)).as("n_shared"))
-        inc.select(col("doc_id"), col("h"), size(col("sh")).cast("long").as("n_sh"))
-          .join(broadcast(standH), col("h") === col("h_old"), "left")
-          .join(maybe, Seq("doc_id"), "left")
-          .join(cdc, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_sh"),
-                  coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
-                  coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
-                  coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-                  when(col("h_old").isNotNull, "exact_dup")
-                    .when(coalesce(col("n_maybe"), lit(0L)) === 0, "novel_fastpath")
-                    .when(coalesce(col("n_shared"), lit(0L)) * 2 >=
-                          coalesce(col("n_chunks"), lit(0L)), "cdc_dup")
-                    .otherwise("admitted").as("verdict"))
-          .withColumn("admitted",
-                      col("verdict").isin("novel_fastpath", "admitted"))
-          .orderBy(col("doc_id"))
+        ingestVerdicts(inc, standingIndexOf(stand)).orderBy(col("doc_id"))
       },
       Some(s"""WITH $duckCdcCtes,
                     s AS (SELECT doc_id, $duckShingles AS sh FROM documents),
@@ -963,6 +922,95 @@ object Dedup {
       .select(col("doc_id"), explode(col("chunks")).as("chunk"))
   }
 
+  // ---- ingest funnel core (shared batch/stream since r13) --------------
+  // The r12 VERDICT #4 stream-side funnel runs the SAME verdict logic the
+  // declared llm_ingest_e2e key runs, per micro-batch, against standing
+  // structures built ONCE — so the funnel body is factored out of the key
+  // into [[standingIndexOf]] + [[ingestVerdicts]] (and featurization into
+  // [[featurize]]). Batch-equivalence is pinned in StreamingSpec: the
+  // verdict of a doc depends only on its OWN features + the standing
+  // index, so micro-batch boundaries cannot change the answer.
+
+  /** Per-doc funnel features off raw documents rows: exact-dup hash `h`,
+    * 3-shingle array `sh`, CDC chunk array `chunks` — ONE projection,
+    * one text scan (the batch path materializes it via
+    * [[ingestFeatPath]]; the stream path runs it per micro-batch).
+    * Callers must have run Custom.register (tid60/shingles3). */
+  private[graft] def featurize(docs: org.apache.spark.sql.DataFrame) =
+    withCdcChunks(docs.withColumn("toks", expr(toksE)))
+      .select(col("doc_id"),
+              sha2(expr("substr(lower(trim(text)), 1, 40)"), 256).as("h"),
+              expr("shingles3(toks)").as("sh"),
+              col("chunks"))
+
+  /** The standing corpus's probe structures — all broadcast-sized or
+    * key-only at any corpus size (hash SET, ≤[[BloomWords]]-word bloom,
+    * chunk-hash SET): built once per standing snapshot and reused by
+    * every batch/micro-batch that probes it. */
+  private[graft] case class StandingIndex(
+    standH: org.apache.spark.sql.DataFrame,
+    bloom: org.apache.spark.sql.DataFrame,
+    standC: org.apache.spark.sql.DataFrame)
+
+  private[graft] val BloomWords = 4231L // m = 4231*62 bits — llm_dedup_bloom geometry
+
+  /** (doc_id, tok) → 4 bloom bit positions as (word, mask) — identical
+    * arithmetic on the build and probe sides by construction. */
+  private def wordMask(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("doc_id"), col("tok"),
+            explode(expr(s"""transform(sequence(0, 3), k ->
+              tid60(concat(tok, '#', CAST(k AS STRING))) % ${BloomWords * 62}L)"""))
+              .as("idx"))
+    .select(col("doc_id"), col("tok"),
+            expr("idx div 62").as("word"),
+            expr("shiftleft(1L, CAST(idx % 62 AS INT))").as("mask"))
+
+  /** Build the standing index off featurized rows (doc_id, h, sh, chunks). */
+  private[graft] def standingIndexOf(stand: org.apache.spark.sql.DataFrame): StandingIndex =
+    StandingIndex(
+      standH = stand.select(col("h").as("h_old")).distinct(),
+      bloom = wordMask(stand.select(col("doc_id"), explode(col("sh")).as("tok")))
+        .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits")),
+      standC = stand.select(explode(col("chunks")).as("chunk"))
+        .select(md5(col("chunk")).as("ch_old")).distinct())
+
+  /** The funnel verdict per incoming featurized doc: exact-hash reject →
+    * bloom pre-screen (n_maybe = 0 → novel fastpath) → CDC chunk-overlap
+    * majority → admitted. Every join is broadcast-left on the standing
+    * side; the incoming side never shuffles its text. Row-local w.r.t.
+    * the incoming doc (verdict = f(own features, standing index)), which
+    * is what makes the stream-side per-micro-batch run batch-equivalent. */
+  private[graft] def ingestVerdicts(inc: org.apache.spark.sql.DataFrame,
+                                    idx: StandingIndex): org.apache.spark.sql.DataFrame = {
+    val maybe = wordMask(inc.select(col("doc_id"), explode(col("sh")).as("tok")))
+      .join(broadcast(idx.bloom), Seq("word"), "left")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(min(when(expr("bits is not null and (bits & mask) = mask"),
+                    1).otherwise(0)).as("hit"))
+      .groupBy(col("doc_id")).agg(sum(col("hit")).cast("long").as("n_maybe"))
+    val cdc = inc.select(col("doc_id"), explode(col("chunks")).as("chunk"))
+      .withColumn("ch", md5(col("chunk")))
+      .join(broadcast(idx.standC), col("ch") === col("ch_old"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when(col("ch_old").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+    inc.select(col("doc_id"), col("h"), size(col("sh")).cast("long").as("n_sh"))
+      .join(broadcast(idx.standH), col("h") === col("h_old"), "left")
+      .join(maybe, Seq("doc_id"), "left")
+      .join(cdc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+              coalesce(col("n_maybe"), lit(0L)).as("n_maybe"),
+              coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+              coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+              when(col("h_old").isNotNull, "exact_dup")
+                .when(coalesce(col("n_maybe"), lit(0L)) === 0, "novel_fastpath")
+                .when(coalesce(col("n_shared"), lit(0L)) * 2 >=
+                      coalesce(col("n_chunks"), lit(0L)), "cdc_dup")
+                .otherwise("admitted").as("verdict"))
+      .withColumn("admitted",
+                  col("verdict").isin("novel_fastpath", "admitted"))
+  }
+
   /** The ingest pipeline's ONE full-text pass: every per-doc signal the
     * funnel needs — exact-dup hash, 3-shingle array, CDC chunk array —
     * computed in a single projection over documents and written once
@@ -975,12 +1023,7 @@ object Dedup {
                                     dir: String): String =
     Memo.materializedPath(s, dir, "ingest_feat") { tmp =>
       graft.functions.Custom.register(s)
-      withCdcChunks(Tables.documents(s, dir).withColumn("toks", expr(toksE)))
-        .select(col("doc_id"),
-                sha2(expr("substr(lower(trim(text)), 1, 40)"), 256).as("h"),
-                expr("shingles3(toks)").as("sh"),
-                col("chunks"))
-        .write.parquet(tmp)
+      featurize(Tables.documents(s, dir)).write.parquet(tmp)
     }
 
   /** DuckDB CTEs producing the same `c(doc_id, chunk)` stream. */

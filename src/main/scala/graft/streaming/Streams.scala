@@ -463,6 +463,55 @@ object Streams {
       }
       .start()
 
+  /** st_ingest_funnel (r12 VERDICT #4): the llm_ingest_e2e verdict logic
+    * run INCREMENTALLY — incoming docs arrive as a micro-batched file
+    * stream; the standing corpus's featurized table is the static side.
+    *
+    *  - The standing probe structures (hash set, bloom, chunk-hash set —
+    *    all broadcast-sized) are built ONCE before the query starts and
+    *    persisted, so N micro-batches pay the build once, not N times
+    *    (at 100 TB the standing side is the corpus; rebuilding it per
+    *    batch would be the scale-killer).
+    *  - Cross-batch `dropDuplicatesWithinWatermark` on doc_id guards
+    *    at-least-once file delivery (a replayed file must not re-emit
+    *    verdicts). Its keyed state is the query's RocksDB row — bounded
+    *    by the ingest-time watermark horizon, NOT the corpus (plain
+    *    dropDuplicates would keep every doc_id forever).
+    *  - Each micro-batch featurizes its own docs (the same one-pass
+    *    projection as the batch funnel — Dedup.featurize) and routes
+    *    them through the SAME Dedup.ingestVerdicts the declared key
+    *    runs; outputs land in the idempotent per-batch parquet layout of
+    *    [[foreachBatchParquet]] (replayed batch = same dir, overwritten).
+    *
+    * Batch-equivalence (pinned in StreamingSpec): a doc's verdict is a
+    * function of its OWN features plus the standing index only, so
+    * micro-batch boundaries cannot change the answer — streamed verdicts
+    * over any file split equal the one-shot llm_ingest_e2e rows. */
+  def ingestFunnel(spark: SparkSession, incomingDir: String,
+                   docSchema: StructType, standFeat: DataFrame,
+                   outDir: String, checkpointDir: String,
+                   maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val idx = graft.llm.Dedup.standingIndexOf(standFeat)
+    Seq(idx.standH, idx.bloom, idx.standC).foreach(_.persist().count())
+    fileStream(spark, incomingDir, docSchema, maxFilesPerTrigger)
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // the micro-batch session is a clone — re-register the kernels
+        // (idempotent) so featurize's tid60/shingles3 resolve
+        graft.functions.Custom.register(batch.sparkSession)
+        graft.llm.Dedup.ingestVerdicts(
+            graft.llm.Dedup.featurize(batch.drop("ingest_ts")), idx)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** st_upsert_sink: streaming CDC-apply — each micro-batch reduces to
     * latest-per-user (max(struct(ts, value)): deterministic even on ts
     * ties) and MERGEs into a keyed serving table, the per-batch run of

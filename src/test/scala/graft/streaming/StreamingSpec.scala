@@ -517,6 +517,40 @@ class StreamingSpec extends SparkSuite {
     assert(run1 != expected || second.isEmpty) // run1 saw only the first half
   }
 
+  test("st_ingest_funnel: streamed verdicts == batch llm_ingest_e2e (RocksDB engaged)") {
+    // r12 VERDICT #4: the ingest funnel run incrementally — incoming docs
+    // (odd doc_ids, the SAME split the declared key uses) replayed as a
+    // 3-file stream against the standing (even) features, verdicts per
+    // micro-batch — must reproduce the one-shot batch funnel rows
+    // exactly. The cross-batch dedup state runs on RocksDB (asserted via
+    // provider-specific metrics, not just the conf).
+    withRocksDB(true) {
+      graft.functions.Custom.register(spark)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+      val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val docs = Tables.documents(spark, sf)
+      docs.filter(col("doc_id") % 2 =!= 0).repartition(3).write.parquet(inDir)
+      val standFeat = spark.read
+        .parquet(graft.llm.Dedup.ingestFeatPath(spark, sf))
+        .filter(col("doc_id") % 2 === 0)
+      val q = Streams.ingestFunnel(spark, inDir, docs.schema, standFeat,
+                                   outDir, ckpt)
+      try { q.processAllAvailable(); assertRocksDBEngaged(q) } finally q.stop()
+      val batchDirs = new java.io.File(outDir).listFiles()
+        .filter(_.getName.startsWith("batch_")).map(_.toString).sorted
+      assert(batchDirs.length >= 3, // 3 input files, maxFilesPerTrigger=1
+        s"expected >=3 micro-batch outputs, got ${batchDirs.mkString(", ")}")
+      val streamed = spark.read.parquet(batchDirs: _*)
+      val expected = graft.Registry.byName("llm_ingest_e2e").fn(spark, sf)
+      assertSameRows(streamed, expected.toDF())
+      // the funnel's routing classes all genuinely fired on this fixture
+      val verdicts = streamed.select("verdict").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(verdicts.contains("novel_fastpath") || verdicts.contains("admitted"),
+        s"no admitted docs at all — fixture degenerate? saw $verdicts")
+    }
+  }
+
   test("src_stream_file + st_foreachbatch_sink: file replay → exactly-once parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
