@@ -33,7 +33,19 @@ import org.apache.spark.sql.functions._
   * The declared ANN keys are untouched — this is a measurement tool;
   * BASELINE.md records the table.
   *
+  * WIDTH mode (r12 VERDICT #3 — the lake at realistic cell counts):
+  * `--widths=4,6,8` measures the recall-vs-probe-cost curve as the
+  * bucket code WIDENS (cells = 2^w: 16 → 64 → 256; at 100 TB the lake
+  * holds thousands of cells, so how recall decays and probe cost
+  * shrinks with width is the capacity-planning curve). Per (w, r):
+  * planted recall@10 within the hamming-r ball, probed-cell count
+  * Σ C(w,k), and the OCCUPANCY-WEIGHTED fraction of the real
+  * embeddings corpus inside the ball (mean over probes — the honest
+  * I/O cost; cell occupancy is not uniform), plus a wall-clock probe
+  * of the materialized width-w lake (Similarity.annLakeW) at r = 1.
+  *
   * Usage: runMain graft.AnnRecall <sfDir> [centers=64] [members=16]
+  *          [epsScale=1.0] [--widths=4,6,8]
   */
 object AnnRecall {
 
@@ -91,13 +103,107 @@ object AnnRecall {
     (corpus, probes)
   }
 
+  private def choose(n: Int, k: Int): Long =
+    if (k < 0 || k > n) 0L
+    else (0 until k).foldLeft(1L)((a, i) => a * (n - i) / (i + 1))
+
+  /** The --widths mode: recall-vs-probe-cost as the bucket code widens.
+    * Codes for every requested width are computed ONCE as small int
+    * columns on the planted corpus / probes / real embeddings (vectors
+    * never ride the per-width loops), ball membership is
+    * `bit_count(b ^ qb) <= r` (no mask enumeration at any width), and
+    * the real-lake probe cost is the occupancy-weighted corpus fraction
+    * plus a wall-clock hamming-1 probe of the materialized width-w lake
+    * (the same Memo layout + broadcast-probe DPP path the declared
+    * llm_ann_partitioned key uses). */
+  private def widthCurve(spark: SparkSession, dir: String, centers: Int,
+                         members: Int, epsScale: Double, ws: Seq[Int]): Unit = {
+    import graft.llm.{Memo, Similarity}
+    val (corpus0, probes0) = plant(spark, dir, centers, members, epsScale)
+    def withCodes(df: DataFrame, emb: String, pfx: String) = {
+      val renamed = df.withColumnRenamed(emb, "embedding")
+      val coded = ws.foldLeft(renamed)((d, w) =>
+        d.withColumn(s"$pfx$w", expr(Similarity.codeEW(w))))
+      coded.withColumnRenamed("embedding", emb)
+    }
+    val corpus = Memo.cut(spark)(
+      withCodes(corpus0.drop("bucket"), "embedding", "b"))
+    val probes = Memo.cut(spark)(
+      withCodes(probes0.drop("q_bucket"), "q_emb", "qb"))
+    // all (probe, corpus) cosines once; every (width, radius) filters it
+    val scored = Memo.cut(spark)(corpus
+      .crossJoin(broadcast(probes))
+      .withColumn("cos",
+        expr("vec_dot(embedding, q_emb) / " +
+             "(sqrt(vec_dot(embedding, embedding)) * sqrt(vec_dot(q_emb, q_emb)))"))
+      .select(Seq(col("q_center"), col("vec_id"), col("cos")) ++
+              ws.flatMap(w => Seq(col(s"b$w"), col(s"qb$w"))): _*))
+    val w10 = Window.partitionBy(col("q_center"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val exact = Memo.cut(spark)(scored
+      .withColumn("rk", row_number().over(w10)).filter(col("rk") <= 10)
+      .select(col("q_center"), col("vec_id")))
+    // real-corpus occupancy: per-width codes of the WHOLE embeddings
+    // table, vectors dropped before the probe cross (ints only)
+    val ecodes = Memo.cut(spark)(
+      withCodes(Tables.embeddings(spark, dir), "embedding", "e")
+        .select(ws.map(w => col(s"e$w")): _*))
+    val totalRows = ecodes.count()
+    ws.foreach { w =>
+      // wall-clock hamming-1 probe of the materialized width-w lake
+      // (built on first use; its build cost is the lake write, charged
+      // here deliberately as "t_lake_build_s" the first time)
+      val tB0 = System.nanoTime()
+      val lake = Similarity.annLakeW(spark, dir, w)
+      lake.select(col("bucket")).distinct().count() // force the build
+      val tBuild = (System.nanoTime() - tB0) / 1e9
+      val tP0 = System.nanoTime()
+      val qside = lake.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
+        .withColumn("flip", explode(array((0 +: (0 until w).map(1 << _))
+          .map(lit(_)): _*)))
+        .select(col("q_emb"), col("q_bucket").bitwiseXOR(col("flip")).as("probe"))
+      lake.filter(col("vec_id") =!= 0)
+        .join(broadcast(qside), col("bucket") === col("probe"))
+        .withColumn("cos",
+          expr("vec_dot(embedding, q_emb) / " +
+               "(sqrt(vec_dot(embedding, embedding)) * sqrt(vec_dot(q_emb, q_emb)))"))
+        .orderBy(col("cos").desc, col("vec_id")).limit(10).collect()
+      val tProbe = (System.nanoTime() - tP0) / 1e9
+      (0 to 3).foreach { r =>
+        val inBall = scored.filter(
+          expr(s"bit_count(b$w ^ qb$w)") <= r)
+        val approx = inBall
+          .withColumn("rk", row_number().over(w10)).filter(col("rk") <= 10)
+          .select(col("q_center"), col("vec_id"))
+        val recall = approx.join(exact, Seq("q_center", "vec_id"))
+          .groupBy(col("q_center")).agg(count(lit(1)).as("hits"))
+          .join(probes.select(col("q_center")), Seq("q_center"), "right")
+          .agg(avg(coalesce(col("hits"), lit(0L)) / 10.0))
+          .collect()(0).getDouble(0)
+        val probedCells = (0 to r).map(k => choose(w, k)).sum
+        val corpusFrac = ecodes
+          .crossJoin(broadcast(probes.select(col("q_center"), col(s"qb$w"))))
+          .filter(expr(s"bit_count(e$w ^ qb$w)") <= r)
+          .groupBy(col("q_center")).agg(count(lit(1)).as("n"))
+          .join(probes.select(col("q_center")), Seq("q_center"), "right")
+          .agg(avg(coalesce(col("n"), lit(0L)) / totalRows.toDouble))
+          .collect()(0).getDouble(0)
+        println(f"""{"metric":"ann_width","bits":$w,"radius":$r,"recall":$recall%.4f,"probed_cells":$probedCells,"cells":${1L << w},"corpus_frac":$corpusFrac%.4f,"t_lake_build_s":$tBuild%.2f,"t_lake_probe_h1_s":$tProbe%.2f,"centers":$centers,"members":$members,"eps_scale":$epsScale,"dir":"$dir"}""")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val centers = args.lift(1).map(_.toInt).getOrElse(64)
-    val members = args.lift(2).map(_.toInt).getOrElse(16)
+    val pos = args.filterNot(_.startsWith("--"))
+    val widths = args.find(_.startsWith("--widths"))
+      .map(_.split("=")(1).split(",").toSeq.map(_.trim.toInt))
+    val dir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
+    val centers = pos.lift(1).map(_.toInt).getOrElse(64)
+    val members = pos.lift(2).map(_.toInt).getOrElse(16)
     // epsScale > 1 loosens the planted clusters (bigger θ, more bucket
     // crossings) so the curve can be recorded at several geometries
-    val epsScale = args.lift(3).map(_.toDouble).getOrElse(1.0)
+    val epsScale = pos.lift(3).map(_.toDouble).getOrElse(1.0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -107,6 +213,11 @@ object AnnRecall {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (widths.isDefined) {
+      widthCurve(spark, dir, centers, members, epsScale, widths.get)
+      spark.stop(); return
+    }
 
     val (corpus0, probes) = plant(spark, dir, centers, members, epsScale)
     val corpus = graft.llm.Memo.cut(spark)(corpus0) // scored 4x below

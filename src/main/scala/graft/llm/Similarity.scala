@@ -173,21 +173,44 @@ object Similarity {
             CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END +
             CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END AS INT)"""
 
+  /** `bits`-wide hyperplane sign code (bit i = sign of dim i+1; MSB
+    * first). [[codeE]] is the 4-bit instance the declared keys ship;
+    * the width is the ANN lake's CELL-COUNT knob — at 100 TB the lake
+    * holds thousands of cells (8 bits = 256, 12 = 4096), and the
+    * recall-vs-probe-cost curve per width is measured, not assumed
+    * (graft.AnnRecall --widths; BASELINE.md "ANN bucket-width curve").
+    * Generated and literal spellings agree for bits = 4 — pinned in
+    * PlanAuditSpec's width audit against the declared key's buckets. */
+  private[graft] def codeEW(bits: Int): String = {
+    require(bits >= 1 && bits <= 16, s"code width $bits out of range")
+    val terms = (1 to bits).map(j =>
+      s"CASE WHEN element_at(embedding, $j) > 0 THEN ${1 << (bits - j)} ELSE 0 END")
+    s"CAST(${terms.mkString(" + ")} AS INT)"
+  }
+
   /** The bucket-partitioned ANN lake (one parquet directory per coarse
     * sign-code cell — the 100 TB shape: written once, probed forever).
-    * Write-once per (dataset, data version), atomic-rename published —
-    * concurrent sessions never observe a half-written lake (r8 ADVICE).
-    * The partition column comes back as inferred INT — callers must use
-    * it RAW: a cast wrapper on the join key would hide it from dynamic
-    * partition pruning. */
-  private def annLake(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val out = Memo.materializedPath(s, dir, "emb_by_bucket") { tmp =>
+    * Write-once per (dataset, data version, width), atomic-rename
+    * published — concurrent sessions never observe a half-written lake
+    * (r8 ADVICE). The partition column comes back as inferred INT —
+    * callers must use it RAW: a cast wrapper on the join key would hide
+    * it from dynamic partition pruning. `bits` widens the cell count
+    * toward the realistic thousands-of-cells layout (r12 VERDICT #3);
+    * the 4-bit instance keeps its original memo key so declared-key
+    * lakes built by earlier rounds stay valid. */
+  private[graft] def annLakeW(s: org.apache.spark.sql.SparkSession,
+                              dir: String, bits: Int) = {
+    val key = if (bits == 4) "emb_by_bucket" else s"emb_by_bucket_b$bits"
+    val out = Memo.materializedPath(s, dir, key) { tmp =>
       Tables.embeddings(s, dir)
-        .withColumn("bucket", expr(codeE))
+        .withColumn("bucket", expr(if (bits == 4) codeE else codeEW(bits)))
         .write.partitionBy("bucket").parquet(tmp)
     }
     s.read.parquet(out)
   }
+
+  private def annLake(s: org.apache.spark.sql.SparkSession, dir: String) =
+    annLakeW(s, dir, 4)
 
   val qs: Seq[(String, Q)] = Seq(
 
