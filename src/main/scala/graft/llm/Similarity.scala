@@ -426,6 +426,65 @@ object Similarity {
                ORDER BY cos DESC, vec_id
                LIMIT 10""")),
 
+    // The WIDE lake as a declared, oracle-gated key (r13; the width
+    // story's correctness leg — PlanAuditSpec pins its DPP mechanics and
+    // the AnnRecall width curve carries its measured recall/cost): the
+    // SAME broadcast-probe top-10 as llm_ann_partitioned, on the 8-bit /
+    // 256-cell lake (annLakeW(8)) at its hamming-1 ball — 9 of 256
+    // directories, the capacity-planning point where widening beats
+    // radius (BASELINE.md "ANN bucket-width curve r13": 9x less I/O than
+    // the 4-bit ham-1 probe for a 0.07 recall drop; the 0.99-SLA pick is
+    // (8 bits, r=2)). The oracle recomputes the 8-bit code and ball
+    // densely in SQL, so the wider bucketing itself is hash-gated.
+    "llm_ann_width8" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val lake = annLakeW(s, dir, 8)
+        val q = lake.filter(col("vec_id") === 0)
+          .withColumn("q_nrm", expr(normE))
+          .select(col("embedding").as("q_emb"), col("q_nrm"),
+                  explode(array((0 +: (0 until 8).map(1 << _))
+                    .map(lit(_)): _*)).as("flip"),
+                  col("bucket").as("q_bucket"))
+          .select(col("q_emb"), col("q_nrm"),
+                  col("q_bucket").bitwiseXOR(col("flip")).as("probe"))
+        lake.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("probe"))
+          .withColumn("nrm", expr(normE))
+          .withColumn("cos", round(
+            expr(dotE("embedding", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+          .select(col("vec_id"), col("label"), col("bucket"), col("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm,
+                                 CAST(CASE WHEN embedding[1] > 0 THEN 128 ELSE 0 END +
+                                      CASE WHEN embedding[2] > 0 THEN 64 ELSE 0 END +
+                                      CASE WHEN embedding[3] > 0 THEN 32 ELSE 0 END +
+                                      CASE WHEN embedding[4] > 0 THEN 16 ELSE 0 END +
+                                      CASE WHEN embedding[5] > 0 THEN 8 ELSE 0 END +
+                                      CASE WHEN embedding[6] > 0 THEN 4 ELSE 0 END +
+                                      CASE WHEN embedding[7] > 0 THEN 2 ELSE 0 END +
+                                      CASE WHEN embedding[8] > 0 THEN 1 ELSE 0 END AS INT)
+                                   AS bucket
+                          FROM embeddings),
+               q AS (SELECT embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+                     FROM n WHERE vec_id = 0),
+               probes AS (SELECT q_emb, q_nrm,
+                                 unnest([q_bucket, xor(q_bucket, 1),
+                                         xor(q_bucket, 2), xor(q_bucket, 4),
+                                         xor(q_bucket, 8), xor(q_bucket, 16),
+                                         xor(q_bucket, 32), xor(q_bucket, 64),
+                                         xor(q_bucket, 128)]) AS probe
+                          FROM q)
+               SELECT vec_id, label, bucket,
+                      round(${duckDot("n.embedding", "probes.q_emb")}
+                            / (n.nrm * probes.q_nrm), 6) AS cos
+               FROM n, probes
+               WHERE vec_id <> 0 AND bucket = probe
+               ORDER BY cos DESC, vec_id
+               LIMIT 10""")),
+
     // The recall-SLA probe over the SAME lake: llm_ann_partitioned
     // declares the layout + pruning mechanics at hamming-1 (5/16
     // directories, where pruning is most visible); this row proves the

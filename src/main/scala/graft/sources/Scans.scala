@@ -35,6 +35,8 @@ object Scans {
   val catalogListPath = s"$fixDir/catalog_meta_list"
   val catalogListTsvPath = s"$fixDir/catalog_list.tsv"
   val catalogAsofPath = s"$fixDir/catalog_meta_asof"
+  val catalogHistPath = s"$fixDir/catalog_meta_hist"
+  val catalogHistTsvPath = s"$fixDir/catalog_hist.tsv"
   val avroDirPath = s"$fixDir/nation_avro"
   val avroTsvPath = s"$fixDir/nation_avro.tsv"
   val xmlDirPath = s"$fixDir/nation_xml"
@@ -312,6 +314,51 @@ object Scans {
               SELECT s.version, s.name, c.n_rows, c.first_name
               FROM states s JOIN srcs c ON s.src = c.src
               ORDER BY s.version, s.name""")),
+
+    // Catalog HISTORY listing — the audit view of the time-travel log
+    // (information_schema.tables × snapshot log): every put/drop binding
+    // with its version, in order. Drives the same register →
+    // replace(+new) → drop machine as src_catalog_asof from a clean
+    // history and lists the LOG itself; the oracle TSV is the expected
+    // log spelled as literals, so the hash gate checks version
+    // assignment (no-op mutations must not burn one), tombstone
+    // emission, and that replaced bindings stay in the log. Wall-clock
+    // ts is carried in the file but excluded from the declared row
+    // (nondeterministic by nature; CatalogSpec pins its ordering
+    // contract instead).
+    "src_catalog_history" -> Q(
+      (s, dir) => {
+        Catalog.resetAll(catalogHistPath)
+        Catalog.register(catalogHistPath, Seq( // v1
+          Catalog.Entry("t_a", "parquet", s"$dir/nation.parquet", Nil)))
+        Catalog.register(catalogHistPath, Seq( // no-op: burns NO version
+          Catalog.Entry("t_a", "parquet", s"$dir/nation.parquet", Nil)))
+        Catalog.register(catalogHistPath, Seq( // v2: replace + new name
+          Catalog.Entry("t_a", "parquet", s"$dir/region.parquet", Seq("r")),
+          Catalog.Entry("t_b", "csv", s"$dir/b.csv", Nil)))
+        Catalog.drop(catalogHistPath, "t_b") // v3: tombstone
+        writeFixture(catalogHistTsvPath,
+          "version\top\tname\tformat\trel_path\n" +
+          "1\tput\tt_a\tparquet\tnation.parquet\n" +
+          "2\tput\tt_a\tparquet\tregion.parquet\n" +
+          "2\tput\tt_b\tcsv\tb.csv\n" +
+          "3\tdrop\tt_b\t-\t-\n")
+        val rows = Catalog.loadHistory(catalogHistPath).map { b =>
+          (b.version, b.op, b.entry.name,
+           if (b.op == "drop") "-" else b.entry.format,
+           if (b.op == "drop") "-"
+           else b.entry.path.stripPrefix(dir).stripPrefix("/"))
+        }
+        import s.implicits._
+        rows.toDF("version", "op", "name", "format", "rel_path")
+          .orderBy(col("version"), col("name"))
+      },
+      Some(s"""SELECT version, op, name, format, rel_path
+               FROM read_csv('$catalogHistTsvPath', delim='\t', header=true,
+                             columns={'version': 'BIGINT', 'op': 'VARCHAR',
+                                      'name': 'VARCHAR', 'format': 'VARCHAR',
+                                      'rel_path': 'VARCHAR'})
+               ORDER BY version, name""")),
 
     // Excel DATE cells + a second worksheet — the two highest-frequency
     // real-workbook features the raw-string sheet1 contract of src_xlsx

@@ -178,17 +178,9 @@ class PlanAuditSpec extends SparkSuite {
                 CASE WHEN element_at(embedding, 4) > 0 THEN 1 ELSE 0 END AS INT)"""))
       .filter(col("a") =!= col("b")).count()
     assert(mismatch == 0, s"codeEW(4) diverges from the shipped 4-bit code on $mismatch rows")
-    val lake = Similarity.annLakeW(spark, sf, 8)
-    val q = lake.filter(col("vec_id") === 0)
-      .select(col("embedding").as("q_emb"), col("bucket").as("q_bucket"))
-      .withColumn("flip", explode(array((0 +: (0 until 8).map(1 << _)).map(lit(_)): _*)))
-      .select(col("q_emb"), col("q_bucket").bitwiseXOR(col("flip")).as("probe"))
-    val df = lake.filter(col("vec_id") =!= 0)
-      .join(broadcast(q), col("bucket") === col("probe"))
-      .withColumn("cos", expr(
-        "vec_dot(embedding, q_emb) / " +
-        "(sqrt(vec_dot(embedding, embedding)) * sqrt(vec_dot(q_emb, q_emb)))"))
-      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+    // drive the DECLARED key (llm_ann_width8), not a hand-built twin —
+    // the audit must pin the plan the oracle gates
+    val df = Registry.byName("llm_ann_width8").fn(spark, sf)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("dynamicpruning"),
