@@ -28,12 +28,14 @@ KEEP_VERBATIM = (
     "## Artifact + metric conventions",
     "## ANN radius-vs-recall r11",
     "## Bench self-rescue conventions (pinned r11)",
-    "## Bench minima r12-newkeys",
-    "## Scale exponents r12a-sf1",
     "## Scale exponents r12-sf10",
     "## fn_jaro_snm measured recall r12",
-    "## Bench minima r12-canonical",
     "## Round-12 closing summary",
+    "## ANN bucket-width curve r13",
+    "## Bench minima r13-newkeys (",   # holds the malformed-floor adjudication
+    "## Scale exponents r13-sf10",
+    "## fn_jaro_snm_w50 recall SLA closed r13",
+    "## Bench minima r13-canonical",
 )
 
 def main():
@@ -67,10 +69,14 @@ def main():
                     minima[k] = (v, n)
         elif header.startswith("## Scale exponents"):
             collapsed_expo_tags.append(tag)
+            # 5-col round sections AND the 6-col (source-tagged) table a
+            # previous collapse emitted — re-collapsing must not drop rows
             for row in re.finditer(
-                    r"^\| (\S+) \| ([0-9.]+) \| ([0-9.]+) \| ([0-9.-]+) \| (\w+) \|$",
+                    r"^\| (\S+) \| ([0-9.]+) \| ([0-9.]+) \| ([0-9.-]+) \| (\w+) \|"
+                    r"(?: ([^|]+) \|)?$",
                     body, re.M):
-                expo[row.group(1)] = (row.groups(), tag)
+                src = (row.group(6) or tag).strip()
+                expo[row.group(1)] = (row.groups()[:5], src)
         else:
             pointer_tags.append(tag)
 
