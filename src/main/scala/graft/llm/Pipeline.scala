@@ -347,6 +347,59 @@ object Pipeline {
                GROUP BY lang
                ORDER BY lang""")),
 
+    // CLUSTER-SAFE train/val/test split (r13) — the contamination guard
+    // llm_split_train alone cannot give: hashing doc_id puts two near-
+    // duplicates of the same document in DIFFERENT splits with prob
+    // ~0.34, which is exactly train→test leakage. The split key here is
+    // the near-dup CLUSTER representative (component min doc_id from the
+    // memoized label stage; docs in no near-dup pair represent
+    // themselves), so split = f(representative) and NO near-dup pair —
+    // or transitive chain of them — can straddle splits (pinned as the
+    // pair-level property in PropertySpec, not just structurally).
+    // Same md5-bucket determinism as llm_split_train: adding data never
+    // reassigns existing clusters. Scale shape: one broadcast-sized
+    // label join + the same hash projection — the split adds NO shuffle
+    // beyond what the cluster stage already paid; at 100 TB the labels
+    // table is |clustered docs| ≪ corpus.
+    "llm_split_clustersafe" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s) // tid60 kernel
+        val labels = clusterLabels(s, dir)
+          .select(col("id").as("doc_id"), col("lbl").as("rep"))
+        Tables.documents(s, dir)
+          .join(labels, Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+          .withColumn("b",
+            expr(uE("concat('csplit:', CAST(rep AS STRING))")) % 10)
+          .withColumn("split",
+            when(col("b") < 8, "train").when(col("b") === 8, "val")
+              .otherwise("test"))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+               count_distinct(col("rep")).as("n_clusters"),
+               min(col("doc_id")).as("min_doc"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH RECURSIVE ${Dedup.duckNearPairsCtes},
+               $duckClusterCtes,
+               rep AS (SELECT d.doc_id,
+                              COALESCE(l.cluster_id, d.doc_id) AS rep
+                       FROM documents d
+                       LEFT JOIN labels l ON l.id = d.doc_id),
+               assigned AS (
+                 SELECT doc_id, rep,
+                        CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                             ELSE 'test' END AS split
+                 FROM (SELECT doc_id, rep,
+                         ${duckU("'csplit:' || CAST(rep AS VARCHAR)")} % 10 AS b
+                       FROM rep))
+               SELECT split, COUNT(*) AS n_docs,
+                      COUNT(DISTINCT rep) AS n_clusters,
+                      MIN(doc_id) AS min_doc
+               FROM assigned
+               GROUP BY split
+               ORDER BY split""")),
+
     // Preference-pair construction (the DPO/RLHF data shape): within each
     // near-dup cluster, (chosen, rejected) = the highest- vs lowest-
     // quality member — near-duplicates are the natural "same content,
