@@ -512,6 +512,35 @@ object Streams {
       .start()
   }
 
+  /** st_catalog_publish (r13): streaming SNAPSHOT-PUBLISH through the
+    * versioned catalog — each micro-batch's complete-mode aggregate
+    * lands in its own immutable parquet dir (`snap_<batchId>`) and is
+    * then registered under a stable catalog name, flipping the binding
+    * only AFTER the write completes (write-audit-publish; the upsertSink
+    * pointer generalized to the catalog's versioned log). Readers in any
+    * session resolve the name for the freshest consistent snapshot —
+    * never a half-written one — or time-travel to any earlier batch via
+    * Catalog.asOf, because every publish is a catalog VERSION and old
+    * snapshot dirs are immutable. Replayed batches rewrite their own dir
+    * and re-register the same binding; Catalog.mutate's no-op detection
+    * burns no version, so at-least-once delivery cannot inflate history.
+    * At scale the publish is O(1) metadata per batch; snapshot retention
+    * is the lake's GC policy (old dirs are dropped only after their
+    * versions age out of the as-of horizon). */
+  def catalogPublish(df: DataFrame, outDir: String, checkpointDir: String,
+                     catalogDir: String, name: String): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val snap = s"$outDir/snap_$batchId"
+        batch.write.mode("overwrite").parquet(snap)
+        graft.sources.Catalog.register(catalogDir,
+          Seq(graft.sources.Catalog.Entry(name, "parquet", snap, Nil)))
+        ()
+      }
+      .start()
+
   /** st_upsert_sink: streaming CDC-apply — each micro-batch reduces to
     * latest-per-user (max(struct(ts, value)): deterministic even on ts
     * ties) and MERGEs into a keyed serving table, the per-batch run of

@@ -551,6 +551,46 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("st_catalog_publish: versioned snapshot publish — fresh reads, time travel, no-op replay") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_catpub").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val catDir = s"$tmp/catalog"
+    // 3 input files + maxFilesPerTrigger=1 → 3 micro-batches → 3 catalog
+    // versions of the running per-type counts
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"))
+      .repartition(3).write.parquet(inDir)
+    val agg = Streams.fileStream(spark, inDir, Streams.eventSchema)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = Streams.catalogPublish(agg, outDir, ckpt, catDir, "live_counts")
+    try q.processAllAvailable() finally q.stop()
+    import graft.sources.Catalog
+    val vCur = Catalog.currentVersion(catDir)
+    assert(vCur == 3, s"3 micro-batches must publish 3 versions, got $vCur")
+    // freshest binding == the full batch aggregate, from a FRESH session
+    val s2 = spark.newSession()
+    val streamed = Catalog.open(s2, catDir, "live_counts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = evDf(fixtureEvs).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == expected, s"published snapshot != batch agg")
+    // time travel: every historical snapshot is intact and monotone in
+    // total count (complete-mode aggregates only grow)
+    val totals = (1L to vCur).map { v =>
+      Catalog.openAsOf(s2, catDir, "live_counts", v)
+        .agg(sum(col("n"))).collect()(0).getLong(0)
+    }
+    assert(totals == totals.sorted, s"snapshot totals not monotone: $totals")
+    assert(totals.last == fixtureEvs.size.toLong)
+    // replay no-op: re-registering the current binding burns no version
+    val cur = Catalog.load(catDir).find(_.name == "live_counts").get
+    Catalog.register(catDir, Seq(cur))
+    assert(Catalog.currentVersion(catDir) == vCur,
+      "replayed publish of an identical binding inflated the history")
+  }
+
   test("src_stream_file + st_foreachbatch_sink: file replay → exactly-once parquet") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
