@@ -367,7 +367,11 @@ object Pipeline {
         val labels = clusterLabels(s, dir)
           .select(col("id").as("doc_id"), col("lbl").as("rep"))
         Tables.documents(s, dir)
-          .join(labels, Seq("doc_id"), "left")
+          // broadcast is load-bearing: the label side is a checkpointed
+          // RDD with no stats, so without the hint Spark sort-merges —
+          // shuffling the whole corpus on doc_id for a metadata-sized
+          // probe (caught by PlanAuditSpec when this key first landed)
+          .join(broadcast(labels), Seq("doc_id"), "left")
           .withColumn("rep", coalesce(col("rep"), col("doc_id")))
           .withColumn("b",
             expr(uE("concat('csplit:', CAST(rep AS STRING))")) % 10)

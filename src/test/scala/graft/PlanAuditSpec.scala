@@ -201,6 +201,23 @@ class PlanAuditSpec extends SparkSuite {
       s"corpus scan read more than the 9-cell hamming-1 ball: $partsRead\n$p")
   }
 
+  test("llm_split_clustersafe: label join broadcasts; no corpus self-join") {
+    // The split must cost one broadcast label probe + the final groupBy —
+    // a shuffled label join (labels are |clustered docs| ≪ corpus) or
+    // any pairwise structure here would be the 100 TB mistake.
+    graft.functions.Custom.register(spark)
+    val p = planOf("llm_split_clustersafe")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster-label join is not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("near_pairs"),
+      // the memoized label STAGE may shuffle internally on first build;
+      // the split itself must not add a sort-merge join over documents
+      s"split added a shuffled join over the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise structure in a split plan:\n$p")
+  }
+
   test("llm_sim_pairs: angle-banded candidate join, no nested loop, payload re-attached by id") {
     graft.functions.Custom.register(spark)
     val p = planOf("llm_sim_pairs")

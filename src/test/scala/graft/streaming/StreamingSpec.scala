@@ -551,6 +551,49 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("st_ingest_funnel: checkpoint restart — new wave picked up once, no re-verdicts") {
+    // The nightly-crawl shape: wave 1 arrives, the funnel runs and stops;
+    // wave 2 lands, the funnel RESTARTS from the same checkpoint. The
+    // file source's committed offsets + per-batch idempotent dirs must
+    // give exactly-once verdicts across the restart: every incoming doc
+    // verdicted exactly once, and the union equal to the one-shot batch
+    // funnel on the full split.
+    withRocksDB(true) {
+      graft.functions.Custom.register(spark)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_rs").toString
+      val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+      val docs = Tables.documents(spark, sf)
+      val incoming = docs.filter(col("doc_id") % 2 =!= 0)
+      val standFeat = spark.read
+        .parquet(graft.llm.Dedup.ingestFeatPath(spark, sf))
+        .filter(col("doc_id") % 2 === 0)
+      val wave1 = incoming.filter(col("doc_id") < 250)
+      val wave2 = incoming.filter(col("doc_id") >= 250)
+      assert(wave1.count() > 0 && wave2.count() > 0)
+      wave1.repartition(2).write.mode("append").parquet(inDir)
+      val q1 = Streams.ingestFunnel(spark, inDir, docs.schema, standFeat,
+                                    outDir, ckpt)
+      try q1.processAllAvailable() finally q1.stop()
+      val afterWave1 = new java.io.File(outDir).listFiles().count(_.getName.startsWith("batch_"))
+      wave2.repartition(2).write.mode("append").parquet(inDir)
+      val q2 = Streams.ingestFunnel(spark, inDir, docs.schema, standFeat,
+                                    outDir, ckpt)
+      try q2.processAllAvailable() finally q2.stop()
+      val batchDirs = new java.io.File(outDir).listFiles()
+        .filter(_.getName.startsWith("batch_")).map(_.toString).sorted
+      assert(batchDirs.length > afterWave1,
+        "restart produced no new batch outputs for wave 2")
+      val streamed = spark.read.parquet(batchDirs: _*)
+      // exactly-once: one verdict per incoming doc, none repeated
+      assert(streamed.count() == incoming.count(),
+        s"verdict count ${streamed.count()} != incoming ${incoming.count()}")
+      assert(streamed.select("doc_id").distinct().count() == streamed.count(),
+        "a doc was re-verdicted across the restart")
+      val expected = graft.Registry.byName("llm_ingest_e2e").fn(spark, sf)
+      assertSameRows(streamed, expected.toDF())
+    }
+  }
+
   test("st_catalog_publish: versioned snapshot publish — fresh reads, time travel, no-op replay") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_catpub").toString
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
