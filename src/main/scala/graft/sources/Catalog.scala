@@ -213,10 +213,21 @@ object Catalog {
 
   /** The catalog AS OF `version`: replay bindings ≤ version, last write
     * per name wins, drops tombstone. version ≥ current returns the
-    * current state; version 0 is empty. */
+    * current state; version 0 is empty. A version below the retention
+    * horizon of a [[compact]]ed catalog is VACUUMED — that is an error,
+    * not an empty catalog (the earliest version in a compacted log is
+    * the horizon checkpoint, always > 1; a fresh log starts at 1, so
+    * the two are distinguishable). */
   def asOf(catalogDir: String, version: Long): Seq[Entry] = {
+    val hist = loadHistory(catalogDir)
+    hist.headOption.filter(h => h.version > 1 && version < h.version)
+      .foreach { h =>
+        throw new NoSuchElementException(
+          s"catalog $catalogDir version $version is below the retention " +
+          s"horizon v${h.version} (vacuumed by compact)")
+      }
     val state = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
-    loadHistory(catalogDir).foreach { b =>
+    hist.foreach { b =>
       if (b.version <= version) {
         if (b.op == "put") state(b.entry.name) = b.entry
         else state.remove(b.entry.name)
@@ -227,7 +238,8 @@ object Catalog {
 
   /** The catalog AS OF a wall-clock instant: the highest version whose
     * ts ≤ `ts` (ISO-8601 ts compare is chronological). Before the first
-    * version → empty catalog. */
+    * version → empty catalog on an uncompacted log; below a compacted
+    * log's horizon → vacuumed (throws, via [[asOf]]). */
   def asOfTimestamp(catalogDir: String, ts: String): Seq[Entry] = {
     val upTo = loadHistory(catalogDir).filter(_.ts <= ts)
       .lastOption.map(_.version).getOrElse(0L)
@@ -252,6 +264,56 @@ object Catalog {
     java.nio.file.Files.deleteIfExists(file(catalogDir))
     java.nio.file.Files.deleteIfExists(histFile(catalogDir))
   }
+
+  /** History RETENTION: fold everything older than the last
+    * `keepVersions` versions into a CHECKPOINT at the horizon — the
+    * catalog state as-of the horizon version re-emitted as plain `put`
+    * bindings (ts preserved from each binding's original write), then
+    * the retained tail verbatim. The log is O(#versions × changed
+    * names) metadata, so compaction is about bounding the as-of
+    * CONTRACT, not disk: after compaction `asOf(v)` for v ≥ horizon is
+    * UNCHANGED (bit-identical replay), while v < horizon is VACUUMED
+    * (asOf throws — the same semantics Delta/Iceberg give once old
+    * snapshots are vacuumed). Version numbers are never
+    * renumbered, so bindings in retained versions stay addressable by
+    * the numbers readers recorded. Runs under the writer lock with the
+    * same tmp+atomic-rename publish as every other mutation. Returns
+    * the horizon version (0 = nothing to compact). */
+  def compact(catalogDir: String, keepVersions: Int): Long =
+    writerLock.synchronized {
+      require(keepVersions >= 1, s"keepVersions $keepVersions must be >= 1")
+      val dir = java.nio.file.Paths.get(catalogDir)
+      val ch = java.nio.channels.FileChannel.open(
+        dir.resolve(".catalog.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lk = ch.lock()
+        try {
+          val hist = loadHistory(catalogDir)
+          val versions = hist.map(_.version).distinct
+          if (versions.size <= keepVersions) return 0L
+          val horizon = versions(versions.size - keepVersions)
+          // state as-of the horizon, with each surviving binding's
+          // ORIGINAL ts (an audit log must not re-stamp history)
+          val state = scala.collection.mutable.LinkedHashMap.empty[String, Binding]
+          hist.takeWhile(_.version <= horizon).foreach { b =>
+            if (b.op == "put") state(b.entry.name) = b
+            else state.remove(b.entry.name)
+          }
+          val checkpoint = state.values.toSeq.sortBy(_.entry.name)
+            .map(b => b.copy(version = horizon))
+          val tail = hist.filter(_.version > horizon)
+          val htmp = dir.resolve(s".history-${java.util.UUID.randomUUID}.tmp")
+          java.nio.file.Files.writeString(htmp,
+            (checkpoint ++ tail).map(renderHist).mkString("", "\n", "\n"))
+          java.nio.file.Files.move(htmp, histFile(catalogDir),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          horizon
+        } finally lk.release()
+      } finally ch.close()
+    }
 
   /** Resolve a name to a DataFrame in ANY session — the catalog, not the
     * caller, knows the path and format. */

@@ -136,6 +136,32 @@ class CatalogSpec extends AnyFunSuite with graft.SparkSuite {
     assert(Catalog.currentVersion(dir) == 0)
   }
 
+  test("time travel: compact folds pre-horizon history into a checkpoint, replay above unchanged") {
+    val dir = tmpDir()
+    Catalog.register(dir, Seq(Catalog.Entry("a", "parquet", "/d/a1", Nil))) // v1
+    Catalog.register(dir, Seq(Catalog.Entry("b", "csv", "/d/b", Nil)))      // v2
+    Catalog.register(dir, Seq(Catalog.Entry("a", "parquet", "/d/a2", Nil))) // v3
+    Catalog.drop(dir, "b")                                                  // v4
+    Catalog.register(dir, Seq(Catalog.Entry("c", "json", "/d/c", Nil)))     // v5
+    val before = (3L to 5L).map(v => Catalog.asOf(dir, v))
+    val tsBefore = Catalog.loadHistory(dir).map(b => b.entry.name -> b.ts).toMap
+    val horizon = Catalog.compact(dir, keepVersions = 3) // keep v3..v5
+    assert(horizon == 3)
+    // replay at and above the horizon is bit-identical
+    assert((3L to 5L).map(v => Catalog.asOf(dir, v)) == before)
+    assert(Catalog.asOf(dir, 99) == Catalog.load(dir))
+    // the checkpoint re-emits horizon state as puts at v3 with ORIGINAL ts
+    val hist = Catalog.loadHistory(dir)
+    assert(hist.head.version == 3 && hist.map(_.version).distinct == Seq(3L, 4L, 5L))
+    val ckptA = hist.find(b => b.version == 3 && b.entry.name == "a").get
+    assert(ckptA.ts == tsBefore("a"), "compaction re-stamped history")
+    // below the horizon = vacuumed, an error — not a silently-empty catalog
+    intercept[NoSuchElementException] { Catalog.asOf(dir, 2) }
+    // nothing to compact → 0, log untouched
+    assert(Catalog.compact(dir, keepVersions = 10) == 0L)
+    assert(Catalog.loadHistory(dir) == hist)
+  }
+
   test("open/attach resolve from a session that never registered anything") {
     val dir = tmpDir()
     val data = java.nio.file.Files.createTempDirectory("graft-cat-data").toString
