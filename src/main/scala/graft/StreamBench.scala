@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throughput measurement for the stream-side ingest funnel
+  * (Streams.ingestFunnel — r12 VERDICT #4): replay a scale dir's
+  * incoming split (odd doc_ids) as an N-file stream against the standing
+  * features and report docs/s end-to-end, standing-index build time, and
+  * per-batch cadence. Measures the MICRO-BATCH shape a nightly crawl run
+  * pays — the batch funnel's cost is in BENCH_* under llm_ingest_e2e;
+  * this records what the incremental spelling adds (checkpointing,
+  * per-batch planning, state-store commits).
+  *
+  * Usage: runMain graft.StreamBench <sfDir> [nFiles=8]
+  * Prints one JSON line.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val nFiles = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.Custom.register(spark)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-streambench").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val docs = Tables.documents(spark, dir)
+    val incoming = docs.filter(col("doc_id") % 2 =!= 0)
+    val nDocs = incoming.count()
+    incoming.repartition(nFiles).write.parquet(inDir)
+
+    val tIdx0 = System.nanoTime()
+    val standFeat = spark.read
+      .parquet(graft.llm.Dedup.ingestFeatPath(spark, dir))
+      .filter(col("doc_id") % 2 === 0)
+    // the funnel persists+counts the index internally; time it separately
+    // by building one here first (Memo makes the feat table a read)
+    standFeat.count()
+    val tIdx = (System.nanoTime() - tIdx0) / 1e9
+
+    val t0 = System.nanoTime()
+    val q = graft.streaming.Streams.ingestFunnel(
+      spark, inDir, docs.schema, standFeat, outDir, ckpt,
+      maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    val tStream = (System.nanoTime() - t0) / 1e9
+
+    val batchDirs = new java.io.File(outDir).listFiles()
+      .filter(_.getName.startsWith("batch_")).map(_.toString).sorted
+    val outRows = spark.read.parquet(batchDirs: _*).count()
+    println(f"""{"metric":"stream_ingest_funnel","dir":"$dir","n_docs":$nDocs,"n_files":$nFiles,"n_batches":${batchDirs.length},"t_feat_read_s":$tIdx%.2f,"t_stream_s":$tStream%.2f,"docs_per_s":${nDocs / tStream}%.0f,"s_per_batch":${tStream / math.max(1, batchDirs.length)}%.2f,"out_rows":$outRows,"complete":${outRows == nDocs}}""")
+    spark.stop()
+  }
+}
