@@ -155,6 +155,22 @@ def main():
         ' 25 0.77, 50 0.90, 100 1.00 top-100 on the exact-name-deduped'
         ' corpus; the earlier recall-1.0-at-sf1 claim was tie-saturated'
         ' by ScaleGen verbatim name copies and is superseded)"}',
+        '{"key": "llm_mutual_nn", "role": "demo-anchor",'
+        ' "exponent_sf10": 1.73, "production_sibling": "llm_mutual_nn_snm",'
+        ' "reason": "exact mutual-NN rides the banded cosPairs candidate'
+        ' table, which is Sigma block^2 — and under ScaleGen +-1e-3-jitter'
+        ' replication every replica stays inside the 0.2 cosine threshold,'
+        ' so blocks grow x10/decade and candidates x100 (r13c-sf10 flag,'
+        ' e=1.73). Kept as the recall ground truth for llm_mutual_nn_snm'
+        ' (multi-pass sorted-neighborhood, P=8 projections x W=24 —'
+        ' rows x 192 cosines, linear for any block distribution; measured'
+        ' recall/precision vs this key: graft.MnnRecall, BASELINE'
+        ' llm_mutual_nn_snm measured recall r13). The sibling-pair-emitter'
+        ' keys on the same candidate table (llm_sim_pairs,'
+        ' llm_dedup_thresholds, llm_dedup_embcos) are OUTPUT-bound: their'
+        ' declared answer IS the pair set, which itself grows x100/decade'
+        ' under near-dup replication — no plan emits quadratic rows in'
+        ' sub-quadratic time."}',
         "```",
         "",
         "## Streaming surfaces (SURVEY §2i — batch-equivalence ScalaTest,",

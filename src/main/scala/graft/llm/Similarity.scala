@@ -609,6 +609,124 @@ object Similarity {
                  ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst
                ORDER BY id_a""")),
 
+    // Linear-scale mutual-NN sibling (r13c-sf10 flag: llm_mutual_nn
+    // measured e = 1.73 across sf1→sf10 — its banded candidate table is
+    // Σ block², and under ScaleGen's ±1e-3-jitter replication every
+    // copy stays inside the 0.2 threshold, so block sizes grow ×10 per
+    // decade and candidates ×100; the exact key is hereby adjudicated
+    // an exact-anchor in KEYS.md, same discipline as fn_jaro). This is
+    // the fn_jaro_snm move applied to vectors: within each label, sort
+    // ONCE by the normalized first coordinate (round(x₁/‖v‖, 6) — a
+    // monotone proxy for the same θ the banded join buckets on, rounded
+    // so both engines sort identically; vec_id tiebreak), score each
+    // vector against only its next W = 16 neighbors, then the identical
+    // top-1 + mutual filter as the exact key. rows × W cosines — linear
+    // for ANY block-size distribution. Near-identical replicas land
+    // ADJACENT in the sort, so the window keeps exactly the pairs the
+    // mutual filter can ever emit; recall vs the exact key is MEASURED
+    // (graft.MnnRecall; BASELINE "llm_mutual_nn_snm measured recall
+    // r13"), not assumed. Ids explode W-wide, payloads re-attach by id
+    // (the cosPairs discipline — never duplicate a 64-float vector 16×).
+    "llm_mutual_nn_snm" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val W = 24; val P = 8 // window per pass; projection passes
+        val e = Tables.embeddings(s, dir)
+          .withColumn("nrm", expr(normE))
+        // P sort passes, one per leading coordinate (passes are DATA —
+        // one windowed plan, partitioned by (label, j)); a pair found by
+        // several passes canonicalizes via least/greatest + distinct
+        // BEFORE payloads attach (int pairs only)
+        val proj = e.select(col("vec_id"), col("label"), col("embedding"),
+                            col("nrm"),
+                            explode(expr(s"sequence(1, $P)")).as("j"))
+          .withColumn("sk", round(
+            element_at(col("embedding"), col("j")) / col("nrm"), 6))
+          .select(col("vec_id"), col("label"), col("j"), col("sk"))
+        val rw = Window.partitionBy(col("label"), col("j"))
+          .orderBy(col("sk"), col("vec_id"))
+        val r = proj.withColumn("rn", row_number().over(rw))
+        val aIdx = r.select(col("label").as("lbl"), col("j"),
+                            col("vec_id").as("ka"), col("rn"))
+          .withColumn("k", explode(expr(s"sequence(1, $W)")))
+          .withColumn("rn_b", col("rn") + col("k"))
+          .drop("rn", "k")
+        val bIdx = r.select(col("label").as("lbl_b"), col("j").as("j_b"),
+                            col("vec_id").as("kb"), col("rn").as("rnb"))
+        val payload = e.select(col("vec_id"), col("embedding"), col("nrm"))
+        val cand = aIdx.join(bIdx,
+            col("lbl") === col("lbl_b") && col("j") === col("j_b") &&
+              col("rn_b") === col("rnb"))
+          .select(least(col("ka"), col("kb")).as("ka"),
+                  greatest(col("ka"), col("kb")).as("kb"))
+          .distinct()
+          .join(payload.select(col("vec_id").as("ka"),
+                               col("embedding").as("ea"), col("nrm").as("na")),
+                Seq("ka"))
+          .join(payload.select(col("vec_id").as("kb"),
+                               col("embedding").as("eb"), col("nrm").as("nb")),
+                Seq("kb"))
+          .withColumn("cos", round(
+            expr(dotE("ea", "eb")) / (col("na") * col("nb")), 6))
+          .filter(col("cos") >= 0.2)
+          .select(col("ka"), col("kb"), col("cos"))
+        val sym = cand.select(col("cos"), explode(array(
+            struct(col("ka").as("src"), col("kb").as("dst")),
+            struct(col("kb").as("src"), col("ka").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"), col("cos"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))
+        val best = sym.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("src"), col("dst"), col("cos"))
+        best.as("x")
+          .join(best.as("y"),
+                col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
+                  && col("x.src") < col("x.dst"))
+          .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),
+                  col("x.cos").as("cos"))
+          .orderBy(col("id_a"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm
+                          FROM embeddings),
+                    ps AS (SELECT unnest(generate_series(1, 8)) AS j),
+                    skd AS (SELECT vec_id, label, j,
+                                   round(CAST(embedding[j] AS DOUBLE) / nrm, 6)
+                                     AS sk
+                            FROM n CROSS JOIN ps),
+                    r AS (SELECT vec_id, label, j,
+                                 ROW_NUMBER() OVER (PARTITION BY label, j
+                                                    ORDER BY sk, vec_id) AS rn
+                          FROM skd),
+                    ks AS (SELECT unnest(generate_series(1, 24)) AS k),
+                    ids AS (SELECT DISTINCT LEAST(a.vec_id, b.vec_id) AS ka,
+                                   GREATEST(a.vec_id, b.vec_id) AS kb
+                            FROM r a CROSS JOIN ks JOIN r b
+                              ON a.label = b.label AND a.j = b.j
+                             AND b.rn = a.rn + ks.k),
+                    cand AS (SELECT * FROM (
+                               SELECT i.ka, i.kb,
+                                      round(${duckDot("x.embedding", "y.embedding")}
+                                            / (x.nrm * y.nrm), 6) AS cos
+                               FROM ids i
+                               JOIN n x ON x.vec_id = i.ka
+                               JOIN n y ON y.vec_id = i.kb)
+                             WHERE cos >= 0.2),
+                    sym AS (SELECT ka AS src, kb AS dst, cos FROM cand
+                            UNION ALL
+                            SELECT kb AS src, ka AS dst, cos FROM cand),
+                    best AS (SELECT src, dst, cos FROM (
+                               SELECT src, dst, cos,
+                                      ROW_NUMBER() OVER (PARTITION BY src
+                                        ORDER BY cos DESC, dst) AS rk
+                               FROM sym)
+                             WHERE rk = 1)
+               SELECT x.src AS id_a, x.dst AS id_b, x.cos AS cos
+               FROM best x JOIN best y
+                 ON x.src = y.dst AND x.dst = y.src AND x.src < x.dst
+               ORDER BY id_a""")),
+
     // Semantic-dedup threshold sweep — the tuning curve a curation run
     // reads before picking τ: for each candidate threshold, how many
     // pairs fire and how many docs would be dropped (distinct higher-id

@@ -332,12 +332,32 @@ object Insights {
           .groupBy(col("l_partkey"))
           .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
                      .cast(H.D)).as("rev"))
-        val ord = Window.orderBy(col("rev").desc, col("l_partkey"))
-        val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val all = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        pr.select(col("rev"),
-                  sum(col("rev")).over(cum).cast("double").as("cum_d"),
-                  sum(col("rev")).over(all).cast("double").as("tot_d"))
+        // DISTRIBUTED global running sum (r13c-sf10 flag: the bare
+        // `SUM OVER (ORDER BY rev DESC)` plans a SinglePartition window
+        // — 20M parts through one spilling task at sf10, e = 1.51).
+        // Same two-pass shape as q_ntile_binning: range-repartition on
+        // the sort key, cumsum WITHIN each range partition, broadcast
+        // the 32-row per-partition totals back as exact decimal offsets.
+        // Decimal addition is associative, so offset + local cumsum is
+        // bit-identical to the single-partition spelling at any split.
+        val parted = pr.repartitionByRange(32, col("rev").desc, col("l_partkey"))
+          .withColumn("pid", spark_partition_id())
+        val localW = Window.partitionBy(col("pid"))
+          .orderBy(col("rev").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = parted.withColumn("lcum", sum(col("rev")).over(localW))
+        val w0 = Window.orderBy(col("pid"))
+        val offsets = cum.groupBy(col("pid")).agg(sum(col("rev")).as("psum"))
+          .withColumn("off", coalesce(sum(col("psum")).over(
+            w0.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0).cast(H.D)))
+          .withColumn("tot", sum(col("psum")).over(
+            w0.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .select(col("pid"), col("off"), col("tot"))
+        cum.join(broadcast(offsets), Seq("pid"))
+          .select(col("rev"),
+                  (col("off") + col("lcum")).cast("double").as("cum_d"),
+                  col("tot").cast("double").as("tot_d"))
           .withColumn("band",
                       when(col("cum_d") <= col("tot_d") * 0.80, "A")
                         .when(col("cum_d") <= col("tot_d") * 0.95, "B")
