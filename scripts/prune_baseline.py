@@ -33,9 +33,16 @@ KEEP_VERBATIM = (
     "## Round-12 closing summary",
     "## ANN bucket-width curve r13",
     "## Bench minima r13-newkeys (",   # holds the malformed-floor adjudication
+    "## Bench minima r13-newkeys-d",   # holds the q_pareto small-sf note
     "## Scale exponents r13-sf10",
+    "## Scale exponents r13b-sf10",
+    "## Scale exponents r13c-sf10",
+    "## Scale exponents r13d-sf10",
     "## fn_jaro_snm_w50 recall SLA closed r13",
-    "## Bench minima r13-canonical",
+    "## llm_mutual_nn_snm measured recall r13",
+    "## Stream-side ingest funnel throughput r13",
+    "## Bench minima r13-canonical-b",
+    "## Round-13 closing summary",
 )
 
 def main():
