@@ -379,21 +379,38 @@ object Profiling {
     // cross-group mean at the same rank, forcing every group onto one
     // distribution (the batch-effect correction from bioinformatics,
     // equally the feature-alignment step when merging score columns
-    // from differently-calibrated sources). Distributed shape: the rank
-    // is a PER-GROUP window (one event_type shuffle, no global sort);
-    // the per-rank reference means reduce to max-group-size rows and
-    // join back on the rank key. Groups of unequal size contribute to a
-    // rank's reference only while they still have rows at that rank —
-    // declared semantics, identical in the oracle. Means ride the
-    // decimal lane; everything else is exact ints/doubles.
+    // from differently-calibrated sources). Distributed shape (r13: a
+    // bare PARTITION BY event_type window puts corpus/|types| rows
+    // through ONE task each — ~5 event types means 20%-of-corpus
+    // single-task sorts, the q_pareto disease one level down; measured
+    // e = 1.25 at sf10 before the rewrite): range-repartition on
+    // (event_type, value, event_id), rank WITHIN each (pid, type) run,
+    // and add back per-type prefix offsets from the broadcast
+    // (pid × type)-row count table — the q_ntile_binning two-pass
+    // pattern, per group. The per-rank reference means then reduce to
+    // max-group-size rows and join back on the rank key. Groups of
+    // unequal size contribute to a rank's reference only while they
+    // still have rows at that rank — declared semantics, identical in
+    // the oracle. Means ride the decimal lane.
     "q_quantile_norm" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("event_type"))
-          .orderBy(col("value"), col("event_id"))
-        val ranked = Tables.events(s, dir)
+        val parted = Tables.events(s, dir)
           .select(col("event_type"), col("event_id"), col("value"))
-          .withColumn("rk", row_number().over(w).cast("long"))
+          .repartitionByRange(32, col("event_type"), col("value"), col("event_id"))
+          .withColumn("pid", spark_partition_id())
+        val localW = Window.partitionBy(col("pid"), col("event_type"))
+          .orderBy(col("value"), col("event_id"))
+        val local = parted.withColumn("lrk", row_number().over(localW).cast("long"))
+        val offW = Window.partitionBy(col("event_type")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = local.groupBy(col("pid"), col("event_type"))
+          .agg(count(lit(1)).as("pn"))
+          .withColumn("off", coalesce(sum(col("pn")).over(offW), lit(0L)))
+          .select(col("pid"), col("event_type"), col("off"))
+        val ranked = local.join(broadcast(offsets), Seq("pid", "event_type"))
+          .withColumn("rk", col("off") + col("lrk"))
+          .select(col("event_type"), col("event_id"), col("value"), col("rk"))
         val refs = ranked.groupBy(col("rk"))
           .agg((sum(col("value").cast("decimal(38,6)")) / count(lit(1)))
                  .cast("decimal(38,6)").cast("double").as("qn_value"))
