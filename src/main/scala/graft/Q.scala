@@ -41,6 +41,56 @@ object H {
   def oAvg(x: String): String =
     s"CAST(CAST(SUM(CAST($x AS DECIMAL(38,4))) / COUNT($x) AS DECIMAL(38,4)) AS DOUBLE)"
 
+  /** DISTRIBUTED global prefix sums — the two-pass replacement for a
+    * bare `SUM(...) OVER (ORDER BY ...)` SinglePartition window (the
+    * q_pareto disease, r13: one spilling task owns the whole table).
+    * Range-repartition on `sortCols` (which MUST be a total order —
+    * give every row a unique tiebreaker), per-partition running sums,
+    * then the tiny (≤ `parts`-row) per-partition totals broadcast back
+    * as offsets. For each (name, value) this adds `<name>_before`
+    * (EXCLUSIVE prefix: sum over strictly-earlier rows) and
+    * `<name>_tot` (grand total). Sum types follow the value expression
+    * (LONG and DECIMAL are associative — bit-identical to the
+    * single-partition spelling at any split; do not pass raw DOUBLE).
+    * Inclusive cumsum = `<name>_before` + value. Shared by q_pareto /
+    * q_ntile_binning-style ranks (value = lit(1L) makes `_before` the
+    * 0-based global rank), q_mannwhitney, q_ks_test, q_rfm. */
+  def prefixSums(df: DataFrame, sortCols: Seq[Column],
+                 values: Seq[(String, Column)], parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val parted = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val localW = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = values.foldLeft(parted) { case (d, (n, v)) =>
+      d.withColumn(s"__v_$n", v)
+        .withColumn(s"__lb_$n", sum(col(s"__v_$n")).over(localW))
+    }
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val aggs = values.map { case (n, _) => sum(col(s"__v_$n")).as(s"__ps_$n") }
+    val offsets0 = withLocal.groupBy(col("__pid"))
+      .agg(aggs.head, aggs.tail: _*)
+    val offsets = values.foldLeft(offsets0) { case (d, (n, _)) =>
+      d.withColumn(s"__off_$n", sum(col(s"__ps_$n")).over(offW))
+        .withColumn(s"${n}_tot", sum(col(s"__ps_$n")).over(totW))
+    }.select(col("__pid") +: values.flatMap { case (n, _) =>
+      Seq(col(s"__off_$n"), col(s"${n}_tot")) }: _*)
+    val joined = withLocal.join(broadcast(offsets), Seq("__pid"))
+    val withBefore = values.foldLeft(joined) { case (d, (n, _)) =>
+      // null-safe zero of the SUM's own type (first partition / first row)
+      d.withColumn(s"${n}_before",
+        coalesce(col(s"__off_$n"), col(s"${n}_tot") - col(s"${n}_tot")) +
+          coalesce(col(s"__lb_$n"), col(s"${n}_tot") - col(s"${n}_tot")))
+    }
+    withBefore.drop("__pid")
+      .drop(values.flatMap { case (n, _) =>
+        Seq(s"__v_$n", s"__lb_$n", s"__off_$n", s"__ps_$n") }: _*)
+  }
+
   /** In-row canonical pair explosion over a SORTED DISTINCT array column:
     * every (a, b) with a before b, as structs. The 1-based slice start
     * (i + 2) against transform's 0-based index i is the load-bearing

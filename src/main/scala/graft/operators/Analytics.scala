@@ -1021,12 +1021,13 @@ object Analytics {
           .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ta"),
                sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("tb"))
           .withColumn("t", col("ta") + col("tb"))
-        val before = Window.orderBy(col("value"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val a = byV
-          .withColumn("ar2",
-            lit(2L) * coalesce(sum(col("t")).over(before), lit(0L))
-              + col("t") + 1L)
+        // the value domain is ~rows/3 on this fixture, NOT bounded: a bare
+        // ORDER BY value window is a SinglePartition sort of ~|corpus|
+        // distinct doubles (r13 audit) — two-pass H.prefixSums instead
+        // (long sums, associative, bit-identical)
+        val a = graft.H.prefixSums(byV, Seq(col("value")),
+                                   Seq("t" -> col("t")))
+          .withColumn("ar2", lit(2L) * col("t_before") + col("t") + 1L)
           .agg(sum(col("ta")).as("na"), sum(col("tb")).as("nb"),
                sum(col("ta") * col("ar2")).as("ra2"),
                // The t³ tie-correction term accumulates in DECIMAL(38,0),
@@ -1091,15 +1092,14 @@ object Analytics {
           .groupBy(col("value"))
           .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("ta"),
                sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("tb"))
-        val cum = Window.orderBy(col("value"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val full = Window.orderBy(col("value"))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val a = byV
-          .select(sum(col("ta")).over(cum).as("ca"),
-                  sum(col("tb")).over(cum).as("cb"),
-                  sum(col("ta")).over(full).as("na"),
-                  sum(col("tb")).over(full).as("nb"))
+        // same r13 two-pass rewrite as q_mannwhitney: the value domain is
+        // corpus-sized, so the cum/full windows ride H.prefixSums
+        // (inclusive cum = _before + value; totals come along free)
+        val a = graft.H.prefixSums(byV, Seq(col("value")),
+                                   Seq("ta" -> col("ta"), "tb" -> col("tb")))
+          .select((col("ta_before") + col("ta")).as("ca"),
+                  (col("tb_before") + col("tb")).as("cb"),
+                  col("ta_tot").as("na"), col("tb_tot").as("nb"))
           .groupBy(col("na"), col("nb"))
           .agg(max(abs(col("ca") * col("nb") - col("cb") * col("na")))
                  .as("dmax"))

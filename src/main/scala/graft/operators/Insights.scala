@@ -335,29 +335,15 @@ object Insights {
         // DISTRIBUTED global running sum (r13c-sf10 flag: the bare
         // `SUM OVER (ORDER BY rev DESC)` plans a SinglePartition window
         // — 20M parts through one spilling task at sf10, e = 1.51).
-        // Same two-pass shape as q_ntile_binning: range-repartition on
-        // the sort key, cumsum WITHIN each range partition, broadcast
-        // the 32-row per-partition totals back as exact decimal offsets.
-        // Decimal addition is associative, so offset + local cumsum is
+        // H.prefixSums: range-repartition on the sort key, cumsum WITHIN
+        // each range partition, broadcast per-partition decimal offsets;
+        // decimal addition is associative, so before + rev is
         // bit-identical to the single-partition spelling at any split.
-        val parted = pr.repartitionByRange(32, col("rev").desc, col("l_partkey"))
-          .withColumn("pid", spark_partition_id())
-        val localW = Window.partitionBy(col("pid"))
-          .orderBy(col("rev").desc, col("l_partkey"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val cum = parted.withColumn("lcum", sum(col("rev")).over(localW))
-        val w0 = Window.orderBy(col("pid"))
-        val offsets = cum.groupBy(col("pid")).agg(sum(col("rev")).as("psum"))
-          .withColumn("off", coalesce(sum(col("psum")).over(
-            w0.rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0).cast(H.D)))
-          .withColumn("tot", sum(col("psum")).over(
-            w0.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-          .select(col("pid"), col("off"), col("tot"))
-        cum.join(broadcast(offsets), Seq("pid"))
+        H.prefixSums(pr, Seq(col("rev").desc, col("l_partkey")),
+                     Seq("rev" -> col("rev")))
           .select(col("rev"),
-                  (col("off") + col("lcum")).cast("double").as("cum_d"),
-                  col("tot").cast("double").as("tot_d"))
+                  (col("rev_before") + col("rev")).cast("double").as("cum_d"),
+                  col("rev_tot").cast("double").as("tot_d"))
           .withColumn("band",
                       when(col("cum_d") <= col("tot_d") * 0.80, "A")
                         .when(col("cum_d") <= col("tot_d") * 0.95, "B")
@@ -456,11 +442,12 @@ object Insights {
 
     // RFM quartile scoring: recency / frequency / monetary per customer,
     // each ntile(4)-ranked with a custkey tiebreak so the quartile
-    // assignment is a pure function of the data. The three global ntile
-    // windows run over the customer-reduced table — at true 100 TB the
-    // exact rank would become a global sort of the customer dim; that is
-    // inherent to exact quartiles (the approx path would swap ntile for
-    // approx_percentile cutoffs, trading exactness for no global sort).
+    // assignment is a pure function of the data. r13: the three bare
+    // global NTILE windows were SinglePartition sorts of the customer
+    // dim — now three H.prefixSums rank passes (range-repartitioned,
+    // value = 1L so `_before` IS the 0-based global rank) + the
+    // q_ntile_binning bucket arithmetic, bit-identical to NTILE(4) (the
+    // oracle keeps the plain NTILE spelling and gates it).
     "q_rfm" -> Q(
       (s, dir) => {
         val o = Tables.orders(s, dir)
@@ -470,12 +457,23 @@ object Insights {
           .agg(datediff(min(col("ref")), max(col("o_orderdate"))).as("recency"),
                count(lit(1)).as("frequency"),
                sum(col("o_totalprice").cast(H.D)).as("mon_d"))
-        cust
-          .select(col("o_custkey"), col("recency"), col("frequency"),
+        def quartile(df: org.apache.spark.sql.DataFrame,
+                     ord: Seq[org.apache.spark.sql.Column], out: String) =
+          graft.H.prefixSums(df, ord, Seq("c" -> lit(1L)))
+            .withColumn(out, expr(
+              """CASE WHEN c_before < (c_tot % 4) * (c_tot DIV 4 + 1)
+                      THEN c_before DIV (c_tot DIV 4 + 1)
+                      ELSE (c_tot % 4) + (c_before - (c_tot % 4) * (c_tot DIV 4 + 1))
+                           DIV (c_tot DIV 4)
+                 END + 1""").cast("int"))
+            .drop("c_before", "c_tot")
+        val q3 = quartile(quartile(quartile(cust,
+          Seq(col("recency"), col("o_custkey")), "r_q"),
+          Seq(col("frequency").desc, col("o_custkey")), "f_q"),
+          Seq(col("mon_d").desc, col("o_custkey")), "m_q")
+        q3.select(col("o_custkey"), col("recency"), col("frequency"),
                   col("mon_d").cast("double").as("monetary"),
-                  ntile(4).over(Window.orderBy(col("recency"), col("o_custkey"))).as("r_q"),
-                  ntile(4).over(Window.orderBy(col("frequency").desc, col("o_custkey"))).as("f_q"),
-                  ntile(4).over(Window.orderBy(col("mon_d").desc, col("o_custkey"))).as("m_q"))
+                  col("r_q"), col("f_q"), col("m_q"))
           .withColumn("rfm", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
           .orderBy(col("o_custkey"))
       },

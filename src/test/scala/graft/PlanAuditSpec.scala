@@ -1329,14 +1329,26 @@ class PlanAuditSpec extends SparkSuite {
       s"standing-side structures (hash set / bloom / chunk store) not broadcast:\n$p")
   }
 
-  test("q_mannwhitney / q_ks_test: windows run over the value-domain table only") {
+  test("q_mannwhitney / q_ks_test: distributed prefix sums, no corpus-sized single-partition window") {
+    // r13: the value domain measured ~rows/3 — NOT the bounded table the
+    // pre-r13 audit assumed — so both keys moved onto H.prefixSums. The
+    // audit now pins the new shape: the only windows are the
+    // pid-partitioned local prefix and the ≤32-row offset table's (a
+    // SinglePartition window over the OFFSET rows is fine; one over the
+    // value domain is the cliff this rewrite removed), and the offsets
+    // come back via a broadcast join, never a shuffled one.
     Seq("q_mannwhitney", "q_ks_test").foreach { k =>
       val p = planOf(k)
-      assert(!p.contains("Join"), s"$k: rank stats must be join-free:\n$p")
-      // One shuffle to the value-domain reduce, one single-partition
-      // exchange for the global rank window, nothing else.
-      assert("Exchange".r.findAllIn(p).size <= 3,
-        s"$k: more shuffles than reduce + rank window:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$k: prefix offsets must re-attach via broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$k: offset join must not shuffle the value table:\n$p")
+      // every windowspecdefinition over row data must be pid-partitioned;
+      // the unpartitioned ones may only aggregate the __pid offset rows
+      val unpartitioned = "Window \\[[^\\n]*windowspecdefinition\\(__v"
+        .r.findAllIn(p).size
+      assert(unpartitioned == 0,
+        s"$k: an unpartitioned window still rides the value domain:\n$p")
       assert(p.contains("partial_sum") || p.contains("partial_count"),
         s"$k: value-domain reduce has no map-side combine:\n$p")
     }
