@@ -38,10 +38,12 @@ KEEP_VERBATIM = (
     "## Scale exponents r13b-sf10",
     "## Scale exponents r13c-sf10",
     "## Scale exponents r13d-sf10",
+    "## Scale exponents r13e-sf10",
+    "## Scale exponents r13f-sf10",
     "## fn_jaro_snm_w50 recall SLA closed r13",
     "## llm_mutual_nn_snm measured recall r13",
     "## Stream-side ingest funnel throughput r13",
-    "## Bench minima r13-canonical-b",
+    "## Bench minima r13-canonical-c",
     "## Round-13 closing summary",
 )
 
