@@ -54,13 +54,31 @@ object H {
     * single-partition spelling at any split; do not pass raw DOUBLE).
     * Inclusive cumsum = `<name>_before` + value. Shared by q_pareto /
     * q_ntile_binning-style ranks (value = lit(1L) makes `_before` the
-    * 0-based global rank), q_mannwhitney, q_ks_test, q_rfm. */
+    * 0-based global rank), q_mannwhitney, q_ks_test, q_rfm, q_gini.
+    *
+    * SINGLE-EVALUATION CUT (r14, ADVICE fix): the range-partitioned
+    * subplan is consumed TWICE — the per-pid offset aggregation and the
+    * probe side it broadcast-joins back to. `__pid` consistency between
+    * the branches requires both to read the SAME materialized shuffle:
+    * range boundaries are sampled per exchange instance (seeded by RDD
+    * id), so two independent exchanges could cut the key space
+    * differently and the prefix sums would silently misalign. Relying on
+    * Spark's exchange reuse to dedup the two branches is NOT enough —
+    * r14 observed column pruning specializing the offsets branch below
+    * its exchange (probe-only payload columns dropped), which broke
+    * canonical equality and left TWO independent range shuffles in the
+    * final plan. PlanCut.once rebases the partitioned frame onto its own
+    * evaluated RDD, so both branches share one shuffle dependency and
+    * one boundary sample by construction (see PlanCut's scaladoc for the
+    * trade against localCheckpoint/persist). PlanAuditSpec pins the
+    * resulting shape on every consumer key. */
   def prefixSums(df: DataFrame, sortCols: Seq[Column],
                  values: Seq[(String, Column)], parts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val parted = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val parted = org.apache.spark.sql.graft.PlanCut.once(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
     val localW = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = values.foldLeft(parted) { case (d, (n, v)) =>

@@ -747,8 +747,14 @@ object Analytics {
     "q_ntile_binning" -> Q(
       (s, dir) => {
         val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
-        val parted = o.repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
-          .withColumn("pid", spark_partition_id())
+        // PlanCut.once (r14): the pid-stamped frame feeds BOTH the offset
+        // aggregation and the probe join — same double-consumption hazard
+        // H.prefixSums carries (range boundaries re-sampled per exchange if
+        // the optimizer diverges the branches; observed live on
+        // q_mannwhitney). One evaluated RDD, shared by construction.
+        val parted = org.apache.spark.sql.graft.PlanCut.once(
+          o.repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
+            .withColumn("pid", spark_partition_id()))
         val localW = Window.partitionBy(col("pid"))
           .orderBy(col("o_totalprice"), col("o_orderkey"))
         val ranked = parted.withColumn("lrk", row_number().over(localW))

@@ -158,18 +158,22 @@ object Insights {
     // Gini coefficient of customer revenue concentration — the
     // inequality number next to q_pareto's ABC bands: with x sorted
     // ascending, G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx). Customers reduce
-    // first (the rank window sees the customer dim only — exact ranks
-    // need that sort, same inherent trade q_rfm documents); every product
-    // and sum stays in exact DECIMAL off the rank integers, so G is one
-    // deterministic decimal division cast to DOUBLE at the end.
+    // first, but the customer dim still grows with the corpus (1.5 M rows
+    // at sf10, unbounded at 100×), so the global rank comes from
+    // H.prefixSums (value = 1L ⇒ `c_before` is the 0-based rank under the
+    // same (x, custkey) total order — r14, the q_rfm rewrite applied
+    // here), never a bare Window.orderBy whose SinglePartition sort one
+    // task would own at any cluster size. Every product and sum stays in
+    // exact DECIMAL off the rank integers, so G is one deterministic
+    // decimal division cast to DOUBLE at the end.
     "q_gini" -> Q(
       (s, dir) => {
         val cust = Tables.orders(s, dir)
           .groupBy(col("o_custkey"))
           .agg(sum(col("o_totalprice").cast(H.D)).as("x"))
-        val rn = row_number().over(
-          Window.orderBy(col("x"), col("o_custkey")))
-        cust.withColumn("i", rn.cast("long"))
+        graft.H.prefixSums(cust, Seq(col("x"), col("o_custkey")),
+                           Seq("c" -> lit(1L)))
+          .withColumn("i", col("c_before") + lit(1L))
           .agg(count(lit(1)).as("n"),
                sum(col("x")).as("s"),
                sum(col("x") * col("i")).as("srx"))

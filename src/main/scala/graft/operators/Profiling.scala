@@ -395,10 +395,16 @@ object Profiling {
     "q_quantile_norm" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val parted = Tables.events(s, dir)
-          .select(col("event_type"), col("event_id"), col("value"))
-          .repartitionByRange(32, col("event_type"), col("value"), col("event_id"))
-          .withColumn("pid", spark_partition_id())
+        // PlanCut.once (r14): the pid-stamped frame feeds BOTH the offset
+        // aggregation and the probe join — same double-consumption hazard
+        // H.prefixSums carries (range boundaries re-sampled per exchange
+        // if the optimizer diverges the branches; observed live on
+        // q_mannwhitney). One evaluated RDD, shared by construction.
+        val parted = org.apache.spark.sql.graft.PlanCut.once(
+          Tables.events(s, dir)
+            .select(col("event_type"), col("event_id"), col("value"))
+            .repartitionByRange(32, col("event_type"), col("value"), col("event_id"))
+            .withColumn("pid", spark_partition_id()))
         val localW = Window.partitionBy(col("pid"), col("event_type"))
           .orderBy(col("value"), col("event_id"))
         val local = parted.withColumn("lrk", row_number().over(localW).cast("long"))

@@ -201,6 +201,41 @@ class PlanAuditSpec extends SparkSuite {
       s"corpus scan read more than the 9-cell hamming-1 ball: $partsRead\n$p")
   }
 
+  test("llm_ann_width8_r2: the 0.99-SLA operating point prunes to the " +
+       "hamming-2 ball — at most 37 of 256 cells via DPP (r14 VERDICT #4)") {
+    // The configuration a 100 TB deployment would run (BASELINE.md "ANN
+    // bucket-width curve r13": width 8, radius 2, measured recall 0.99):
+    // the 37-mask probe set is still a tiny broadcast, and the corpus
+    // scan must read at most those 37 directories (fewer when ball cells
+    // are unoccupied at this sf) — pruned at runtime from probe DATA.
+    graft.functions.Custom.register(spark)
+    val df = Registry.byName("llm_ann_width8_r2").fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"8-bit/r2 lake probe does not dynamically prune bucket partitions:\n$p")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case other => other.children.flatMap(scans)
+    }
+    val partsRead = scans(df.queryExecution.executedPlan)
+      .flatMap(_.metrics.get("numPartitions")).map(_.value)
+    assert(partsRead.nonEmpty && partsRead.min <= 37L,
+      s"corpus scan read more than the 37-cell hamming-2 ball: $partsRead\n$p")
+    // and the ball genuinely widens the probe vs hamming-1 (9 cells):
+    // the corpus-side read must be allowed to exceed 9 when occupied —
+    // pin the probe SET size on the broadcast side instead (37 masks).
+    assert(graft.llm.Similarity.ball8R2.size == 37 &&
+           graft.llm.Similarity.ball8R2.distinct.size == 37,
+      "ball8R2 must be the 37-mask hamming-2 ball")
+  }
+
   test("llm_split_clustersafe: label join broadcasts; no corpus self-join") {
     // The split must cost one broadcast label probe + the final groupBy —
     // a shuffled label join (labels are |clustered docs| ≪ corpus) or
@@ -1351,6 +1386,82 @@ class PlanAuditSpec extends SparkSuite {
         s"$k: an unpartitioned window still rides the value domain:\n$p")
       assert(p.contains("partial_sum") || p.contains("partial_count"),
         s"$k: value-domain reduce has no map-side combine:\n$p")
+    }
+  }
+
+  test("H.prefixSums consumers: both branches of every call read ONE " +
+       "evaluated RDD; no duplicated range shuffle (r14, ADVICE)") {
+    // r14 found the hazard LIVE in the declarative spelling: column
+    // pruning specialized the offsets branch below its range exchange
+    // (probe-only payload columns dropped), canonical equality broke, no
+    // exchange reuse fired, and the final plan ran TWO independent range
+    // shuffles whose boundaries are sampled with different RDD-id seeds
+    // — correct at small SF only because the sampler sees every row.
+    // The kernel now cuts the partitioned frame onto its own evaluated
+    // RDD (PlanCut.once), making divergence impossible by construction.
+    // This pin holds that shape: per prefixSums call, exactly one
+    // __pid-bearing RDD scan RDD INSTANCE, referenced by ≥2 plan paths
+    // (offset branch + probe branch), and zero range exchanges anywhere
+    // except the key's final global orderBy.
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+
+    def audit(root: SparkPlan): (Map[Int, Int], Set[Int]) = {
+      val rddVisits = scala.collection.mutable.Map.empty[Int, Int]
+      val rangeShuffles = scala.collection.mutable.Set.empty[Int]
+      def walk(p: SparkPlan, shadowed: Boolean): Unit = {
+        p match {
+          case s: RDDScanExec
+            if s.output.exists(a => a.name == "__pid" || a.name == "pid") =>
+            val id = System.identityHashCode(s.rdd)
+            rddVisits(id) = rddVisits.getOrElse(id, 0) + 1
+          case s: ShuffleExchangeExec
+            if s.outputPartitioning.isInstanceOf[RangePartitioning] && !shadowed =>
+            rangeShuffles += System.identityHashCode(s)
+          case _ =>
+        }
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan, shadowed)
+          case q: QueryStageExec => walk(q.plan, shadowed)
+          case r: ReusedExchangeExec => walk(r.child, shadowed = true)
+          case other => other.children.foreach(walk(_, shadowed))
+        }
+      }
+      walk(root, shadowed = false)
+      (rddVisits.toMap, rangeShuffles.toSet)
+    }
+
+    graft.functions.Custom.register(spark)
+    // (VISIBLE prefixSums cuts, final global orderBy sorts) per key.
+    // q_rfm nests three calls — pass N's cut evaluates pass N-1's plan
+    // inside its own inner QueryExecution, so only the outermost cut's
+    // RDD scan appears in the final plan; the inner passes run the same
+    // audited kernel shape.
+    Seq("q_gini" -> (1, 0), "q_pareto" -> (1, 1), "q_mannwhitney" -> (1, 0),
+        "q_ks_test" -> (1, 0), "q_rfm" -> (1, 1),
+        // the two hand-rolled pid-offset twins of the kernel (r14)
+        "q_ntile_binning" -> (1, 1), "q_quantile_norm" -> (1, 1)).foreach {
+      case (k, (calls, sorts)) =>
+        val df = Registry.byName(k).fn(spark, sf)
+        df.collect()
+        val (rddVisits, rangeShuffles) = audit(df.queryExecution.executedPlan)
+        assert(rddVisits.size == calls,
+          s"$k: expected $calls distinct __pid RDD(s) — one per " +
+            s"H.prefixSums call — got ${rddVisits.size}; two RDDs for one " +
+            s"call means the branches stopped sharing the evaluated " +
+            s"partitioning:\n" + df.queryExecution.executedPlan.toString)
+        assert(rddVisits.values.forall(_ >= 2),
+          s"$k: a prefixSums RDD is referenced by only one consumer " +
+            s"(visits ${rddVisits.values.toSeq.sorted}) — offset and probe " +
+            s"branches must both read the shared evaluated RDD:\n" +
+            df.queryExecution.executedPlan.toString)
+        assert(rangeShuffles.size == sorts,
+          s"$k: expected $sorts range exchange(s) (final orderBy only) in " +
+            s"the outer plan, got ${rangeShuffles.size} — a prefixSums " +
+            s"branch is re-range-partitioning instead of reading the " +
+            s"shared RDD:\n" + df.queryExecution.executedPlan.toString)
     }
   }
 }
