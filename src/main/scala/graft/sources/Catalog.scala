@@ -74,6 +74,52 @@ object Catalog {
     * metadata-only and rare relative to reads. */
   private val writerLock = new Object
 
+  /** Version stamp of tables.jsonl (its optional first header line) —
+    * the link between the checkpoint file and the history WAL that makes
+    * torn publishes recoverable (r14 crash-consistency): history is
+    * renamed BEFORE tables, so a writer dying between the two leaves
+    * history ahead; the stamp tells recovery exactly which suffix of the
+    * WAL the checkpoint is missing. None = legacy file (pre-r14, no
+    * header) or no file. */
+  private def tablesVersion(catalogDir: String): Option[Long] = {
+    val f = file(catalogDir)
+    if (!java.nio.file.Files.isRegularFile(f)) return None
+    val HeaderP = """\{"catalog_v":(\d+)\}""".r
+    scala.io.Source.fromFile(f.toFile, "UTF-8").getLines()
+      .take(1).toSeq.headOption.collect { case HeaderP(v) => v.toLong }
+  }
+
+  /** The CURRENT state a writer must build on — WAL-recovered (r14):
+    * normally just tables.jsonl, but when history carries versions newer
+    * than the checkpoint's stamp (a writer died between the history
+    * rename and the tables rename), those bindings replay on top, so the
+    * acknowledged-in-history mutation is never silently lost and the
+    * next publish re-checkpoints it. Legacy files without a stamp trust
+    * the checkpoint as-is (their history may be partial by design —
+    * pre-r13 catalogs start history at the first post-upgrade
+    * mutation, so full replay would LOSE pre-history entries). */
+  private def recoveredState(catalogDir: String): Seq[Entry] = {
+    val base = load(catalogDir)
+    tablesVersion(catalogDir) match {
+      case None => base
+      case Some(tblV) =>
+        val newer = loadHistory(catalogDir).filter(_.version > tblV)
+        if (newer.isEmpty) base
+        else {
+          val state = scala.collection.mutable.LinkedHashMap(
+            base.map(e => e.name -> e): _*)
+          newer.foreach { b =>
+            b.op match {
+              case "put"  => state(b.entry.name) = b.entry
+              case "drop" => state.remove(b.entry.name)
+              case _      =>
+            }
+          }
+          state.values.toSeq.sortBy(_.name)
+        }
+    }
+  }
+
   private def mutate(catalogDir: String)(f: Seq[Entry] => Seq[Entry]): Unit =
     writerLock.synchronized {
       val dir = java.nio.file.Paths.get(catalogDir)
@@ -88,7 +134,7 @@ object Catalog {
       try {
         val lk = ch.lock()
         try {
-          val cur = load(catalogDir)
+          val cur = recoveredState(catalogDir)
           val next = f(cur).sortBy(_.name)
           // Versioned history (r12 VERDICT #6 — time-travel reads): every
           // effective change appends put/drop lines at version = max + 1
@@ -99,9 +145,11 @@ object Catalog {
           val nextBy = next.map(e => e.name -> e).toMap
           val puts = next.filterNot(e => curBy.get(e.name).contains(e))
           val drops = cur.map(_.name).filterNot(nextBy.contains).sorted
+          val hist0 = loadHistory(catalogDir)
+          val curV = hist0.lastOption.map(_.version).getOrElse(0L)
           if (puts.nonEmpty || drops.nonEmpty) {
-            val hist = loadHistory(catalogDir)
-            val v = hist.lastOption.map(_.version).getOrElse(0L) + 1
+            val hist = hist0
+            val v = curV + 1
             // fixed-width millis (Instant.toString drops trailing zeros,
             // which breaks the lexicographic = chronological invariant
             // asOfTimestamp's string compare relies on)
@@ -119,9 +167,14 @@ object Catalog {
               java.nio.file.StandardCopyOption.ATOMIC_MOVE,
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           }
+          // checkpoint stamped with the version it reflects (the WAL-
+          // recovery link; a no-op mutation re-stamps the unchanged
+          // version, so idempotent re-registration stays byte-identical)
+          val stampV = if (puts.nonEmpty || drops.nonEmpty) curV + 1 else curV
           val tmp = dir.resolve(s".tables-${java.util.UUID.randomUUID}.tmp")
           java.nio.file.Files.writeString(tmp,
-            next.map(render).mkString("", "\n", "\n"))
+            (s"""{"catalog_v":$stampV}""" +: next.map(render))
+              .mkString("", "\n", "\n"))
           java.nio.file.Files.move(tmp, file(catalogDir),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -183,28 +236,43 @@ object Catalog {
   // as-of read plans exactly like a current read once the path resolves.
 
   private def renderHist(b: Binding): String =
-    if (b.op == "drop")
+    if (b.op == "horizon")
+      s"""{"v":${b.version},"ts":"${esc(b.ts)}","op":"horizon"}"""
+    else if (b.op == "drop")
       s"""{"v":${b.version},"ts":"${esc(b.ts)}","op":"drop","name":"${esc(b.entry.name)}"}"""
     else
       s"""{"v":${b.version},"ts":"${esc(b.ts)}","op":"put","name":"${esc(b.entry.name)}","format":"${esc(b.entry.format)}","path":"${esc(b.entry.path)}","partition_cols":[${b.entry.partitionCols.map(c => "\"" + esc(c) + "\"").mkString(",")}]}"""
 
   /** The full binding log, version-ordered (empty when the catalog has
     * no history yet — catalogs written before r13 keep working; their
-    * history starts at the first post-upgrade mutation). */
+    * history starts at the first post-upgrade mutation). STRICT (r14,
+    * ADVICE): unlike tables.jsonl — where a skipped line only omits a
+    * table — a silently dropped history line SHIFTS version replay, so
+    * as-of would return a wrong state instead of an error. Any non-empty
+    * line matching no known shape fails loudly. */
   def loadHistory(catalogDir: String): Seq[Binding] = {
     val f = histFile(catalogDir)
     if (!java.nio.file.Files.isRegularFile(f)) return Seq.empty
     val PutP = """\{"v":(\d+),"ts":"(.*?)","op":"put","name":"(.*?)","format":"(.*?)","path":"(.*?)","partition_cols":\[(.*?)\]\}""".r
     val DropP = """\{"v":(\d+),"ts":"(.*?)","op":"drop","name":"(.*?)"\}""".r
-    scala.io.Source.fromFile(f.toFile, "UTF-8").getLines().toSeq.collect {
-      case PutP(v, ts, n, fmt, p, cols) =>
-        val pc = if (cols.isEmpty) Seq.empty[String]
-                 else cols.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
-        Binding(v.toLong, unesc(ts), "put",
-                Entry(unesc(n), unesc(fmt), unesc(p), pc.map(unesc)))
-      case DropP(v, ts, n) =>
-        Binding(v.toLong, unesc(ts), "drop", Entry(unesc(n), "", "", Nil))
-    }
+    val HorizonP = """\{"v":(\d+),"ts":"(.*?)","op":"horizon"\}""".r
+    scala.io.Source.fromFile(f.toFile, "UTF-8").getLines().toSeq
+      .filter(_.nonEmpty).map {
+        case PutP(v, ts, n, fmt, p, cols) =>
+          val pc = if (cols.isEmpty) Seq.empty[String]
+                   else cols.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
+          Binding(v.toLong, unesc(ts), "put",
+                  Entry(unesc(n), unesc(fmt), unesc(p), pc.map(unesc)))
+        case DropP(v, ts, n) =>
+          Binding(v.toLong, unesc(ts), "drop", Entry(unesc(n), "", "", Nil))
+        case HorizonP(v, ts) =>
+          Binding(v.toLong, unesc(ts), "horizon", Entry("", "", "", Nil))
+        case bad =>
+          throw new IllegalStateException(
+            s"catalog $catalogDir history.jsonl is corrupted — " +
+            s"unparseable binding line (as-of replay would be wrong): " +
+            bad.take(200))
+      }
   }
 
   /** Latest catalog version (0 = never mutated). */
@@ -228,9 +296,10 @@ object Catalog {
       }
     val state = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
     hist.foreach { b =>
-      if (b.version <= version) {
-        if (b.op == "put") state(b.entry.name) = b.entry
-        else state.remove(b.entry.name)
+      if (b.version <= version) b.op match {
+        case "put"  => state(b.entry.name) = b.entry
+        case "drop" => state.remove(b.entry.name)
+        case _      => // "horizon": empty-checkpoint marker, no state change
       }
     }
     state.values.toSeq.sortBy(_.name)
@@ -298,11 +367,29 @@ object Catalog {
           // ORIGINAL ts (an audit log must not re-stamp history)
           val state = scala.collection.mutable.LinkedHashMap.empty[String, Binding]
           hist.takeWhile(_.version <= horizon).foreach { b =>
-            if (b.op == "put") state(b.entry.name) = b
-            else state.remove(b.entry.name)
+            b.op match {
+              case "put"  => state(b.entry.name) = b
+              case "drop" => state.remove(b.entry.name)
+              case _      => // "horizon" marker from a prior compact
+            }
           }
-          val checkpoint = state.values.toSeq.sortBy(_.entry.name)
+          // Empty checkpoint state + keepVersions small enough that no
+          // tail binding carries the horizon version would leave an
+          // EMPTY rewritten log: loadHistory → Nil, currentVersion → 0,
+          // vacuum detection lost, and the next mutation would re-issue
+          // version 1 — renumbering history (r14, ADVICE). An explicit
+          // horizon marker keeps the version line alive with no state
+          // effect; its ts is the last pre-horizon binding's original
+          // stamp (audit logs are never re-stamped).
+          val checkpoint0 = state.values.toSeq.sortBy(_.entry.name)
             .map(b => b.copy(version = horizon))
+          val checkpoint =
+            if (checkpoint0.nonEmpty) checkpoint0
+            else {
+              val ts = hist.takeWhile(_.version <= horizon)
+                .lastOption.map(_.ts).getOrElse("")
+              Seq(Binding(horizon, ts, "horizon", Entry("", "", "", Nil)))
+            }
           val tail = hist.filter(_.version > horizon)
           val htmp = dir.resolve(s".history-${java.util.UUID.randomUUID}.tmp")
           java.nio.file.Files.writeString(htmp,

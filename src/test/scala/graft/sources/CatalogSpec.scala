@@ -162,6 +162,78 @@ class CatalogSpec extends AnyFunSuite with graft.SparkSuite {
     assert(Catalog.loadHistory(dir) == hist)
   }
 
+  test("crash-consistency: stray tmp files from a pre-rename crash are " +
+       "invisible to readers and writers (r14 VERDICT #7)") {
+    val dir = tmpDir()
+    Catalog.register(dir, Seq(Catalog.Entry("a", "parquet", "/d/a", Nil)))
+    // a writer died after writing its temp files but before either rename
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".tables-deadbeef.tmp"), "{\"torn")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".history-deadbeef.tmp"), "{\"torn")
+    assert(Catalog.load(dir).map(_.name) == Seq("a"))
+    assert(Catalog.loadHistory(dir).map(_.version) == Seq(1L))
+    Catalog.register(dir, Seq(Catalog.Entry("b", "csv", "/d/b", Nil)))
+    assert(Catalog.load(dir).map(_.name) == Seq("a", "b"))
+    assert(Catalog.currentVersion(dir) == 2)
+  }
+
+  test("crash-consistency: a writer dying between the history rename and " +
+       "the tables rename loses nothing — readers see a complete state, " +
+       "as-of sees the acknowledged version, and the next mutation " +
+       "re-checkpoints the WAL suffix (r14 VERDICT #7)") {
+    val dir = tmpDir()
+    Catalog.register(dir, Seq(Catalog.Entry("a", "parquet", "/d/a", Nil))) // v1
+    val tablesV1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "tables.jsonl"))
+    Catalog.register(dir, Seq(Catalog.Entry("b", "csv", "/d/b", Nil)))     // v2
+    // simulate the crash: history already carries v2, but the tables
+    // checkpoint rename never happened — roll tables.jsonl back to v1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "tables.jsonl"), tablesV1)
+    // readers: complete (stale) state, never torn
+    assert(Catalog.load(dir).map(_.name) == Seq("a"))
+    // time travel: the acknowledged WAL version resolves
+    assert(Catalog.currentVersion(dir) == 2)
+    assert(Catalog.asOf(dir, 2).map(_.name) == Seq("a", "b"))
+    // the next mutation recovers the WAL suffix instead of building on
+    // the stale checkpoint (which would silently drop b from the state
+    // while history still replays it — permanent divergence)
+    Catalog.register(dir, Seq(Catalog.Entry("c", "json", "/d/c", Nil)))    // v3
+    assert(Catalog.load(dir).map(_.name) == Seq("a", "b", "c"))
+    assert(Catalog.currentVersion(dir) == 3)
+    assert(Catalog.asOf(dir, 3) == Catalog.load(dir))
+    // versions were never renumbered
+    assert(Catalog.loadHistory(dir).map(_.version).distinct == Seq(1L, 2L, 3L))
+  }
+
+  test("compact to an EMPTY horizon state keeps the version line alive " +
+       "via the horizon marker (r14, ADVICE)") {
+    val dir = tmpDir()
+    Catalog.register(dir, Seq(Catalog.Entry("a", "parquet", "/d/a", Nil))) // v1
+    assert(Catalog.drop(dir, "a"))                                          // v2
+    val horizon = Catalog.compact(dir, keepVersions = 1)
+    assert(horizon == 2)
+    // the rewritten log is NOT empty: the marker holds the version line
+    assert(Catalog.currentVersion(dir) == 2)
+    assert(Catalog.asOf(dir, 2).isEmpty)
+    intercept[NoSuchElementException] { Catalog.asOf(dir, 1) } // vacuumed
+    // versions are never re-issued: the next mutation is v3, not v1
+    Catalog.register(dir, Seq(Catalog.Entry("b", "csv", "/d/b", Nil)))
+    assert(Catalog.currentVersion(dir) == 3)
+    assert(Catalog.asOf(dir, 3).map(_.name) == Seq("b"))
+  }
+
+  test("loadHistory fails loudly on a corrupted binding line (r14, ADVICE)") {
+    val dir = tmpDir()
+    Catalog.register(dir, Seq(Catalog.Entry("a", "parquet", "/d/a", Nil)))
+    val hf = java.nio.file.Paths.get(dir, "history.jsonl")
+    java.nio.file.Files.writeString(hf,
+      java.nio.file.Files.readString(hf) + "{\"v\":2,\"op\":\"putx\" GARBAGE\n")
+    val e = intercept[IllegalStateException] { Catalog.loadHistory(dir) }
+    assert(e.getMessage.contains("corrupted"))
+  }
+
   test("open/attach resolve from a session that never registered anything") {
     val dir = tmpDir()
     val data = java.nio.file.Files.createTempDirectory("graft-cat-data").toString
