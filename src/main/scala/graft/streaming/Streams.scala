@@ -492,8 +492,15 @@ object Streams {
                    outDir: String, checkpointDir: String,
                    maxFilesPerTrigger: Int = 1): StreamingQuery = {
     val idx = graft.llm.Dedup.standingIndexOf(standFeat)
-    Seq(idx.standH, idx.bloom, idx.standC).foreach(_.persist().count())
-    fileStream(spark, incomingDir, docSchema, maxFilesPerTrigger)
+    val pinned = Seq(idx.standH, idx.bloom, idx.standC)
+    pinned.foreach(_.persist().count())
+    // Index lifecycle (r14, ADVICE): the three persisted frames must not
+    // outlive the query — every funnel (re)start (checkpoint-restart in
+    // StreamingSpec, a nightly rerun in production) would otherwise pin a
+    // fresh generation of cached blocks for the session lifetime. A
+    // terminated query (graceful or failed) releases its own index here;
+    // the listener self-removes so restarts don't stack listeners.
+    val q = fileStream(spark, incomingDir, docSchema, maxFilesPerTrigger)
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", "1 hour")
       .dropDuplicatesWithinWatermark("doc_id")
@@ -510,6 +517,20 @@ object Streams {
         ()
       }
       .start()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == q.id) {
+          pinned.foreach(_.unpersist(blocking = false))
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    q
   }
 
   /** st_catalog_publish (r13): streaming SNAPSHOT-PUBLISH through the
