@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Measured recall of the linear mutual-NN plan (llm_mutual_nn_snm,
-  * sorted-neighborhood W = 16) against the exact banded key
+  * multi-pass sorted-neighborhood, P = 8 projections × W = 24 window —
+  * the constants live at the definition site) against the exact banded key
   * (llm_mutual_nn) — the fn_jaro_snm discipline applied to vectors:
   * the exact key is the Σ block² ground truth (adjudicated
   * exact-anchor after the r13c-sf10 e = 1.73 flag), the sibling is the

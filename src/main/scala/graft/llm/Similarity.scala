@@ -161,6 +161,16 @@ object Similarity {
     * recall-SLA ball is defined exactly once. */
   private val ballMasks = Seq(0, 1, 2, 4, 8, 3, 5, 6, 9, 10, 12, 7, 11, 13, 14)
 
+  /** Hamming-≤2 ball over the 8-BIT code: 1 + 8 + C(8,2) = 37 XOR masks
+    * — the 0.99-recall-SLA operating point of the measured width curve
+    * (BASELINE.md "ANN bucket-width curve r13"); shared by
+    * llm_ann_width8_r2's plan and its oracle so the ball is defined
+    * exactly once. */
+  private[graft] val ball8R2: Seq[Int] =
+    0 +: ((0 until 8).map(1 << _) ++
+      (for { i <- 0 until 8; j <- (i + 1) until 8 }
+        yield (1 << i) | (1 << j)))
+
   /** 4-bit hyperplane sign code over the first 4 dims. */
   private val codeE =
     """CAST(CASE WHEN element_at(embedding, 1) > 0 THEN 8 ELSE 0 END +
@@ -485,6 +495,63 @@ object Similarity {
                ORDER BY cos DESC, vec_id
                LIMIT 10""")),
 
+    // The 0.99-SLA OPERATING POINT of the measured width curve as a
+    // declared key (r14 VERDICT #4): BASELINE.md "ANN bucket-width curve
+    // r13" names (8 bits, hamming-2) as the configuration a 100 TB
+    // deployment would run — recall 0.99 at 37/256 cells vs the 4-bit
+    // lake's 11/16 for the same SLA, i.e. ~5x less of the corpus read
+    // per probe. Same mechanics as llm_ann_width8: the 37 XOR masks
+    // (1 + 8 singles + 28 doubles, ball8R2) ride the broadcast probe
+    // join as DATA, the corpus scan prunes to the ball via DPP
+    // (PlanAuditSpec pins ≤37 of 256 directories), and the oracle
+    // recomputes the 8-bit code and the full ball densely in SQL.
+    "llm_ann_width8_r2" -> Q(
+      (s, dir) => {
+        graft.functions.Custom.register(s)
+        val lake = annLakeW(s, dir, 8)
+        val q = lake.filter(col("vec_id") === 0)
+          .withColumn("q_nrm", expr(normE))
+          .select(col("embedding").as("q_emb"), col("q_nrm"),
+                  explode(array(ball8R2.map(lit(_)): _*)).as("flip"),
+                  col("bucket").as("q_bucket"))
+          .select(col("q_emb"), col("q_nrm"),
+                  col("q_bucket").bitwiseXOR(col("flip")).as("probe"))
+        lake.filter(col("vec_id") =!= 0)
+          .join(broadcast(q), col("bucket") === col("probe"))
+          .withColumn("nrm", expr(normE))
+          .withColumn("cos", round(
+            expr(dotE("embedding", "q_emb")) / (col("nrm") * col("q_nrm")), 6))
+          .select(col("vec_id"), col("label"), col("bucket"), col("cos"))
+          .orderBy(col("cos").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH n AS (SELECT vec_id, label, embedding, $duckNorm AS nrm,
+                                 CAST(CASE WHEN embedding[1] > 0 THEN 128 ELSE 0 END +
+                                      CASE WHEN embedding[2] > 0 THEN 64 ELSE 0 END +
+                                      CASE WHEN embedding[3] > 0 THEN 32 ELSE 0 END +
+                                      CASE WHEN embedding[4] > 0 THEN 16 ELSE 0 END +
+                                      CASE WHEN embedding[5] > 0 THEN 8 ELSE 0 END +
+                                      CASE WHEN embedding[6] > 0 THEN 4 ELSE 0 END +
+                                      CASE WHEN embedding[7] > 0 THEN 2 ELSE 0 END +
+                                      CASE WHEN embedding[8] > 0 THEN 1 ELSE 0 END AS INT)
+                                   AS bucket
+                          FROM embeddings),
+               q AS (SELECT embedding AS q_emb, nrm AS q_nrm, bucket AS q_bucket
+                     FROM n WHERE vec_id = 0),
+               probes AS (SELECT q_emb, q_nrm,
+                                 unnest([${ball8R2.map(m =>
+                                   if (m == 0) "q_bucket"
+                                   else s"xor(q_bucket, $m)").mkString(", ")}])
+                                   AS probe
+                          FROM q)
+               SELECT vec_id, label, bucket,
+                      round(${duckDot("n.embedding", "probes.q_emb")}
+                            / (n.nrm * probes.q_nrm), 6) AS cos
+               FROM n, probes
+               WHERE vec_id <> 0 AND bucket = probe
+               ORDER BY cos DESC, vec_id
+               LIMIT 10""")),
+
     // The recall-SLA probe over the SAME lake: llm_ann_partitioned
     // declares the layout + pruning mechanics at hamming-1 (5/16
     // directories, where pruning is most visible); this row proves the
@@ -615,12 +682,13 @@ object Similarity {
     // copy stays inside the 0.2 threshold, so block sizes grow ×10 per
     // decade and candidates ×100; the exact key is hereby adjudicated
     // an exact-anchor in KEYS.md, same discipline as fn_jaro). This is
-    // the fn_jaro_snm move applied to vectors: within each label, sort
-    // ONCE by the normalized first coordinate (round(x₁/‖v‖, 6) — a
-    // monotone proxy for the same θ the banded join buckets on, rounded
-    // so both engines sort identically; vec_id tiebreak), score each
-    // vector against only its next W = 16 neighbors, then the identical
-    // top-1 + mutual filter as the exact key. rows × W cosines — linear
+    // the fn_jaro_snm move applied to vectors, MULTI-PASS: within each
+    // label, P = 8 sort passes — pass j orders by the j-th normalized
+    // coordinate (round(xⱼ/‖v‖, 6), rounded so both engines sort
+    // identically; vec_id tiebreak; the passes are DATA, one windowed
+    // plan partitioned by (label, j)) — and each pass scores a vector
+    // against only its next W = 24 neighbors, then the identical
+    // top-1 + mutual filter as the exact key. rows × P·W cosines — linear
     // for ANY block-size distribution. Near-identical replicas land
     // ADJACENT in the sort, so the window keeps exactly the pairs the
     // mutual filter can ever emit; recall vs the exact key is MEASURED
