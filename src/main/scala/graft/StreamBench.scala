@@ -52,13 +52,26 @@ object StreamBench {
     val q = graft.streaming.Streams.ingestFunnel(
       spark, inDir, docs.schema, standFeat, outDir, ckpt,
       maxFilesPerTrigger = 1)
-    try q.processAllAvailable() finally q.stop()
+    // dedup-state telemetry (r14 VERDICT #5): numRowsTotal per batch from
+    // the progress feed — the replay arrives entirely inside the 1 h
+    // watermark horizon, so state must grow to exactly the distinct
+    // doc_ids seen (bounded by the horizon's arrivals, never more), and a
+    // checkpoint-restart of the same files must add none.
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      q.processAllAvailable()
+      q.recentProgress.foreach { p =>
+        p.stateOperators.foreach(so => stateRows += so.numRowsTotal)
+      }
+    } finally q.stop()
     val tStream = (System.nanoTime() - t0) / 1e9
 
     val batchDirs = new java.io.File(outDir).listFiles()
       .filter(_.getName.startsWith("batch_")).map(_.toString).sorted
     val outRows = spark.read.parquet(batchDirs: _*).count()
-    println(f"""{"metric":"stream_ingest_funnel","dir":"$dir","n_docs":$nDocs,"n_files":$nFiles,"n_batches":${batchDirs.length},"t_feat_read_s":$tIdx%.2f,"t_stream_s":$tStream%.2f,"docs_per_s":${nDocs / tStream}%.0f,"s_per_batch":${tStream / math.max(1, batchDirs.length)}%.2f,"out_rows":$outRows,"complete":${outRows == nDocs}}""")
+    val stateLast = stateRows.lastOption.getOrElse(0L)
+    val stateMax = if (stateRows.isEmpty) 0L else stateRows.max
+    println(f"""{"metric":"stream_ingest_funnel","dir":"$dir","n_docs":$nDocs,"n_files":$nFiles,"n_batches":${batchDirs.length},"t_feat_read_s":$tIdx%.2f,"t_stream_s":$tStream%.2f,"docs_per_s":${nDocs / tStream}%.0f,"s_per_batch":${tStream / math.max(1, batchDirs.length)}%.2f,"out_rows":$outRows,"complete":${outRows == nDocs},"state_rows_last":$stateLast,"state_rows_max":$stateMax,"state_bounded":${stateMax <= nDocs}}""")
     spark.stop()
   }
 }
