@@ -511,9 +511,24 @@ object Streams {
         // the micro-batch session is a clone — re-register the kernels
         // (idempotent) so featurize's tid60/shingles3 resolve
         graft.functions.Custom.register(batch.sparkSession)
-        graft.llm.Dedup.ingestVerdicts(
-            graft.llm.Dedup.featurize(batch.drop("ingest_ts")), idx)
-          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        // PIN the batch before fanning out (r14): the verdict pipeline
+        // runs several jobs over this frame (featurization, the
+        // broadcast probe builds, the final write), and EVERY job would
+        // otherwise re-execute the upstream stateful dedup scan —
+        // observed as numRowsTotal = 3x the batch's docs (the same
+        // version triple-committed) and, at sf10, as a hard deadlock
+        // (CANNOT_LOAD_STATE_STORE.UNRELEASED_THREAD_ERROR: concurrent
+        // re-executions of one batch racing the per-partition RocksDB
+        // stamp). persist + count materializes the state scan exactly
+        // once; everything downstream reads the cache, and the cache is
+        // dropped when the batch's work is done.
+        val pinned = batch.drop("ingest_ts").persist()
+        try {
+          pinned.count()
+          graft.llm.Dedup.ingestVerdicts(
+              graft.llm.Dedup.featurize(pinned), idx)
+            .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+        } finally pinned.unpersist(blocking = false)
         ()
       }
       .start()
