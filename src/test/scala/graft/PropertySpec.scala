@@ -465,4 +465,67 @@ class PropertySpec extends SparkSuite {
     assert(rows("q_spearman", sf) == rows("q_spearman", dir),
       "Spearman's rho changed under monotone transforms of both variables")
   }
+
+  for (seed <- Seq(3, 19); parts <- Seq(2, 7, 32)) {
+    test(s"H.prefixSums == single-partition window spelling, bit-exact " +
+         s"(seed=$seed, parts=$parts)") {
+      // The r14 kernel contract, checked directly: for LONG values and a
+      // total sort order, the distributed two-pass prefix sums must be
+      // BIT-IDENTICAL to the bare Window.orderBy spelling at ANY
+      // partition count (sum associativity) — and independent of
+      // exchange reuse, since PlanCut evaluates the partitioned frame
+      // once by construction.
+      import org.apache.spark.sql.expressions.Window
+      val rnd = new scala.util.Random(seed)
+      val df = Seq.fill(700)((rnd.nextInt(40).toLong, rnd.nextLong() % 1000))
+        .zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "v", "id")
+      val got = graft.H.prefixSums(df, Seq($"k", $"id"),
+          Seq("v" -> $"v", "c" -> org.apache.spark.sql.functions.lit(1L)),
+          parts = parts)
+        .select($"id", $"v_before", $"v_tot", $"c_before")
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.toString).getOrElse("null"),
+          r.getLong(2), r.getLong(3))).toSet
+      val w = Window.orderBy($"k", $"id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val all = Window.orderBy($"k", $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val want = df.select($"id",
+          org.apache.spark.sql.functions.sum($"v").over(w).as("v_before"),
+          org.apache.spark.sql.functions.sum($"v").over(all).as("v_tot"),
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.lit(1L)).over(w),
+            org.apache.spark.sql.functions.lit(0L)).as("c_before"))
+        .collect().map(r => (r.getLong(0),
+          Option(r.get(1)).map(_.toString).getOrElse("null"),
+          r.getLong(2), r.getLong(3))).toSet
+      // the kernel's _before is null-free (coalesced to the sum type's
+      // zero); normalize the window side's leading null the same way
+      val wantNorm = want.map { case (id, vb, vt, cb) =>
+        (id, if (vb == "null") "0" else vb, vt, cb) }
+      val gotNorm = got.map { case (id, vb, vt, cb) =>
+        (id, if (vb == "null") "0" else vb, vt, cb) }
+      assert(gotNorm == wantNorm,
+        s"prefixSums diverged from the window spelling at parts=$parts")
+    }
+  }
+
+  test("H.prefixSums is correct with exchange reuse DISABLED (r14: the " +
+       "kernel no longer depends on plan-level dedup)") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.exchange.reuse", "false")
+    import org.apache.spark.sql.functions._
+    val df = s2.range(500).select(col("id"),
+      (col("id") * 37 % 101).as("v"))
+    val out = graft.H.prefixSums(df, Seq(col("v"), col("id")),
+        Seq("c" -> lit(1L)))
+      .agg(sum(col("c_before") * col("v")).as("s")).collect()(0).getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("id"))
+    val want = df.select(((row_number().over(w) - 1) * col("v")).as("t"))
+      .agg(sum(col("t"))).collect()(0).getLong(0)
+    assert(out == want, "prefixSums wrong under exchange.reuse=false")
+  }
 }
