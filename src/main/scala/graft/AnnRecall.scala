@@ -199,6 +199,7 @@ object AnnRecall {
     val widths = args.find(_.startsWith("--widths"))
       .map(_.split("=")(1).split(",").toSeq.map(_.trim.toInt))
     val dir = pos.lift(0).getOrElse("/root/testdata/sf0.1")
+    sys.props("graft.fixtures.sf") = dir // r14: sf-scoped fixture tree
     val centers = pos.lift(1).map(_.toInt).getOrElse(64)
     val members = pos.lift(2).map(_.toInt).getOrElse(16)
     // epsScale > 1 loosens the planted clusters (bigger θ, more bucket

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
 object MnnRecall {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    sys.props("graft.fixtures.sf") = dir // r14: sf-scoped fixture tree
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -53,6 +53,7 @@ import org.apache.spark.sql.functions._
 object ScaleRecall {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    sys.props("graft.fixtures.sf") = dir // r14: sf-scoped fixture tree
     val dedupOnly = args.contains("--dedup-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

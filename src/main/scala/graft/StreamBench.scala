@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
 object StreamBench {
   def main(args: Array[String]): Unit = {
     val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    sys.props("graft.fixtures.sf") = dir // r14: sf-scoped fixture tree
     val nFiles = args.lift(1).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

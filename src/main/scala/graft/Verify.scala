@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
+    // must precede any Registry/Scans access: fixture paths (and the
+    // oracle SQL that embeds them) are scoped by this scale tag (r14)
+    sys.props("graft.fixtures.sf") = sfDir
     val only = args.drop(2).toSet // optional key subset for local iteration
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -568,7 +568,14 @@ object Aggs {
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("cast(round(hll_sketch_estimate(hll_sketch_agg(l_suppkey, 12))) as bigint)")
+          // lgK 14 (r14; was 12): the oracle asserts the sketches sit in
+          // their EXACT regime at the gated sfs — at sf0.1 the distinct
+          // suppkeys (~1000 per flag) left lgK 12's coupon-exact range
+          // and the estimate read 996 vs 1000. lgK 14 keeps the sketch
+          // exact well past the sf0.1 cardinality; beyond the exact
+          // regime an HLL estimate can never hash-match another engine's
+          // exact count — that boundary IS the declared contract.
+          expr("cast(round(hll_sketch_estimate(hll_sketch_agg(l_suppkey, 14))) as bigint)")
             .as("hll_nd"),
           expr("cast(round(theta_sketch_estimate(theta_sketch_agg(l_suppkey))) as bigint)")
             .as("theta_nd"),

@@ -61,9 +61,15 @@ object Trends {
     // the detrended series, residual = what's left — the three-lane
     // series view behind anomaly triage (is the spike trend, weekday, or
     // noise?). Orders reduce to the day table before the one ordered
-    // window; the 7-row DOW profile broadcasts back. Every lane stays in
-    // the proven DECIMAL(38,4) avg lanes (the q_seasonal_idx spelling) so
-    // all ~2.4k rows pin bit-exact; doubles appear only on emit.
+    // window; the 7-row DOW profile broadcasts back. r14 hardening: the
+    // old spelling divided DECIMALs and re-rounded to scale 4 on both
+    // engines — at sf0.1 one dow mean landed on a rounding tie and the
+    // engines split it differently (343 rows off by 1e-4). There is now
+    // NO decimal division anywhere: every mean is kept as an exact
+    // integer-scaled NUMERATOR (det x 420/cnt — 420 = lcm(4..7), the
+    // only window counts the ±3 frame produces), decimal sums stay
+    // associative/exact, and the single division per lane happens in
+    // IEEE DOUBLE at emit, where both engines round identically.
     "q_seasonal_decompose" -> Q(
       (s, dir) => {
         val daily = Tables.orders(s, dir)
@@ -71,17 +77,21 @@ object Trends {
           .agg(sum(col("o_totalprice").cast(H.D)).as("revd"))
         val fr = Window.orderBy(col("day")).rowsBetween(-3, 3)
         val t = daily
-          .withColumn("trend", (sum(col("revd")).over(fr) /
-                                count(lit(1)).over(fr)).cast(H.D))
+          .withColumn("tnum", sum(col("revd")).over(fr))
+          .withColumn("cnt", count(lit(1)).over(fr))
           .withColumn("dow", dayofweek(col("day")))
-          .withColumn("det", col("revd") - col("trend"))
+          .withColumn("dets", col("revd") * col("cnt") - col("tnum"))
         val seas = t.groupBy(col("dow"))
-          .agg((sum(col("det")) / count(lit(1))).cast(H.D).as("seasonal"))
+          .agg(sum(col("dets") * expr("420 div cnt")).as("snum"),
+               count(lit(1)).as("n"))
         t.join(broadcast(seas), Seq("dow"))
           .select(col("day"), col("revd").cast("double").as("rev"),
-                  col("trend").cast("double").as("trend"),
-                  col("seasonal").cast("double").as("seasonal"),
-                  (col("det") - col("seasonal")).cast("double").as("residual"))
+                  (col("tnum").cast("double") / col("cnt")).as("trend"),
+                  (col("snum").cast("double") / (col("n") * 420.0))
+                    .as("seasonal"),
+                  (col("dets").cast("double") / col("cnt") -
+                   col("snum").cast("double") / (col("n") * 420.0))
+                    .as("residual"))
           .orderBy(col("day"))
       },
       Some("""WITH d AS (SELECT date_trunc('day', o_orderdate) AS day,
@@ -89,21 +99,22 @@ object Trends {
                                   AS revd
                          FROM orders GROUP BY 1),
                    t AS (SELECT day, revd,
-                                CAST(SUM(revd) OVER w / COUNT(*) OVER w
-                                     AS DECIMAL(38,4)) AS trend,
+                                SUM(revd) OVER w AS tnum,
+                                COUNT(*) OVER w AS cnt,
                                 dayofweek(day) + 1 AS dow
                          FROM d
                          WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
                                       AND 3 FOLLOWING)),
-                   t2 AS (SELECT day, revd, trend, dow,
-                                 revd - trend AS det FROM t),
-                   s AS (SELECT dow, CAST(SUM(det) / COUNT(*)
-                                          AS DECIMAL(38,4)) AS seasonal
+                   t2 AS (SELECT day, revd, tnum, cnt, dow,
+                                 revd * cnt - tnum AS dets FROM t),
+                   s AS (SELECT dow, SUM(dets * (420 // cnt)) AS snum,
+                                COUNT(*) AS n
                          FROM t2 GROUP BY 1)
               SELECT day, CAST(revd AS DOUBLE) AS rev,
-                     CAST(trend AS DOUBLE) AS trend,
-                     CAST(seasonal AS DOUBLE) AS seasonal,
-                     CAST(det - seasonal AS DOUBLE) AS residual
+                     CAST(tnum AS DOUBLE) / cnt AS trend,
+                     CAST(snum AS DOUBLE) / (n * 420.0) AS seasonal,
+                     CAST(dets AS DOUBLE) / cnt
+                       - CAST(snum AS DOUBLE) / (n * 420.0) AS residual
               FROM t2 JOIN s USING (dow)
               ORDER BY day""")),
 

@@ -191,12 +191,15 @@ object Windows {
           .withColumn("n", count(lit(1)).over(w))
           .withColumn("s1", sum(d).over(w).cast("double"))
           .withColumn("s2", sum(d * d).over(w).cast("double"))
+          // + 0.0 normalizes IEEE negative zero (r14: a z that rounds to
+          // -0.0 printed '-0.0' on one engine and '0.0' on the other at
+          // sf0.1 — identity for every other finite double)
           .withColumn("z",
             when(col("n") >= 3,
               round((col("value") - col("s1") / col("n")) /
                     sqrt(greatest(
                       (col("s2") - col("s1") * col("s1") / col("n")) / col("n"),
-                      lit(1e-12))), 6)))
+                      lit(1e-12))), 6) + lit(0.0)))
           .select(col("user_id"), col("event_id"), col("value"),
                   col("z"), (col("z").isNotNull && abs(col("z")) > 2.0).as("is_spike"))
           .orderBy(col("user_id"), col("event_id"))
@@ -216,7 +219,7 @@ object Windows {
                            CASE WHEN n >= 3 THEN
                              round((value - s1 / n)
                                    / sqrt(greatest((s2 - s1 * s1 / n) / n,
-                                                   1e-12)), 6)
+                                                   1e-12)), 6) + 0.0
                            END AS z
                     FROM f)
               SELECT user_id, event_id, value, z,

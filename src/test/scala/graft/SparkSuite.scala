@@ -7,6 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared fixture: one local session per suite, UTC + ns-hazard configs
   * pinned the same way every real entry point pins them. */
 trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
+  // fixture scale tag (r14): every suite runs sf0.001; pins the suite
+  // JVM's fixture tree apart from any concurrent Verify/Bench at other
+  // sfs (idempotent — Fixtures.dir latches on first use)
+  sys.props("graft.fixtures.sf") = "/root/testdata/sf0.001"
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName(getClass.getSimpleName)
