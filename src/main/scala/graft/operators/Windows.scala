@@ -80,6 +80,82 @@ object Windows {
               WHERE rnk <= 100
               ORDER BY o_orderpriority, rnk""")),
 
+    // The DISTRIBUTED spelling of q_win_rank (r14): same answer, same
+    // oracle SQL, but no few-partition window anywhere — the scale path
+    // the WindowScaleGuardSpec allowlist entry promises. The ordering
+    // (price DESC, key) is a total order, so RANK = DENSE_RANK =
+    // ROW_NUMBER = #rows strictly ahead + position within the price tie:
+    //  - the (grp, price) VALUE table gets per-group rows-before via the
+    //    pid two-pass pattern (range-repartition, local prefix over cnt,
+    //    per-group broadcast offsets — PlanCut-pinned like every pid
+    //    kernel);
+    //  - the within-tie position is a window partitioned by
+    //    (grp, price) — corpus-cardinality partitioning, distributes;
+    //  - PERCENT_RANK/NTILE are then pure arithmetic on the global rank
+    //    (the q_rfm bucket formula) against broadcast group counts.
+    "q_win_rank_dist" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("grp"),
+                  col("o_orderkey").as("key"),
+                  col("o_totalprice").as("price"))
+        val vals = o.groupBy(col("grp"), col("price"))
+          .agg(count(lit(1)).as("cnt"))
+        val parted = org.apache.spark.sql.graft.PlanCut.once(
+          vals.repartitionByRange(32, col("grp"), col("price").desc)
+            .withColumn("pid", spark_partition_id()))
+        val localW = Window.partitionBy(col("pid"), col("grp"))
+          .orderBy(col("price").desc)
+        val local = parted.withColumn("lrows",
+          coalesce(sum(col("cnt")).over(
+            localW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        val offW = Window.partitionBy(col("grp")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = local.groupBy(col("pid"), col("grp"))
+          .agg(sum(col("cnt")).as("prows"))
+          .withColumn("orow", coalesce(sum(col("prows")).over(offW), lit(0L)))
+          .select(col("pid"), col("grp"), col("orow"))
+        val ranked = local.join(broadcast(offs), Seq("pid", "grp"))
+          .select(col("grp"), col("price"),
+                  (col("orow") + col("lrows")).as("rows_before"))
+        val ngrp = o.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+        val tieW = Window.partitionBy(col("grp"), col("price"))
+          .orderBy(col("key"))
+        o.join(ranked, Seq("grp", "price"))
+          .join(broadcast(ngrp), Seq("grp"))
+          .withColumn("rnk",
+            col("rows_before") + row_number().over(tieW).cast("long"))
+          .withColumn("r0", col("rnk") - 1L)
+          .withColumn("quartile", expr(
+            """CASE WHEN r0 < (n % 4) * (n DIV 4 + 1)
+                    THEN r0 DIV (n DIV 4 + 1)
+                    ELSE (n % 4) + (r0 - (n % 4) * (n DIV 4 + 1))
+                         DIV (n DIV 4)
+               END + 1""").cast("int"))
+          .filter(col("rnk") <= 100)
+          .select(col("grp").as("o_orderpriority"),
+                  col("key").as("o_orderkey"),
+                  col("price").as("o_totalprice"),
+                  col("rnk").cast("int").as("rnk"),
+                  col("rnk").cast("int").as("drnk"),
+                  when(col("n") > 1,
+                    col("r0").cast("double") / (col("n") - 1L).cast("double"))
+                    .otherwise(lit(0.0)).as("prnk"),
+                  col("quartile"))
+          .orderBy(col("o_orderpriority"), col("rnk"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk, prnk, quartile FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       RANK() OVER w AS rnk,
+                       DENSE_RANK() OVER w AS drnk,
+                       PERCENT_RANK() OVER w AS prnk,
+                       NTILE(4) OVER w AS quartile
+                FROM orders
+                WINDOW w AS (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey))
+              WHERE rnk <= 100
+              ORDER BY o_orderpriority, rnk""")),
+
     // Per-user inter-event gap — the sessionization building block.
     "q_win_lag_lead" -> Q(
       { (s, dir) =>

@@ -44,9 +44,9 @@ class WindowScaleGuardSpec extends SparkSuite {
       "percent_rank/ntile surface over the 5-value o_orderpriority " +
       "partition (orders 1500 -> 15000 rows, sf0.001 -> sf0.01); " +
       "percent_rank/ntile are intrinsically whole-group. The " +
-      "distributed spelling of the same semantics ships in the " +
-      "two-pass kernels (q_rfm NTILE, q_quantile_norm per-group rank); " +
-      "this key pins the native operators against the oracle."),
+      "distributed spelling of the SAME query ships as q_win_rank_dist " +
+      "(r14, identical oracle SQL, no few-partition window); this key " +
+      "pins the native operators against the oracle."),
     "q_win_nav" -> ("declares Spark's NATIVE first/last/nth_value/" +
       "cume_dist surface over the same 5-partition demo grouping " +
       "(orders 1500 -> 15000 rows); cume_dist is intrinsically " +
