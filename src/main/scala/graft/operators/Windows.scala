@@ -9,6 +9,52 @@ import org.apache.spark.sql.functions._
   * results are total-order deterministic for the hash gate. */
 object Windows {
 
+  /** Shared distributed global-rank kernel (r14 q_win_rank_dist, r15
+    * q_win_nav_dist). Input frame must carry (grp, key, price); the
+    * ordering ranked is (price DESC, key ASC) — a total order, so
+    * RANK = DENSE_RANK = ROW_NUMBER and CUME_DIST = rnk / n.
+    *
+    * Shape (no few-partition window anywhere):
+    *  - the (grp, price) VALUE table gets per-group rows-before via the
+    *    pid two-pass pattern: ONE range shuffle materialized through
+    *    PlanCut.once (both the offset-aggregation branch and the probe
+    *    branch must read the same boundary sample — the r14 kernel-bug
+    *    class, pinned by PlanAuditSpec), local prefix over cnt, per-group
+    *    broadcast offsets;
+    *  - the within-tie position is a window partitioned by (grp, price)
+    *    — corpus-cardinality partitioning, distributes;
+    *  - per-group totals join back as a broadcast.
+    * Returns (grp, key, price, n, rnk) plus rows_before. */
+  private def distRank(o: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val vals = o.groupBy(col("grp"), col("price"))
+      .agg(count(lit(1)).as("cnt"))
+    val parted = org.apache.spark.sql.graft.PlanCut.once(
+      vals.repartitionByRange(32, col("grp"), col("price").desc)
+        .withColumn("pid", spark_partition_id()))
+    val localW = Window.partitionBy(col("pid"), col("grp"))
+      .orderBy(col("price").desc)
+    val local = parted.withColumn("lrows",
+      coalesce(sum(col("cnt")).over(
+        localW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offW = Window.partitionBy(col("grp")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("pid"), col("grp"))
+      .agg(sum(col("cnt")).as("prows"))
+      .withColumn("orow", coalesce(sum(col("prows")).over(offW), lit(0L)))
+      .select(col("pid"), col("grp"), col("orow"))
+    val ranked = local.join(broadcast(offs), Seq("pid", "grp"))
+      .select(col("grp"), col("price"),
+              (col("orow") + col("lrows")).as("rows_before"))
+    val ngrp = o.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+    val tieW = Window.partitionBy(col("grp"), col("price"))
+      .orderBy(col("key"))
+    o.join(ranked, Seq("grp", "price"))
+      .join(broadcast(ngrp), Seq("grp"))
+      .withColumn("rnk",
+        col("rows_before") + row_number().over(tieW).cast("long"))
+  }
+
   val qs: Seq[(String, Q)] = Seq(
 
     "q_win_topn_group" -> Q(
@@ -82,49 +128,17 @@ object Windows {
 
     // The DISTRIBUTED spelling of q_win_rank (r14): same answer, same
     // oracle SQL, but no few-partition window anywhere — the scale path
-    // the WindowScaleGuardSpec allowlist entry promises. The ordering
-    // (price DESC, key) is a total order, so RANK = DENSE_RANK =
-    // ROW_NUMBER = #rows strictly ahead + position within the price tie:
-    //  - the (grp, price) VALUE table gets per-group rows-before via the
-    //    pid two-pass pattern (range-repartition, local prefix over cnt,
-    //    per-group broadcast offsets — PlanCut-pinned like every pid
-    //    kernel);
-    //  - the within-tie position is a window partitioned by
-    //    (grp, price) — corpus-cardinality partitioning, distributes;
-    //  - PERCENT_RANK/NTILE are then pure arithmetic on the global rank
-    //    (the q_rfm bucket formula) against broadcast group counts.
+    // the WindowScaleGuardSpec allowlist entry promises. Global rank
+    // comes from the shared distRank kernel (above); PERCENT_RANK/NTILE
+    // are then pure arithmetic on that rank (the q_rfm bucket formula)
+    // against the kernel's broadcast group counts.
     "q_win_rank_dist" -> Q(
       (s, dir) => {
         val o = Tables.orders(s, dir)
           .select(col("o_orderpriority").as("grp"),
                   col("o_orderkey").as("key"),
                   col("o_totalprice").as("price"))
-        val vals = o.groupBy(col("grp"), col("price"))
-          .agg(count(lit(1)).as("cnt"))
-        val parted = org.apache.spark.sql.graft.PlanCut.once(
-          vals.repartitionByRange(32, col("grp"), col("price").desc)
-            .withColumn("pid", spark_partition_id()))
-        val localW = Window.partitionBy(col("pid"), col("grp"))
-          .orderBy(col("price").desc)
-        val local = parted.withColumn("lrows",
-          coalesce(sum(col("cnt")).over(
-            localW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        val offW = Window.partitionBy(col("grp")).orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = local.groupBy(col("pid"), col("grp"))
-          .agg(sum(col("cnt")).as("prows"))
-          .withColumn("orow", coalesce(sum(col("prows")).over(offW), lit(0L)))
-          .select(col("pid"), col("grp"), col("orow"))
-        val ranked = local.join(broadcast(offs), Seq("pid", "grp"))
-          .select(col("grp"), col("price"),
-                  (col("orow") + col("lrows")).as("rows_before"))
-        val ngrp = o.groupBy(col("grp")).agg(count(lit(1)).as("n"))
-        val tieW = Window.partitionBy(col("grp"), col("price"))
-          .orderBy(col("key"))
-        o.join(ranked, Seq("grp", "price"))
-          .join(broadcast(ngrp), Seq("grp"))
-          .withColumn("rnk",
-            col("rows_before") + row_number().over(tieW).cast("long"))
+        distRank(o)
           .withColumn("r0", col("rnk") - 1L)
           .withColumn("quartile", expr(
             """CASE WHEN r0 < (n % 4) * (n DIV 4 + 1)
@@ -318,6 +332,58 @@ object Windows {
                   nth_value(col("o_orderkey"), 2).over(full).as("second_key"),
                   round(cume_dist().over(ord), 6).as("cd"))
           .filter(col("o_orderkey") <= 500)
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     top_key, bottom_key, second_key, cd FROM (
+                SELECT o_orderpriority, o_orderkey, o_totalprice,
+                       FIRST_VALUE(o_orderkey) OVER wf AS top_key,
+                       LAST_VALUE(o_orderkey) OVER wf AS bottom_key,
+                       NTH_VALUE(o_orderkey, 2) OVER wf AS second_key,
+                       round(CUME_DIST() OVER wo, 6) AS cd
+                FROM orders
+                WINDOW wo AS (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey),
+                       wf AS (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING))
+              WHERE o_orderkey <= 500
+              ORDER BY o_orderpriority, o_orderkey""")),
+
+    // The DISTRIBUTED spelling of q_win_nav (r15, closes the r14 verdict's
+    // one `weak` mark): same answer, verbatim oracle SQL, no few-partition
+    // window. The ordering (price DESC, key) is a total order, so every
+    // row is its own cume_dist peer group and CUME_DIST = rnk / n —
+    // arithmetic on the shared distRank kernel. The navigation lookups are
+    // rank picks: FIRST_VALUE over the full frame = the rnk-1 key,
+    // NTH_VALUE(2) = the rnk-2 key (NULL for 1-row groups, matching the
+    // native frame semantics), LAST_VALUE = the rnk-n key — a 3-row-per-
+    // group aggregate joined back as a broadcast. At 100 TB: one value-
+    // table range shuffle (PlanCut-pinned), corpus-cardinality tie window,
+    // broadcast-scale nav/count tables; nothing funnels a corpus-sized
+    // group through few tasks.
+    "q_win_nav_dist" -> Q(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("grp"),
+                  col("o_orderkey").as("key"),
+                  col("o_totalprice").as("price"))
+        val r = distRank(o)
+        val navs = r.filter(col("rnk") === 1L || col("rnk") === 2L ||
+                            col("rnk") === col("n"))
+          .groupBy(col("grp"))
+          .agg(max(when(col("rnk") === 1L, col("key"))).as("top_key"),
+               max(when(col("rnk") === 2L, col("key"))).as("second_key"),
+               max(when(col("rnk") === col("n"), col("key"))).as("bottom_key"))
+        r.filter(col("key") <= 500)
+          .join(broadcast(navs), Seq("grp"))
+          .select(col("grp").as("o_orderpriority"),
+                  col("key").as("o_orderkey"),
+                  col("price").as("o_totalprice"),
+                  col("top_key"), col("bottom_key"), col("second_key"),
+                  round(col("rnk").cast("double") / col("n").cast("double"), 6)
+                    .as("cd"))
           .orderBy(col("o_orderpriority"), col("o_orderkey"))
       },
       Some("""SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -1442,7 +1442,10 @@ class PlanAuditSpec extends SparkSuite {
     Seq("q_gini" -> (1, 0), "q_pareto" -> (1, 1), "q_mannwhitney" -> (1, 0),
         "q_ks_test" -> (1, 0), "q_rfm" -> (1, 1),
         // the two hand-rolled pid-offset twins of the kernel (r14)
-        "q_ntile_binning" -> (1, 1), "q_quantile_norm" -> (1, 1)).foreach {
+        "q_ntile_binning" -> (1, 1), "q_quantile_norm" -> (1, 1),
+        // the distRank consumers (r14/r15 — ADVICE: the rank twin was
+        // added in the same diff as this audit but missed its entry)
+        "q_win_rank_dist" -> (1, 1), "q_win_nav_dist" -> (1, 1)).foreach {
       case (k, (calls, sorts)) =>
         val df = Registry.byName(k).fn(spark, sf)
         df.collect()

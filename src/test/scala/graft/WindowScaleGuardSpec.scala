@@ -50,7 +50,9 @@ class WindowScaleGuardSpec extends SparkSuite {
     "q_win_nav" -> ("declares Spark's NATIVE first/last/nth_value/" +
       "cume_dist surface over the same 5-partition demo grouping " +
       "(orders 1500 -> 15000 rows); cume_dist is intrinsically " +
-      "whole-group. Same adjudication as q_win_rank."),
+      "whole-group. The distributed spelling of the SAME query ships " +
+      "as q_win_nav_dist (r15, identical oracle SQL, no few-partition " +
+      "window); this key pins the native operators against the oracle."),
     "q_survival" -> ("window input is the distinct-tenure-day domain, " +
       "bounded by the fixture's ~2400-day date range regardless of " +
       "corpus: measured 135 -> 808 -> 1574 rows at sf0.001/0.01/0.1 — " +
@@ -72,6 +74,12 @@ class WindowScaleGuardSpec extends SparkSuite {
         if (smallWins.nonEmpty) {
           val bigWins = windowsOf(
             q.fn(spark, sfBig).queryExecution.optimizedPlan)
+          // zip would silently truncate/misalign if a plan rewrite fires
+          // at one sf only and the Window node counts differ (r14 ADVICE)
+          if (smallWins.size != bigWins.size)
+            failures += key -> (s"window count differs across sf " +
+              s"(${smallWins.size} at sf0.001 vs ${bigWins.size} at " +
+              s"sf0.01) — guard cannot pair windows for growth measurement")
           smallWins.zip(bigWins).foreach { case (ws, wb) =>
             val nBig = TestShims.ofRows(spark, wb.child).count()
             if (nBig > rowFloor) {
