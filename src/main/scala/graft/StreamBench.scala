@@ -46,6 +46,13 @@ object StreamBench {
       // the contention window entirely (production would keep the
       // default interval but spread instances across executors).
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+      // State telemetry reads q.recentProgress after the run; the default
+      // retention (100 updates) keeps only the TAIL, so with nFiles > 100
+      // under maxFilesPerTrigger=1 state_rows_max would be computed over
+      // the last 100 batches only (r15, ADVICE). Retain every batch plus
+      // idle-trigger headroom so max/last stay meaningful at any nFiles.
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(256, nFiles * 4).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

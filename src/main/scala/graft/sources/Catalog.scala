@@ -74,6 +74,18 @@ object Catalog {
     * metadata-only and rare relative to reads. */
   private val writerLock = new Object
 
+  /** All lines of a catalog file through a deterministically-closed
+    * handle (r15, ADVICE: the Source.fromFile readers never closed —
+    * handles lived until GC finalization, and tablesVersion runs on
+    * EVERY mutate, so a long session doing many catalog mutations could
+    * exhaust fds). The files are metadata-sized by design (one line per
+    * table / per version), so reading whole is the right trade. */
+  private def readLines(f: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(
+      f, java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+  }
+
   /** Version stamp of tables.jsonl (its optional first header line) —
     * the link between the checkpoint file and the history WAL that makes
     * torn publishes recoverable (r14 crash-consistency): history is
@@ -85,8 +97,7 @@ object Catalog {
     val f = file(catalogDir)
     if (!java.nio.file.Files.isRegularFile(f)) return None
     val HeaderP = """\{"catalog_v":(\d+)\}""".r
-    scala.io.Source.fromFile(f.toFile, "UTF-8").getLines()
-      .take(1).toSeq.headOption.collect { case HeaderP(v) => v.toLong }
+    readLines(f).headOption.collect { case HeaderP(v) => v.toLong }
   }
 
   /** The CURRENT state a writer must build on — WAL-recovered (r14):
@@ -215,7 +226,7 @@ object Catalog {
     val f = file(catalogDir)
     if (!java.nio.file.Files.isRegularFile(f)) return Seq.empty
     val P = """\{"name":"(.*?)","format":"(.*?)","path":"(.*?)","partition_cols":\[(.*?)\]\}""".r
-    scala.io.Source.fromFile(f.toFile, "UTF-8").getLines().toSeq.collect {
+    readLines(f).collect {
       case P(n, fmt, p, cols) =>
         val pc = if (cols.isEmpty) Seq.empty[String]
                  else cols.split(",").toSeq.map(_.stripPrefix("\"").stripSuffix("\""))
@@ -256,7 +267,7 @@ object Catalog {
     val PutP = """\{"v":(\d+),"ts":"(.*?)","op":"put","name":"(.*?)","format":"(.*?)","path":"(.*?)","partition_cols":\[(.*?)\]\}""".r
     val DropP = """\{"v":(\d+),"ts":"(.*?)","op":"drop","name":"(.*?)"\}""".r
     val HorizonP = """\{"v":(\d+),"ts":"(.*?)","op":"horizon"\}""".r
-    scala.io.Source.fromFile(f.toFile, "UTF-8").getLines().toSeq
+    readLines(f)
       .filter(_.nonEmpty).map {
         case PutP(v, ts, n, fmt, p, cols) =>
           val pc = if (cols.isEmpty) Seq.empty[String]

@@ -532,6 +532,19 @@ object Streams {
         ()
       }
       .start()
+    // Release keyed on RUN id, not query id (r15, ADVICE medium): a
+    // checkpoint restart reuses the query id (only runId changes), so an
+    // id-keyed listener on the NEW run would fire on the OLD run's late
+    // async QueryTerminatedEvent — unpersisting the new run's freshly
+    // pinned index mid-query (silent recompute per batch) and
+    // self-removing so the new run's index is never released. runId is
+    // unique per run, so a stale event can never match. Release is CAS-
+    // once: the listener and the missed-event check below may race, and
+    // double-unpersist of the NEXT funnel's generation must be impossible.
+    val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit =
+      if (released.compareAndSet(false, true))
+        pinned.foreach(_.unpersist(blocking = false))
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -539,12 +552,19 @@ object Streams {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == q.id) {
-          pinned.foreach(_.unpersist(blocking = false))
+        if (e.runId == q.runId) {
+          release()
           spark.streams.removeListener(this)
         }
     }
     spark.streams.addListener(listener)
+    // A query that failed before the listener registered already posted
+    // its terminated event to a bus we weren't on — without this check
+    // the index would leak for the session lifetime (r15, ADVICE medium).
+    if (!q.isActive) {
+      release()
+      spark.streams.removeListener(listener)
+    }
     q
   }
 
