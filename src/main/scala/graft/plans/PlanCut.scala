@@ -33,7 +33,16 @@ import org.apache.spark.sql.{DataFrame, Row}
   *
   * Rows are copied before the hand-off (`_.copy()`), exactly as
   * Dataset.checkpoint does — the scan's UnsafeRow buffer is reused
-  * per-partition and a LogicalRDD must own its rows. */
+  * per-partition and a LogicalRDD must own its rows.
+  *
+  * API-drift fallback (r15, pinned by PlanAuditSpec's AQE-off/reuse-off
+  * case): the classic-Dataset cast and internalCreateDataFrame are
+  * internal surfaces. If a future Spark removes them, substitute
+  * `df.localCheckpoint()` — identical one-RDD rebase semantics, at the
+  * cost of pinning blocks in the block manager for the session and
+  * truncating fault-recovery lineage past the cut (reducers can no
+  * longer re-fetch map outputs; failed executors force a recompute from
+  * the checkpoint blocks' replicas). */
 object PlanCut {
   def once(df: DataFrame): DataFrame = {
     val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]

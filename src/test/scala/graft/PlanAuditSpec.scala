@@ -1389,6 +1389,39 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  /** Walk an executed plan for the pid-kernel single-evaluation shape:
+    * (visits per __pid/pid-bearing RDD instance, unshadowed range
+    * exchanges). Shared by the prefixSums audit and the config-drift pin. */
+  private def auditPidKernel(root: org.apache.spark.sql.execution.SparkPlan)
+      : (Map[Int, Int], Set[Int]) = {
+    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    val rddVisits = scala.collection.mutable.Map.empty[Int, Int]
+    val rangeShuffles = scala.collection.mutable.Set.empty[Int]
+    def walk(p: SparkPlan, shadowed: Boolean): Unit = {
+      p match {
+        case s: RDDScanExec
+          if s.output.exists(a => a.name == "__pid" || a.name == "pid") =>
+          val id = System.identityHashCode(s.rdd)
+          rddVisits(id) = rddVisits.getOrElse(id, 0) + 1
+        case s: ShuffleExchangeExec
+          if s.outputPartitioning.isInstanceOf[RangePartitioning] && !shadowed =>
+          rangeShuffles += System.identityHashCode(s)
+        case _ =>
+      }
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, shadowed)
+        case q: QueryStageExec => walk(q.plan, shadowed)
+        case r: ReusedExchangeExec => walk(r.child, shadowed = true)
+        case other => other.children.foreach(walk(_, shadowed))
+      }
+    }
+    walk(root, shadowed = false)
+    (rddVisits.toMap, rangeShuffles.toSet)
+  }
+
   test("H.prefixSums consumers: both branches of every call read ONE " +
        "evaluated RDD; no duplicated range shuffle (r14, ADVICE)") {
     // r14 found the hazard LIVE in the declarative spelling: column
@@ -1403,36 +1436,6 @@ class PlanAuditSpec extends SparkSuite {
     // __pid-bearing RDD scan RDD INSTANCE, referenced by ≥2 plan paths
     // (offset branch + probe branch), and zero range exchanges anywhere
     // except the key's final global orderBy.
-    import org.apache.spark.sql.execution.{RDDScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
-    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
-
-    def audit(root: SparkPlan): (Map[Int, Int], Set[Int]) = {
-      val rddVisits = scala.collection.mutable.Map.empty[Int, Int]
-      val rangeShuffles = scala.collection.mutable.Set.empty[Int]
-      def walk(p: SparkPlan, shadowed: Boolean): Unit = {
-        p match {
-          case s: RDDScanExec
-            if s.output.exists(a => a.name == "__pid" || a.name == "pid") =>
-            val id = System.identityHashCode(s.rdd)
-            rddVisits(id) = rddVisits.getOrElse(id, 0) + 1
-          case s: ShuffleExchangeExec
-            if s.outputPartitioning.isInstanceOf[RangePartitioning] && !shadowed =>
-            rangeShuffles += System.identityHashCode(s)
-          case _ =>
-        }
-        p match {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan, shadowed)
-          case q: QueryStageExec => walk(q.plan, shadowed)
-          case r: ReusedExchangeExec => walk(r.child, shadowed = true)
-          case other => other.children.foreach(walk(_, shadowed))
-        }
-      }
-      walk(root, shadowed = false)
-      (rddVisits.toMap, rangeShuffles.toSet)
-    }
-
     graft.functions.Custom.register(spark)
     // (VISIBLE prefixSums cuts, final global orderBy sorts) per key.
     // q_rfm nests three calls — pass N's cut evaluates pass N-1's plan
@@ -1449,7 +1452,8 @@ class PlanAuditSpec extends SparkSuite {
       case (k, (calls, sorts)) =>
         val df = Registry.byName(k).fn(spark, sf)
         df.collect()
-        val (rddVisits, rangeShuffles) = audit(df.queryExecution.executedPlan)
+        val (rddVisits, rangeShuffles) =
+          auditPidKernel(df.queryExecution.executedPlan)
         assert(rddVisits.size == calls,
           s"$k: expected $calls distinct __pid RDD(s) — one per " +
             s"H.prefixSums call — got ${rddVisits.size}; two RDDs for one " +
@@ -1466,5 +1470,44 @@ class PlanAuditSpec extends SparkSuite {
             s"branch is re-range-partitioning instead of reading the " +
             s"shared RDD:\n" + df.queryExecution.executedPlan.toString)
     }
+  }
+
+  test("PlanCut.once holds with AQE off and exchange reuse off " +
+       "(r14 VERDICT #5: the guarantee must not lean on either)") {
+    // PlanCut's whole point is that single evaluation is structural —
+    // one evaluated RDD, one boundary sample — rather than an optimizer
+    // courtesy (AQE stage reuse / ReusedExchange are exactly what the r14
+    // bug showed CANNOT be relied on). This pin runs the r14 bug key
+    // under both features disabled and asserts the same rows AND the
+    // same single-evaluation plan shape. PlanCut casts to
+    // org.apache.spark.sql.classic.Dataset (a private[sql]-adjacent
+    // surface); if that internal API shifts in a future Spark, the
+    // documented fallback is df.localCheckpoint() — same one-RDD rebase
+    // semantics, at the cost of pinning blocks in the block manager and
+    // truncating fault-recovery lineage past the cut.
+    graft.functions.Custom.register(spark)
+    val k = "q_mannwhitney"
+    val base = Registry.byName(k).fn(spark, sf).collect().toSeq
+    val confs = Seq("spark.sql.adaptive.enabled" -> "false",
+                    "spark.sql.exchange.reuse" -> "false")
+    val saved = confs.map { case (c, _) => c -> spark.conf.get(c) }
+    confs.foreach { case (c, v) => spark.conf.set(c, v) }
+    try {
+      val df = Registry.byName(k).fn(spark, sf)
+      val rows = df.collect().toSeq
+      assert(rows == base,
+        s"$k: rows differ under AQE-off/reuse-off — PlanCut's single " +
+          "boundary sample is not holding without optimizer reuse")
+      val (rddVisits, rangeShuffles) =
+        auditPidKernel(df.queryExecution.executedPlan)
+      assert(rddVisits.size == 1 && rddVisits.values.forall(_ >= 2),
+        s"$k under AQE-off/reuse-off: expected one shared __pid RDD read " +
+          s"by both branches, got visits $rddVisits:\n" +
+          df.queryExecution.executedPlan.toString)
+      assert(rangeShuffles.isEmpty,
+        s"$k under AQE-off/reuse-off: a consumer branch planned its own " +
+          s"range exchange (${rangeShuffles.size}) — the r14 bug shape:\n" +
+          df.queryExecution.executedPlan.toString)
+    } finally saved.foreach { case (c, v) => spark.conf.set(c, v) }
   }
 }
