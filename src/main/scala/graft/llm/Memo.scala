@@ -128,6 +128,32 @@ private[graft] object Memo {
     }
   }
 
+  /** Disk-backed stage (r14 VERDICT #7): [[stage]] semantics in-session,
+    * but the stage's rows land once in a [[materializedPath]] parquet
+    * layout and every LATER SESSION (the driver's per-round bench capture,
+    * a fresh Verify JVM) warm-starts by reading the layout instead of
+    * re-running the build — exactly how a production curation DAG treats
+    * a verified intermediate table. The returned frame is a plain parquet
+    * read: column-prunable, filter-pushable, and owns nothing in
+    * CacheManager (the same audit-safety properties the checkpoint form
+    * had, plus pruning the checkpoint could not do).
+    *
+    * `name` must carry a LAYOUT VERSION suffix (e.g. "near_pairs_v1"):
+    * the path is keyed on the DATA version only, so a builder-code change
+    * without a name bump would serve the previous round's rows from disk
+    * — the one staleness mode mtime keying cannot see. (An oracle sweep
+    * catches it loudly — the DuckDB side always recomputes densely — but
+    * the bump makes it impossible instead of caught.) */
+  def diskStage(s: SparkSession, dir: String, name: String,
+                tables: Seq[String] = Seq("documents.parquet"))
+               (compute: => DataFrame): DataFrame =
+    stage(s, dir, name, tables) {
+      val path = materializedPath(s, dir, name, tables) { tmp =>
+        compute.write.parquet(tmp)
+      }
+      s.read.parquet(path)
+    }
+
   /** Write-once MATERIALIZED LAYOUT (the on-disk sibling of [[stage]]):
     * returns a directory containing `write`'s output for this (dataset,
     * name, data version), producing it at most once. The r8 ADVICE race —
@@ -139,11 +165,12 @@ private[graft] object Memo {
     * the loser discards its temp dir and reads the winner's (the bytes
     * are deterministic from the fixture). A regenerated fixture bumps
     * dataVersion → a fresh path, no stale reads. */
-  def materializedPath(s: SparkSession, dir: String, name: String)
+  def materializedPath(s: SparkSession, dir: String, name: String,
+                       tables: Seq[String] = Seq("documents.parquet"))
                       (write: String => Unit): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val out = new java.io.File(
-      s"${graft.Fixtures.dir}/${name}_${tag}_v${dataVersion(dir)}")
+      s"${graft.Fixtures.dir}/${name}_${tag}_v${dataVersion(dir, tables)}")
     if (!out.isDirectory) {
       val tmp = new java.io.File(
         out.getParent, s".${out.getName}.tmp-${java.util.UUID.randomUUID}")

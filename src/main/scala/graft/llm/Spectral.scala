@@ -57,7 +57,33 @@ object Spectral {
     * Bench charges the build to stage:pca_topdir. */
   private[llm] def topDirStage(s: org.apache.spark.sql.SparkSession,
                                dir: String) =
+    // DISK-backed since r15 (r14 VERDICT #7): the K x 4-job iteration was
+    // ~5 s per session; the direction is 64 rows, so later sessions read
+    // the layout and re-anchor it as a LocalRelation (keeping the free
+    // broadcast into every consumer). Bump _v1 on any iteration change.
     Memo.stage(s, dir, "pca_topdir", "embeddings.parquet") {
+      val path = Memo.materializedPath(s, dir, "pca_topdir_v1",
+                                       Seq("embeddings.parquet")) { tmp =>
+        topDirCompute(s, dir).write.parquet(tmp)
+      }
+      anchorW(s, s.read.parquet(path).select(col("pos"), col("w")))
+    }
+
+  /** 64-row (pos, w) LocalRelation re-anchor — shared by the iteration's
+    * per-round collect and the disk warm-start read. */
+  private def anchorW(s: org.apache.spark.sql.SparkSession,
+                      df: org.apache.spark.sql.DataFrame) = {
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(df.collect().toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
+  private def topDirCompute(s: org.apache.spark.sql.SparkSession,
+                            dir: String) = {
       // Iterates with a DRIVER-ANCHORED w: after every round the 64-row
       // direction collects and re-enters the next round as a
       // LocalRelation (a documented tiny-anchor collect), so each round
@@ -67,16 +93,8 @@ object Spectral {
       // (the audited pure builder), bit-identical values, and the final
       // LocalRelation broadcasts into every consumer for free.
       val e = explodedStage(s, dir)
-      def anchor(df: org.apache.spark.sql.DataFrame) = {
-        import scala.jdk.CollectionConverters._
-        s.createDataFrame(df.collect().toSeq.asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("pos",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("w",
-              org.apache.spark.sql.types.DoubleType))))
-      }
-      var w = anchor(e.select(col("pos")).distinct().withColumn("w", lit(0.125)))
+      var w = anchorW(s,
+        e.select(col("pos")).distinct().withColumn("w", lit(0.125)))
       for (_ <- 1 to K) {
         val u = e.join(broadcast(w), Seq("pos"))
           .groupBy(col("id"))
@@ -94,7 +112,7 @@ object Spectral {
         val nw = wp.agg(round(sqrt(
           sum(expr("CAST(round(wp * wp, 8) AS DECIMAL(28,8))")).cast("double")), 9)
           .as("nw"))
-        w = anchor(wp.crossJoin(broadcast(nw))
+        w = anchorW(s, wp.crossJoin(broadcast(nw))
           .select(col("pos"), round(col("wp") / col("nw"), 9).as("w")))
       }
       w

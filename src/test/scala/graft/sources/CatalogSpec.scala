@@ -250,4 +250,69 @@ class CatalogSpec extends AnyFunSuite with graft.SparkSuite {
     assert(!spark.catalog.tableExists("cat_t"))
     intercept[NoSuchElementException] { Catalog.open(s2, dir, "missing") }
   }
+
+  // ---- cross-PROCESS writer evidence (r14 VERDICT #8) -------------------
+  // The in-JVM monitor is covered above; these two spawn a real second
+  // JVM (CatalogLockProbe on this suite's own classpath — Catalog is
+  // filesystem-only, no SparkSession) to prove the OS advisory lock on
+  // .catalog.lock is what excludes a second PROCESS.
+
+  private def spawnProbe(args: String*): Process = {
+    val jvm = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    new ProcessBuilder(
+      (Seq(jvm, "-cp", sys.props("java.class.path"),
+           "graft.sources.CatalogLockProbe") ++ args): _*)
+      .redirectErrorStream(true).start()
+  }
+
+  test("a mutate BLOCKS while a second process holds the catalog lock") {
+    val dir = tmpDir()
+    Catalog.register(dir, Seq(Catalog.Entry("seed", "parquet", "/d/0", Nil)))
+    val holdMs = 2500L
+    val proc = spawnProbe("hold", dir, holdMs.toString)
+    try {
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream))
+      val line = rd.readLine() // blocks until the child owns the lock
+      assert(line == "LOCKED", s"probe failed to acquire: $line")
+      val t0 = System.nanoTime()
+      Catalog.register(dir, Seq(Catalog.Entry("blocked", "parquet", "/d/1", Nil)))
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      // an unenforced lock returns in single-digit ms; generous slack for
+      // the LOCKED-print-to-readLine latency eating into the hold window
+      assert(waitedMs >= 1000,
+        s"register returned after ${waitedMs}ms while another process " +
+          s"held .catalog.lock for ${holdMs}ms — the OS lock is not excluding")
+      assert(Catalog.load(dir).map(_.name).contains("blocked"))
+    } finally { proc.destroyForcibly(); () }
+  }
+
+  test("two processes mutating concurrently lose no update and burn " +
+       "exactly one version each") {
+    val dir = tmpDir()
+    val n = 12
+    val proc = spawnProbe("race", dir, n.toString, "child")
+    try {
+      (0 until n).foreach { i =>
+        Catalog.register(dir, Seq(
+          Catalog.Entry(s"t_parent_$i", "parquet", s"/data/parent/$i", Nil)))
+        Thread.sleep(20)
+      }
+      val out = new String(proc.getInputStream.readAllBytes())
+      assert(proc.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+        "child process did not finish")
+      assert(proc.exitValue == 0, s"child failed:\n$out")
+      val names = Catalog.load(dir).map(_.name)
+      // the r11 lost-update shape: A and B both read, both merge, second
+      // rename silently drops the first's entry
+      assert(names.size == 2 * n && names.distinct.size == 2 * n,
+        s"expected ${2 * n} surviving entries, got ${names.size}: $names")
+      // every mutation was a distinct effective change → exactly one
+      // version each, gapless (a gap or duplicate = torn interleaving)
+      val vs = Catalog.loadHistory(dir).map(_.version)
+      assert(vs == (1L to 2L * n),
+        s"history versions not gapless 1..${2 * n}: $vs")
+    } finally { proc.destroyForcibly(); () }
+  }
 }
