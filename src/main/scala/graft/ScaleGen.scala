@@ -81,9 +81,16 @@ object ScaleGen {
     /** Replicate `df` ×factor, shifting each column per `strides`
       * (column → domain stride). */
     def replicate(df: DataFrame, strides: Map[String, Long]): DataFrame = {
+      // Map-side parallelism guard (r15): the source fixture is a few MB,
+      // so files.maxPartitionBytes hands it ONE input split — and the
+      // broadcast crossJoin inherits that, funneling factor x the source
+      // through a single task (observed at factor 1000: the lineitem map
+      // task ran ~28 min on one thread while 31 cores idled). A cheap
+      // pre-shuffle of the small source buys factor-independent width.
+      val wide = df.repartition(32)
       // keep `r` so callers can derive replica-dependent columns; write()
       // drops it
-      val rep = df.crossJoin(replicas)
+      val rep = wide.crossJoin(replicas)
       rep.select(col("r") +: df.columns.map {
         case c if strides.contains(c) => (col(c) + col("r") * strides(c)).as(c)
         case c => col(c)
