@@ -197,12 +197,17 @@ object Dedup {
     * Columns: lang, id_a, id_b, n_a, n_b, n_inter, n_union, jac (exact
     * DECIMAL(18,6)). */
   private[llm] def nearPairs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    // DISK-backed since r15 (r14 VERDICT #7): the verified pair table is
-    // the textbook write-once/read-many artifact, and the ~5 s build was
-    // the bench's second-biggest line item EVERY capture — now only the
-    // first session after a fixture regen pays it. Bump the layout
-    // version (_v1 -> _v2) whenever prefixNearPairs' semantics change.
-    Memo.diskStage(s, dir, "near_pairs_v1") { prefixNearPairs(s, dir) }
+    // SESSION-scoped on purpose (r15): the interrupted build round disk-
+    // backed this stage across JVMs keyed on fixture mtime, which would
+    // let a later bench/Verify invocation skip the ~5 s build it claims
+    // to time — cross-run result caching, prohibited by the optimization
+    // round's rules. Every invocation rebuilds from the parquet inputs
+    // and the bench charges it honestly as stage:near_pairs.
+    Memo.stage(s, dir, "near_pairs") {
+      val stage = prefixNearPairs(s, dir)
+      if (s.sparkContext.getCheckpointDir.isDefined) stage.checkpoint()
+      else stage.localCheckpoint()
+    }
 
   /** DuckDB spelling of the dense near-dup pair set, as a CTE-list
     * fragment (no WITH prefix — the cluster oracle prepends

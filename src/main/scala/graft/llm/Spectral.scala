@@ -57,20 +57,19 @@ object Spectral {
     * Bench charges the build to stage:pca_topdir. */
   private[llm] def topDirStage(s: org.apache.spark.sql.SparkSession,
                                dir: String) =
-    // DISK-backed since r15 (r14 VERDICT #7): the K x 4-job iteration was
-    // ~5 s per session; the direction is 64 rows, so later sessions read
-    // the layout and re-anchor it as a LocalRelation (keeping the free
-    // broadcast into every consumer). Bump _v1 on any iteration change.
+    // SESSION-scoped on purpose (r15): the interrupted build round disk-
+    // backed the direction across JVMs keyed on embeddings mtime, which
+    // would let a later bench/Verify invocation skip the K x 4-job build
+    // it claims to time — cross-run result caching, prohibited by the
+    // optimization round's rules. Every invocation re-runs the iteration
+    // and the bench charges it honestly as stage:pca_topdir.
     Memo.stage(s, dir, "pca_topdir", "embeddings.parquet") {
-      val path = Memo.materializedPath(s, dir, "pca_topdir_v1",
-                                       Seq("embeddings.parquet")) { tmp =>
-        topDirCompute(s, dir).write.parquet(tmp)
-      }
-      anchorW(s, s.read.parquet(path).select(col("pos"), col("w")))
+      topDirCompute(s, dir)
     }
 
-  /** 64-row (pos, w) LocalRelation re-anchor — shared by the iteration's
-    * per-round collect and the disk warm-start read. */
+  /** 64-row (pos, w) LocalRelation re-anchor — the iteration collects the
+    * direction after every round so each round is two aggregate jobs, not
+    * the nested lineage of all earlier rounds. */
   private def anchorW(s: org.apache.spark.sql.SparkSession,
                       df: org.apache.spark.sql.DataFrame) = {
     import scala.jdk.CollectionConverters._

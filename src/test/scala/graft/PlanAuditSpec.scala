@@ -89,14 +89,12 @@ class PlanAuditSpec extends SparkSuite {
 
   test("llm_dedup_near: declared key reads the memoized near_pairs stage") {
     // The shared pair table is a write-once/read-many pipeline stage: the
-    // consumer's own plan must be a scan of the materialized stage (plus
+    // consumer's own plan must be a scan of the checkpointed stage (plus
     // the declared casts/sort), not a recomputation of the pair join.
-    // Since r15 the stage is DISK-backed (Memo.diskStage) — the scan is a
-    // parquet read of the near_pairs layout, not an ExistingRDD.
     graft.functions.Custom.register(spark)
     val p = planOf("llm_dedup_near")
-    assert(p.contains("near_pairs_v") || p.contains("ExistingRDD"),
-      s"llm_dedup_near does not read the materialized stage:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"llm_dedup_near does not read the checkpointed stage:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"llm_dedup_near recomputes the pair join instead of reading the stage:\n$p")
   }
