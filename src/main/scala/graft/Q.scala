@@ -73,11 +73,18 @@ object H {
     * trade against localCheckpoint/persist). PlanAuditSpec pins the
     * resulting shape on every consumer key. */
   def prefixSums(df: DataFrame, sortCols: Seq[Column],
-                 values: Seq[(String, Column)], parts: Int = 32): DataFrame = {
+                 values: Seq[(String, Column)], parts: Int = -1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // parts <= 0 derives the range width from the session's shuffle
+    // partitions (r15, guide §2: scale-adaptive, not a local constant —
+    // the bench sets it to $SPARK_GRAFT_CPUS, a cluster sets it to its
+    // own width). The reconstruction (local window + broadcast offsets)
+    // is partition-count-invariant, so results cannot change.
+    val nParts = if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val parted = org.apache.spark.sql.graft.PlanCut.once(
-      df.repartitionByRange(parts, sortCols: _*)
+      df.repartitionByRange(nParts, sortCols: _*)
         .withColumn("__pid", spark_partition_id()))
     val localW = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)

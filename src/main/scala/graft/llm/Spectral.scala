@@ -67,55 +67,116 @@ object Spectral {
       topDirCompute(s, dir)
     }
 
-  /** 64-row (pos, w) LocalRelation re-anchor — the iteration collects the
-    * direction after every round so each round is two aggregate jobs, not
-    * the nested lineage of all earlier rounds. */
-  private def anchorW(s: org.apache.spark.sql.SparkSession,
-                      df: org.apache.spark.sql.DataFrame) = {
+  /** ARRAY-NATIVE power iteration (r15 optimization round, guide §2.3/
+    * §2.4): the r14 shape ran each round as two shuffle-joins + two
+    * group-bys over the 64x-exploded table (K x ~4 jobs, two corpus
+    * shuffles per round — stage:pca_topdir was the bench's single
+    * biggest line item at 5.3 s). Both matvecs are per-row/position-wise
+    * over the vector, so neither needs an explode OR a shuffle:
+    *
+    *  - u_i = Σ_pos round(v·w_pos, 8) is a per-row decimal fold
+    *    (zip_with + aggregate against the 64-element w LITERAL — w is
+    *    already driver-anchored every round), no join, no exchange;
+    *  - wp_pos = Σ_i round(v_pos·un_i, 8) keeps the posexplode +
+    *    groupBy(pos) aggregate (map-side combined, dim-row result) but
+    *    un_i now RIDES THE ROW (computed from the materialized u and the
+    *    collected nu), so the corpus join-by-id that used to attach it
+    *    is gone;
+    *  - norms/updates run as the ORIGINAL Spark expressions over 1/64-row
+    *    LocalRelations (never re-implemented on the driver, so rounding
+    *    semantics cannot diverge).
+    *
+    * Bit-equivalence argument (the oracle hash gate re-proves it): every
+    * cross-row / cross-position sum is over CAST(round(.., 8) AS
+    * DECIMAL(28,8)) terms — exact, order-independent decimal adds with
+    * the same DECIMAL(38,8) accumulator width Spark's Sum uses — and all
+    * double-domain steps (round, /, sqrt) keep their exact r14 spellings.
+    * Missing/NULL positions contribute nothing in both shapes (the join
+    * dropped them; element_at/zip_with yield NULL which the sum skips and
+    * the fold coalesces to 0). At 100 TB: 2K linear passes with partial
+    * aggregation and a 64-value reduce — no corpus shuffle at all, vs two
+    * per round before. */
+  private def topDirCompute(s: org.apache.spark.sql.SparkSession,
+                            dir: String) = {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"),
+                expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("varr"))
+      // posexplode emits 0..n-1 per row, so distinct pos == 0..max(n)-1.
+      val dim = base.agg(max(size(col("varr")))).head().getInt(0)
+      // Accumulator stays DECIMAL(28,8): a (28,8)+(28,8) add yields
+      // (29,8) — no precision overflow, so Spark never drops scale (a
+      // (38,8) accumulator overflows to p39 on every add and the
+      // allowPrecisionLoss rule silently rounds to scale 7 — observed as
+      // a 1e-6 drift vs the exploded builder). |partial sums| stay far
+      // below 10^20, so the cast back to (28,8) is always exact.
+      val dec0 = lit(0).cast("decimal(28,8)")
+      // Σ_pos CAST(round(varr[pos] * w[pos], 8) AS DECIMAL(28,8)), as a
+      // double — identical to the exploded groupBy(id) sum.
+      // w as a driver map keyed by position (sparse-faithful: a position
+      // with no w row contributed nothing via the join before; here its
+      // array slot is a NULL literal, whose product the fold coalesces
+      // to 0 — the identical contribution).
+      def uCol(wMap: Map[Int, Double]) = {
+        val wLit = array((0 until dim).map(j =>
+          wMap.get(j).map(lit).getOrElse(lit(null).cast("double"))): _*)
+        aggregate(
+          zip_with(col("varr"), wLit,
+            (v, w) => round(v * w, 8).cast("decimal(28,8)")),
+          dec0,
+          (acc, x) => (acc + coalesce(x, dec0)).cast("decimal(28,8)"))
+          .cast("double")
+      }
+      var wMap: Map[Int, Double] = (0 until dim).map(_ -> 0.125).toMap
+      for (_ <- 1 to K) {
+        // ONE pass materializes (varr, u) per row (Memo.cut: the fold must
+        // evaluate once, and the downstream aggregates must not inline
+        // its deep lambda tree — a 64-wide literal-bearing aggregate was
+        // measured at 10-13 s/stage because every round's distinct nu
+        // literal forced a fresh Janino compile of the huge update code).
+        val withU = Memo.cut(s)(base.select(col("varr"), uCol(wMap).as("u")))
+        val nu = withU
+          .agg(round(sqrt(
+            sum(expr("CAST(round(u * u, 8) AS DECIMAL(28,8))")).cast("double")), 9))
+          .head().getDouble(0)
+        // Reverse matvec WITHOUT the join-by-id: un now rides the row, so
+        // posexplode + groupBy(pos) is the exact original wp aggregate
+        // (same Sum/round/decimal spelling) minus the corpus shuffle that
+        // attached un before.
+        val wpDf = localPairs(s, withU
+          .select(round(col("u") / lit(nu), 9).as("un"),
+                  posexplode(col("varr")).as(Seq("pos", "v")))
+          .groupBy(col("pos"))
+          .agg(sum(expr("CAST(round(v * un, 8) AS DECIMAL(28,8))"))
+                 .cast("double").as("wp"))
+          .collect().map(r => r.getInt(0) ->
+            r.get(1).asInstanceOf[java.lang.Double]), "wp")
+        // norm + update on a LocalRelation with the unchanged expressions
+        val nw = wpDf.agg(round(sqrt(
+          sum(expr("CAST(round(wp * wp, 8) AS DECIMAL(28,8))")).cast("double")), 9)
+          .as("nw"))
+        wMap = wpDf.crossJoin(broadcast(nw))
+          .select(col("pos"), round(col("wp") / col("nw"), 9).as("w"))
+          .collect().flatMap(r => Option(r.get(1))
+            .map(v => r.getInt(0) -> v.asInstanceOf[Double])).toMap
+      }
+      localPairs(s, wMap.toSeq.sortBy(_._1)
+        .map { case (p, v) => p -> (v: java.lang.Double) }, "w")
+    }
+
+  /** (pos, <name>) LocalRelation from driver-side (position, value)
+    * pairs — the per-round anchor of the iteration. */
+  private def localPairs(s: org.apache.spark.sql.SparkSession,
+                         v: Seq[(Int, java.lang.Double)], name: String) = {
     import scala.jdk.CollectionConverters._
-    s.createDataFrame(df.collect().toSeq.asJava,
+    s.createDataFrame(
+      v.map { case (j, x) =>
+        org.apache.spark.sql.Row(j, x) }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("pos",
           org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StructField(name,
           org.apache.spark.sql.types.DoubleType))))
   }
-
-  private def topDirCompute(s: org.apache.spark.sql.SparkSession,
-                            dir: String) = {
-      // Iterates with a DRIVER-ANCHORED w: after every round the 64-row
-      // direction collects and re-enters the next round as a
-      // LocalRelation (a documented tiny-anchor collect), so each round
-      // is exactly two aggregate jobs over the checkpointed exploded
-      // table instead of re-evaluating the nested lineage of every
-      // earlier round — same expression spellings as [[topDirection]]
-      // (the audited pure builder), bit-identical values, and the final
-      // LocalRelation broadcasts into every consumer for free.
-      val e = explodedStage(s, dir)
-      var w = anchorW(s,
-        e.select(col("pos")).distinct().withColumn("w", lit(0.125)))
-      for (_ <- 1 to K) {
-        val u = e.join(broadcast(w), Seq("pos"))
-          .groupBy(col("id"))
-          .agg(sum(expr("CAST(round(v * w, 8) AS DECIMAL(28,8))"))
-                 .cast("double").as("u"))
-        val nu = u.agg(round(sqrt(
-          sum(expr("CAST(round(u * u, 8) AS DECIMAL(28,8))")).cast("double")), 9)
-          .as("nu"))
-        val un = u.crossJoin(broadcast(nu))
-          .select(col("id"), round(col("u") / col("nu"), 9).as("u"))
-        val wp = e.join(un, Seq("id"))
-          .groupBy(col("pos"))
-          .agg(sum(expr("CAST(round(v * u, 8) AS DECIMAL(28,8))"))
-                 .cast("double").as("wp"))
-        val nw = wp.agg(round(sqrt(
-          sum(expr("CAST(round(wp * wp, 8) AS DECIMAL(28,8))")).cast("double")), 9)
-          .as("nw"))
-        w = anchorW(s, wp.crossJoin(broadcast(nw))
-          .select(col("pos"), round(col("wp") / col("nw"), 9).as("w")))
-      }
-      w
-    }
 
   /** K rounds of normalized power iteration; returns the 64-row (pos, w)
     * direction table. Shared (via [[topDirStage]]) by llm_pca_power,

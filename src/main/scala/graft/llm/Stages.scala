@@ -34,6 +34,11 @@ object Stages {
       timed("stage:cluster_labels") { Pipeline.clusterLabels(s, dir) },
       timed("stage:co_supply_edges") {
         graft.operators.Analytics.coSupplyEdges(s, dir) },
+      // r15: the array-native topDirCompute no longer touches the exploded
+      // table, but llm_pca_explained / llm_abtt_apply still read it — warm
+      // it as its own line item so the checkpoint doesn't land on the
+      // alphabetically-first consumer (the r8 cost-relocation hazard).
+      timed("stage:pca_exploded") { Spectral.explodedStage(s, dir) },
       timed("stage:pca_topdir") { Spectral.topDirStage(s, dir) })
   }
 }

@@ -753,7 +753,9 @@ object Analytics {
         // the optimizer diverges the branches; observed live on
         // q_mannwhitney). One evaluated RDD, shared by construction.
         val parted = org.apache.spark.sql.graft.PlanCut.once(
-          o.repartitionByRange(32, col("o_totalprice"), col("o_orderkey"))
+          o.repartitionByRange(
+            s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("o_totalprice"), col("o_orderkey"))
             .withColumn("pid", spark_partition_id()))
         val localW = Window.partitionBy(col("pid"))
           .orderBy(col("o_totalprice"), col("o_orderkey"))
@@ -838,7 +840,13 @@ object Analytics {
             .join(dist, Seq("node"), "left_anti")
             .withColumn("dist", lit(hop)))
           n = next.count()
-          if (n > 0) dist = cut(dist.unionByName(next))
+          // dist stays a LAZY union of the already-checkpointed per-hop
+          // frontiers (r15): the old per-hop cut(dist ∪ next) re-wrote the
+          // ENTIRE settled set every round — O(V·hops) checkpoint bytes vs
+          // O(V) now — and bought nothing, since every union leg is its
+          // own materialized RDD already (nothing to recompute, no lineage
+          // growth beyond one Union node per hop).
+          if (n > 0) dist = dist.unionByName(next)
           frontier = next
         }
         dist.select(col("node"), col("dist").cast("int").as("dist"))

@@ -403,7 +403,9 @@ object Profiling {
         val parted = org.apache.spark.sql.graft.PlanCut.once(
           Tables.events(s, dir)
             .select(col("event_type"), col("event_id"), col("value"))
-            .repartitionByRange(32, col("event_type"), col("value"), col("event_id"))
+            .repartitionByRange(
+              s.conf.get("spark.sql.shuffle.partitions").toInt,
+              col("event_type"), col("value"), col("event_id"))
             .withColumn("pid", spark_partition_id()))
         val localW = Window.partitionBy(col("pid"), col("event_type"))
           .orderBy(col("value"), col("event_id"))

@@ -21,6 +21,29 @@ class SpectralSpec extends SparkSuite {
       s"power iteration must never pair vectors directly:\n$p")
   }
 
+  test("array-native stage is bit-identical to the exploded-join builder") {
+    // r15 optimization: topDirCompute runs the iteration as per-row
+    // decimal folds + one wide per-position aggregate (no explode, no
+    // corpus shuffle). Every cross-row sum is over exact DECIMAL(28,8)
+    // terms, so the result must equal the audited exploded-join builder
+    // BIT-FOR-BIT, not approximately.
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("id"),
+              posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("id"), col("pos"), col("vf").cast("double").as("v"))
+    val ref = Spectral.topDirection(e).orderBy(col("pos")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    val opt = Spectral.topDirStage(spark, sf).orderBy(col("pos")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(ref.length == opt.length && ref.nonEmpty,
+      s"row counts differ: ref ${ref.length} vs stage ${opt.length}")
+    ref.zip(opt).foreach { case ((rp, rw), (op, ow)) =>
+      assert(rp == op && java.lang.Double.doubleToRawLongBits(rw) ==
+        java.lang.Double.doubleToRawLongBits(ow),
+        s"pos $rp: builder $rw != stage $ow (bitwise)")
+    }
+  }
+
   test("llm_pca_power: result is a unit vector over the embedding dims") {
     val rows = Registry.byName("llm_pca_power").fn(spark, sf).collect()
     assert(rows.length == 64, s"expected 64 dims, got ${rows.length}")
