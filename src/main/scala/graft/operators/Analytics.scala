@@ -482,28 +482,38 @@ object Analytics {
         val wLoc = Window.partitionBy(col("l_returnflag"), col("bkt"))
           .orderBy(srt: _*)
         val cumF = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val local = Tables.lineitem(s, dir)
+        // ONE evaluated cumsum frame (r15): local feeds THREE plan paths
+        // (the offsets totals, the cum probe, and its rn+50 shifted
+        // projection) — left declarative the lineitem scan + month
+        // windows ran repeatedly (8 parquet scans in the r14 plan, zero
+        // ReusedExchange; the offsets branch even re-scanned lineitem
+        // for totals its own comment admitted equal the last local cum).
+        // PlanCut.once rebases every consumer onto one evaluated RDD and
+        // the totals become last-row picks of the materialized
+        // cumulatives: tn = max(lrn) (row_number, sign-free), t* =
+        // max_by(lc*, lrn) — the bucket's full in-order decimal sum,
+        // bit-identical to the independent re-aggregation by decimal
+        // exactness.
+        val local = org.apache.spark.sql.graft.PlanCut.once(
+          Tables.lineitem(s, dir)
           .withColumn("bkt", date_trunc("month", col("l_shipdate")))
           .withColumn("lrn", row_number().over(wLoc).cast("long"))
           .withColumn("lcx", sum(x.cast("decimal(38,4)")).over(cumF))
           .withColumn("lcy", sum(y.cast("decimal(38,4)")).over(cumF))
           .withColumn("lcxy", sum(psum(x * y)).over(cumF))
           .withColumn("lcxx", sum(psum(x * x)).over(cumF))
-          .withColumn("lcyy", sum(psum(y * y)).over(cumF))
+          .withColumn("lcyy", sum(psum(y * y)).over(cumF)))
         // Exclusive prefix over per-bucket totals → carry-in offsets.
-        // Recomputed from the raw measures (exact decimal, same per-row
-        // rounding) — group sum == last local cum of the bucket.
         val wCar = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)
-        val offs = Tables.lineitem(s, dir)
-          .withColumn("bkt", date_trunc("month", col("l_shipdate")))
+        val offs = local
           .groupBy(col("l_returnflag"), col("bkt"))
-          .agg(count(lit(1)).as("tn"),
-               sum(x.cast("decimal(38,4)")).as("tx"),
-               sum(y.cast("decimal(38,4)")).as("ty"),
-               sum(psum(x * y)).as("txy"),
-               sum(psum(x * x)).as("txx"),
-               sum(psum(y * y)).as("tyy"))
+          .agg(max(col("lrn")).as("tn"),
+               max_by(col("lcx"), col("lrn")).as("tx"),
+               max_by(col("lcy"), col("lrn")).as("ty"),
+               max_by(col("lcxy"), col("lrn")).as("txy"),
+               max_by(col("lcxx"), col("lrn")).as("txx"),
+               max_by(col("lcyy"), col("lrn")).as("tyy"))
           .select(col("l_returnflag"), col("bkt"),
                   coalesce(sum(col("tn")).over(wCar), lit(0L)).as("on"),
                   coalesce(sum(col("tx")).over(wCar), lit(0).cast("decimal(38,4)")).as("ox"),

@@ -353,7 +353,15 @@ object EventsBatch {
     "q_concurrent_sessions" -> Q(
       (s, dir) => {
         val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        val sess = Tables.events(s, dir)
+        // ONE evaluated session table (r15): sess feeds FOUR plan paths
+        // (two marker union legs x the offsets and sweep branches) —
+        // left declarative, the events scan + sessionization windows ran
+        // four times (8 parquet scans in the r14 plan, zero
+        // ReusedExchange). PlanCut.once rebases every consumer onto one
+        // evaluated RDD; the union/projection re-run per consumer is a
+        // trivial map over shared shuffle outputs.
+        val sess = org.apache.spark.sql.graft.PlanCut.once(
+          Tables.events(s, dir)
           .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
           .withColumn("new_sess",
             when(col("prev_ts").isNull ||
@@ -363,7 +371,7 @@ object EventsBatch {
           .withColumn("sess_id", sum(col("new_sess")).over(
             byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy(col("user_id"), col("sess_id"))
-          .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+          .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end")))
         val markers = sess.select(col("sess_start").as("ts"), lit(1L).as("delta"))
           .unionAll(sess.select(col("sess_end").as("ts"), lit(-1L).as("delta")))
           .withColumn("hour", date_trunc("hour", col("ts")))

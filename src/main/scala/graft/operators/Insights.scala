@@ -758,10 +758,18 @@ object Insights {
     // single-window spelling the oracle keeps.
     "q_weighted_median" -> Q(
       (s, dir) => {
-        val g = Tables.lineitem(s, dir)
-          .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
-          .agg(sum(col("l_quantity").cast(H.D)).as("w"))
-          .withColumn("bkt", floor(col("v") / 512).cast("long"))
+        // ONE evaluated value table (r15): the local-cumsum branch and
+        // the offsets branch both consume g — left declarative, column
+        // pruning specializes the two subtrees, exchange reuse stops
+        // firing, and the lineitem scan + reduce ran TWICE (4 parquet
+        // scans in the r14 plan, zero ReusedExchange). PlanCut.once
+        // rebases both consumers onto one evaluated RDD: one scan, one
+        // reduce shuffle, shared map outputs.
+        val g = org.apache.spark.sql.graft.PlanCut.once(
+          Tables.lineitem(s, dir)
+            .groupBy(col("l_returnflag"), col("l_extendedprice").as("v"))
+            .agg(sum(col("l_quantity").cast(H.D)).as("w"))
+            .withColumn("bkt", floor(col("v") / 512).cast("long")))
         val wLoc = Window.partitionBy(col("l_returnflag"), col("bkt"))
           .orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
