@@ -228,9 +228,16 @@ object Curation {
     "llm_dsir" -> Q(
       (s, dir) => {
         graft.functions.Custom.register(s)
-        val tok = Tables.documents(s, dir)
+        // ONE materialized token-bucket table (r15): tok feeds the cq,
+        // cp, and per-doc stats branches — and its chain is shuffle-free
+        // (scan → explode → md5 bucket), so left declarative every
+        // consumer re-ran the full tokenization (10 parquet scans in the
+        // r14 plan). Memo.cut materializes it once; (doc_id, lang, b) is
+        // all any consumer reads.
+        val tok = graft.llm.Memo.cut(s)(Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), explode(expr(toksE)).as("tok"))
           .withColumn("b", expr("tid60(tok) % 8192"))
+          .select(col("doc_id"), col("lang"), col("b")))
         val cq = tok.groupBy(col("b")).agg(count(lit(1)).as("cq"))
         val cp = tok.filter(col("lang") === "en")
           .groupBy(col("b")).agg(count(lit(1)).as("cp"))
@@ -244,12 +251,16 @@ object Curation {
               ((col("cp") + lit(0.5)) * (col("nq") + lit(4096.0))) /
               ((col("cq") + lit(0.5)) * (col("np") + lit(4096.0)))), 6)
             .as("logr"))
-        val stats = tok.join(broadcast(lm), Seq("b"))
+        // stats feeds the threshold probe AND the final projection; the
+        // shuffle-sharing rebase suffices here (post-exchange tail is
+        // just the final aggregate).
+        val stats = org.apache.spark.sql.graft.PlanCut.once(
+          tok.join(broadcast(lm), Seq("b"))
           .groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("n_toks"),
                sum(col("logr").cast("decimal(38,6)"))
                  .cast("decimal(38,6)").cast("double").as("log_iw"))
-          .withColumn("norm_iw", round(col("log_iw") / col("n_toks"), 6))
+          .withColumn("norm_iw", round(col("log_iw") / col("n_toks"), 6)))
         // Selection is top-k by normalized weight (k = the resample
         // budget, a pipeline constant) — NOT a sign test: on a corpus
         // whose domains share most of their vocabulary every doc's

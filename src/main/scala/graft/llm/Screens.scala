@@ -173,17 +173,29 @@ object Screens {
       (s, dir) => {
         val d = Tables.documents(s, dir)
         val n = d.agg(count(lit(1)).as("n_docs"))
-        val tf = d.selectExpr("doc_id", "lang",
+        // ONE tokenization (r15): tf feeds both the df build and the
+        // weight build, and w feeds the norm build plus both join sides
+        // — left declarative the explode + term reduce ran SIX times (12
+        // parquet scans in the r14 plan, zero ReusedExchange). The
+        // PlanCut rebase shares tf's tokenize + partial-agg + exchange
+        // (only the cheap final agg re-runs per consumer); Memo.cut then
+        // materializes the filtered weight table once for its three
+        // consumers (its post-exchange tail is a sort-merge join whose
+        // sorts would re-run under a shuffle-only rebase).
+        val tf = org.apache.spark.sql.graft.PlanCut.once(
+          d.selectExpr("doc_id", "lang",
             s"explode($toksE) AS tok")
           .filter(length(col("tok")) > 0)
           .groupBy(col("doc_id"), col("lang"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
+          .agg(count(lit(1)).as("tf")))
         val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        val w = tf.join(df, Seq("tok")).crossJoin(broadcast(n))
+        val w = graft.llm.Memo.cut(s)(
+          tf.join(df, Seq("tok")).crossJoin(broadcast(n))
           .filter(col("df") * 10 <= col("n_docs") &&
                   col("df") <= Screens.TFIDF_DF_CAP)
           .withColumn("w", round(col("tf") *
             log(col("n_docs").cast("double") / col("df")), 6))
+          .select(col("doc_id"), col("lang"), col("tok"), col("w")))
         val nrm = w.groupBy(col("doc_id"))
           .agg(sqrt(sum(expr("CAST(round(w * w, 6) AS DECIMAL(28,6))"))
                       .cast("double")).as("nrm"))
@@ -619,9 +631,18 @@ object Screens {
         val docs = Tables.documents(s, dir)
         val toks = docs.select(col("doc_id"),
           explode(expr(toksE)).as("tok"))
-        val tf = toks.groupBy(col("doc_id"), col("tok"))
-          .agg(count(lit(1)).as("tf"))
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        // ONE tokenization (r15): tf feeds qterms, the df build, the
+        // probe join AND (via the Σtf identity) the doc-length table —
+        // left declarative each consumer re-ran explode+reduce (6
+        // parquet scans in the r14 plan). The PlanCut rebase shares the
+        // tokenize + partial agg + exchange; only the cheap final agg
+        // re-runs per consumer.
+        val tf = org.apache.spark.sql.graft.PlanCut.once(
+          toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf")))
+        // dl = Σ tf per doc — exactly COUNT(*) of the doc's tokens, one
+        // fewer tokenization pass than re-grouping the exploded stream
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
         val stats = dl.agg(
           count(lit(1)).as("n_docs"),
           (sum(col("dl").cast("decimal(38,6)")) / count(lit(1)))
@@ -715,8 +736,12 @@ object Screens {
     "llm_rrf_fusion" -> Q(
       (s, dir) => {
         graft.functions.Custom.register(s)
-        val dt = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(array_distinct(expr(toksE))).as("tok"))
+        // ONE tokenization (r15): dt feeds the query-term and corpus
+        // sides, and its chain is shuffle-free (scan → explode), so left
+        // declarative both consumers re-ran it. Memo.cut materializes
+        // the distinct-token stream once.
+        val dt = graft.llm.Memo.cut(s)(Tables.documents(s, dir)
+          .select(col("doc_id"), explode(array_distinct(expr(toksE))).as("tok")))
         val qt = dt.filter(col("doc_id") < 5)
           .select(col("doc_id").as("q_id"), col("tok"))
         val wl = Window.partitionBy(col("q_id"))

@@ -642,9 +642,12 @@ object Similarity {
           .select(col("e.src").as("src"), col("e.dst").as("dst"), col("cos"))
         val w = Window.partitionBy(col("src"))
           .orderBy(col("cos").desc, col("dst"))
-        val best = sym.withColumn("rk", row_number().over(w))
+        // best feeds both sides of the mutuality self-join — materialize
+        // the per-src top-1 table once (r15)
+        val best = graft.llm.Memo.cut(s)(
+          sym.withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
-          .select(col("src"), col("dst"), col("cos"))
+          .select(col("src"), col("dst"), col("cos")))
         best.as("x")
           .join(best.as("y"),
                 col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
@@ -714,7 +717,13 @@ object Similarity {
           .select(col("vec_id"), col("label"), col("j"), col("sk"))
         val rw = Window.partitionBy(col("label"), col("j"))
           .orderBy(col("sk"), col("vec_id"))
-        val r = proj.withColumn("rn", row_number().over(rw))
+        // ONE materialized rank table (r15): r feeds both neighborhood
+        // join sides — left declarative each side re-ran the projection
+        // explode + P sort-window passes (8 parquet scans in the r14
+        // plan). Memo.cut materializes it once, BEFORE the W-fold
+        // neighbor explode.
+        val r = graft.llm.Memo.cut(s)(
+          proj.withColumn("rn", row_number().over(rw)))
         val aIdx = r.select(col("label").as("lbl"), col("j"),
                             col("vec_id").as("ka"), col("rn"))
           .withColumn("k", explode(expr(s"sequence(1, $W)")))
@@ -748,8 +757,11 @@ object Similarity {
         val best = sym.withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select(col("src"), col("dst"), col("cos"))
-        best.as("x")
-          .join(best.as("y"),
+        // best feeds both sides of the mutuality self-join — materialize
+        // the per-src top-1 table once (r15)
+        val bestC = graft.llm.Memo.cut(s)(best)
+        bestC.as("x")
+          .join(bestC.as("y"),
                 col("x.src") === col("y.dst") && col("x.dst") === col("y.src")
                   && col("x.src") < col("x.dst"))
           .select(col("x.src").as("id_a"), col("x.dst").as("id_b"),

@@ -435,7 +435,13 @@ object TextAnalysis {
     // (doc_id) agg.
     "llm_ngram_lm" -> Q(
       (s, dir) => {
-        val docs = Tables.documents(s, dir).withColumn("toks", expr(toksE))
+        // ONE tokenization (r15): the tokenized doc table feeds the
+        // bigram and unigram branches (each previously re-ran the
+        // regex-tokenize scan); the unigram counts feed two broadcast
+        // sides plus the total. Memo.cut materializes the (shuffle-free)
+        // tokenize once; PlanCut shares c1's reduce exchange.
+        val docs = graft.llm.Memo.cut(s)(Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksE).as("toks")))
         val bg = docs.select(col("doc_id"), explode(expr(
             """zip_with(slice(toks, 1, size(toks) - 1),
                         slice(toks, 2, size(toks) - 1),
@@ -443,7 +449,8 @@ object TextAnalysis {
           .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
         val uni = docs.select(explode(col("toks")).as("tok"))
-        val c1 = uni.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+        val c1 = org.apache.spark.sql.graft.PlanCut.once(
+          uni.groupBy(col("tok")).agg(count(lit(1)).as("c1")))
         val nTot = uni.agg(count(lit(1)).as("n_total"))
         val lm = c2
           .join(broadcast(c1.select(col("tok").as("w1"), col("c1").as("c1a"))),
@@ -908,8 +915,12 @@ object TextAnalysis {
     "llm_self_bleu" -> Q(
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val t = Tables.documents(s, dir)
-          .select(col("doc_id"), expr(toksE).as("toks"))
+        // ONE tokenization (r15): t feeds the length table and both
+        // n-gram builds, each of which previously re-ran the regex
+        // tokenize (7 parquet scans in the r14 plan). Memo.cut
+        // materializes the (shuffle-free) tokenize once.
+        val t = graft.llm.Memo.cut(s)(Tables.documents(s, dir)
+          .select(col("doc_id"), expr(toksE).as("toks")))
         val lens = t.select(col("doc_id"), size(col("toks")).as("c_len"))
         val m1 = lens.agg(min(col("c_len")).as("min1"))
         val lagg = lens.crossJoin(broadcast(m1)).agg(
@@ -924,7 +935,10 @@ object TextAnalysis {
                         (a, b) -> concat(a, ' ', b))""")).as("g"))
           g.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         }
-        def clipped(cnt: DataFrame) = {
+        def clipped(cnt0: DataFrame) = {
+          // cnt feeds the clip-reference build AND the probe join —
+          // PlanCut shares the n-gram reduce exchange between them
+          val cnt = org.apache.spark.sql.graft.PlanCut.once(cnt0)
           val w = Window.partitionBy(col("g")).orderBy(col("c").desc, col("doc_id"))
           val top = cnt.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
             .groupBy(col("g"))

@@ -488,13 +488,15 @@ object Analytics {
         // windows ran repeatedly (8 parquet scans in the r14 plan, zero
         // ReusedExchange; the offsets branch even re-scanned lineitem
         // for totals its own comment admitted equal the last local cum).
-        // PlanCut.once rebases every consumer onto one evaluated RDD and
-        // the totals become last-row picks of the materialized
-        // cumulatives: tn = max(lrn) (row_number, sign-free), t* =
-        // max_by(lc*, lrn) — the bucket's full in-order decimal sum,
-        // bit-identical to the independent re-aggregation by decimal
-        // exactness.
-        val local = org.apache.spark.sql.graft.PlanCut.once(
+        // Memo.cut materializes it once (reliable checkpoint on a
+        // cluster, localCheckpoint locally — PlanCut would share only the
+        // shuffle and re-run the in-partition sort + six window sums per
+        // consumer), and the totals become last-row picks of the
+        // materialized cumulatives: tn = max(lrn) (row_number,
+        // sign-free), t* = max_by(lc*, lrn) — the bucket's full in-order
+        // decimal sum, bit-identical to the independent re-aggregation
+        // by decimal exactness.
+        val local = graft.llm.Memo.cut(s)(
           Tables.lineitem(s, dir)
           .withColumn("bkt", date_trunc("month", col("l_shipdate")))
           .withColumn("lrn", row_number().over(wLoc).cast("long"))

@@ -353,14 +353,15 @@ object EventsBatch {
     "q_concurrent_sessions" -> Q(
       (s, dir) => {
         val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        // ONE evaluated session table (r15): sess feeds FOUR plan paths
-        // (two marker union legs x the offsets and sweep branches) —
-        // left declarative, the events scan + sessionization windows ran
-        // four times (8 parquet scans in the r14 plan, zero
-        // ReusedExchange). PlanCut.once rebases every consumer onto one
-        // evaluated RDD; the union/projection re-run per consumer is a
-        // trivial map over shared shuffle outputs.
-        val sess = org.apache.spark.sql.graft.PlanCut.once(
+        // ONE materialized session table (r15): sess feeds FOUR plan
+        // paths (two marker union legs x the offsets and sweep branches)
+        // — left declarative, the events scan + sessionization windows
+        // ran four times (8 parquet scans in the r14 plan, zero
+        // ReusedExchange). Memo.cut (reliable checkpoint on a cluster,
+        // localCheckpoint locally), not PlanCut: the frame's tail AFTER
+        // its last exchange is the sort + two windows + aggregate, which
+        // a shuffle-sharing rebase would still re-run once per consumer.
+        val sess = graft.llm.Memo.cut(s)(
           Tables.events(s, dir)
           .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
           .withColumn("new_sess",

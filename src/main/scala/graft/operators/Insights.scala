@@ -207,8 +207,14 @@ object Insights {
     // fractions in DECIMAL so the ranking never sees a float division.
     "q_assoc_rules" -> Q(
       (s, dir) => {
-        val items = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        // ONE evaluated basket table (r15): items feeds the order count,
+        // the per-part supports, and the pair explosion — left
+        // declarative the lineitem scan + distinct ran three times (8
+        // parquet scans in the r14 plan). The PlanCut rebase shares the
+        // scan + distinct exchange across all three consumers.
+        val items = org.apache.spark.sql.graft.PlanCut.once(
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_partkey")).distinct())
         val nOrders = items.select(col("l_orderkey")).distinct()
           .agg(count(lit(1)).as("n_orders"))
         val supp = items.groupBy(col("l_partkey"))
@@ -609,23 +615,33 @@ object Insights {
         graft.plans.TopK.install(s)
         val k = 64
         val o = Tables.orders(s, dir)
-        def members(p: String, t: String) =
-          o.filter(col("o_orderpriority") === p)
-            .select(col("o_custkey")).distinct()
-            .withColumn("tag", lit(t))
-        val m = members("1-URGENT", "a").unionByName(members("2-HIGH", "b"))
-          .withColumn("u",
-            (expr("tid60(CAST(o_custkey AS STRING)) % 1000000007") + lit(1L))
-              .cast("double") / lit(1000000008.0))
+        // ONE scan + ONE evaluated member table (r15): the old per-tag
+        // members() built two separate filtered distinct scans, and m
+        // fed both the sketch and the exact-truth branches — 10 parquet
+        // scans in the r14 plan, zero ReusedExchange. One filter over
+        // both priorities with the tag derived in-row reduces to the
+        // identical (tag, custkey) distinct set; the PlanCut rebase
+        // shares the scan + distinct exchange between the two consumers.
+        val m = org.apache.spark.sql.graft.PlanCut.once(
+          o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+            .select(col("o_custkey"),
+                    when(col("o_orderpriority") === "1-URGENT", lit("a"))
+                      .otherwise(lit("b")).as("tag"))
+            .distinct()
+            .withColumn("u",
+              (expr("tid60(CAST(o_custkey AS STRING)) % 1000000007") + lit(1L))
+                .cast("double") / lit(1000000008.0)))
         val wSet = Window.partitionBy(col("tag"))
           .orderBy(col("u"), col("o_custkey"))
         val sk = m.withColumn("rk", row_number().over(wSet))
           .filter(col("rk") <= k)
         // one row per sketched member, tag membership as flags — every
-        // downstream stat reads this ≤2k-row table
-        val skT = sk.groupBy(col("o_custkey"), col("u"))
+        // downstream stat reads this ≤2k-row table (PlanCut: THREE
+        // consumers — stats, the union sketch, the intersection count)
+        val skT = org.apache.spark.sql.graft.PlanCut.once(
+          sk.groupBy(col("o_custkey"), col("u"))
           .agg(max(when(col("tag") === "a", 1L).otherwise(0L)).as("ia"),
-               max(when(col("tag") === "b", 1L).otherwise(0L)).as("ib"))
+               max(when(col("tag") === "b", 1L).otherwise(0L)).as("ib")))
         val stats = skT.agg(
           sum(col("ia")).as("nk_a"),
           max(when(col("ia") === 1L, col("u"))).as("theta_a"),

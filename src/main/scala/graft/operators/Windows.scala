@@ -389,12 +389,13 @@ object Windows {
         // frame. Left declarative, column pruning specializes the two
         // subtrees (navs never touches price), canonical equality breaks,
         // exchange reuse stops firing, and the WHOLE kernel — range
-        // shuffle included — runs twice (the r14 PlanCut bug class;
-        // measured live here at 4.4-9.7 s vs ~3 s). PlanCut.once rebases
-        // both consumers onto ONE evaluated RDD: every shuffle runs once,
-        // the kernel's pid column rides along so PlanAuditSpec still sees
+        // shuffle included — runs twice (the r14 PlanCut bug class).
+        // Memo.cut materializes the ranked frame once (checkpoint on a
+        // cluster, localCheckpoint locally); a shuffle-sharing rebase
+        // would still re-run the tie-window sort per consumer. The
+        // kernel's pid column rides along so PlanAuditSpec still sees
         // one shared pid RDD read by ≥2 branches.
-        val r = org.apache.spark.sql.graft.PlanCut.once(distRank(o))
+        val r = graft.llm.Memo.cut(s)(distRank(o))
         val navs = r.filter(col("rnk") === 1L || col("rnk") === 2L ||
                             col("rnk") === col("n"))
           .groupBy(col("grp"))
