@@ -504,8 +504,11 @@ object TextAnalysis {
     // same inherent trade q_rfm documents.
     "llm_ccnet_bucket" -> Q(
       (s, dir) => {
-        val tok = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"), explode(expr(toksE)).as("tok"))
+        // ONE tokenization (r15): tok feeds the per-lang totals, the LM
+        // build, and the per-doc scoring probe — three full tokenize
+        // re-runs before (3 parquet scans in the r14 plan)
+        val tok = graft.llm.Memo.cut(s)(Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), explode(expr(toksE)).as("tok")))
         val nl = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
         val lm = tok.groupBy(col("lang"), col("tok"))
           .agg(count(lit(1)).as("tf"))
@@ -586,15 +589,23 @@ object TextAnalysis {
     // vocab-sized build sides.
     "llm_pmi" -> Q(
       (s, dir) => {
-        val toks = Tables.documents(s, dir).withColumn("toks", expr(toksE))
-        val uni = toks.select(explode(col("toks")).as("w"))
-          .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-        val bg = toks.select(explode(expr(
+        // ONE tokenization (r15): toks feeds the unigram and bigram
+        // branches; uni then feeds the total + two broadcast sides, bg
+        // the total + the probe — all previously full re-computations
+        // (5 parquet scans in the r14 plan). Memo.cut the shuffle-free
+        // tokenize; PlanCut the two count tables.
+        val toks = graft.llm.Memo.cut(s)(
+          Tables.documents(s, dir).select(expr(toksE).as("toks")))
+        val uni = org.apache.spark.sql.graft.PlanCut.once(
+          toks.select(explode(col("toks")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c1")))
+        val bg = org.apache.spark.sql.graft.PlanCut.once(
+          toks.select(explode(expr(
             """zip_with(slice(toks, 1, size(toks) - 1),
                         slice(toks, 2, size(toks) - 1),
                         (a, b) -> struct(a AS w1, b AS w2))""")).as("bg"))
           .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
         val nTok = uni.agg(sum(col("c1")).cast("bigint").as("n_tok"))
         val nBg = bg.agg(sum(col("c2")).cast("bigint").as("n_bg"))
         bg.join(broadcast(uni.select(col("w").as("w1"), col("c1").as("c1a"))), Seq("w1"))

@@ -297,7 +297,10 @@ object EventsBatch {
                   (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
                     .cast("long").as("m"),
                   col("o_totalprice"))
-        val coh = om.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+        // coh feeds the grid join AND the cohort-size table — PlanCut
+        // shares its reduce exchange between the two consumers (r15)
+        val coh = org.apache.spark.sql.graft.PlanCut.once(
+          om.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m")))
         val grid = om.join(coh, Seq("o_custkey"))
           .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("month_offset"))
           .agg(sum(col("o_totalprice").cast(graft.H.D)).as("rev"))
