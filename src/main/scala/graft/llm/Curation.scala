@@ -59,9 +59,11 @@ object Curation {
     // eval grams it contains.
     "llm_decontaminate" -> Q(
       (s, dir) => {
-        val d = Tables.documents(s, dir)
+        // ONE tokenize+4-gram pass (r15): d feeds the eval-set and train
+        // branches, each previously re-running the shuffle-free chain
+        val d = graft.llm.Memo.cut(s)(Tables.documents(s, dir)
           .withColumn("toks", expr(toksE))
-          .select(col("doc_id"), expr(grams4).as("grams"))
+          .select(col("doc_id"), expr(grams4).as("grams")))
         val ev = d.filter(col("doc_id") % 101 === 0)
           .select(explode(col("grams")).as("g")).distinct()
         val train = d.filter(col("doc_id") % 101 =!= 0)
@@ -243,24 +245,25 @@ object Curation {
           .groupBy(col("b")).agg(count(lit(1)).as("cp"))
         val totals = cq.agg(sum(col("cq")).as("nq"))
           .crossJoin(cp.agg(sum(col("cp")).as("np")))
-        val lm = cq
+        // lm (≤8192 bucket rows) feeds the scoring probe, which itself
+        // runs twice (threshold + final) — materialize the tiny LM once
+        // so cq/cp/totals build once; the probe join stays a VISIBLE
+        // broadcast-hash join over the materialized token blocks (the
+        // PlanAuditSpec pin).
+        val lm = graft.llm.Memo.cut(s)(cq
           .join(cp, Seq("b"), "left")
           .na.fill(0L, Seq("cp"))
           .crossJoin(broadcast(totals))
           .select(col("b"), round(log(
               ((col("cp") + lit(0.5)) * (col("nq") + lit(4096.0))) /
               ((col("cq") + lit(0.5)) * (col("np") + lit(4096.0)))), 6)
-            .as("logr"))
-        // stats feeds the threshold probe AND the final projection; the
-        // shuffle-sharing rebase suffices here (post-exchange tail is
-        // just the final aggregate).
-        val stats = org.apache.spark.sql.graft.PlanCut.once(
-          tok.join(broadcast(lm), Seq("b"))
+            .as("logr")))
+        val stats = tok.join(broadcast(lm), Seq("b"))
           .groupBy(col("doc_id"), col("lang"))
           .agg(count(lit(1)).as("n_toks"),
                sum(col("logr").cast("decimal(38,6)"))
                  .cast("decimal(38,6)").cast("double").as("log_iw"))
-          .withColumn("norm_iw", round(col("log_iw") / col("n_toks"), 6)))
+          .withColumn("norm_iw", round(col("log_iw") / col("n_toks"), 6))
         // Selection is top-k by normalized weight (k = the resample
         // budget, a pipeline constant) — NOT a sign test: on a corpus
         // whose domains share most of their vocabulary every doc's

@@ -493,11 +493,16 @@ object Dedup {
     "llm_dedup_simhash" -> Q(
       (s, dir) => {
         graft.functions.Custom.register(s)
-        val sh = Tables.documents(s, dir)
+        // ONE fingerprint pass (r15): both banded join sides derive from
+        // sh, and its chain is shuffle-free (scan → tokenize → md5 per
+        // token → simhash32), so left declarative the whole fingerprint
+        // computation ran twice. Memo.cut materializes the 3-column
+        // doc-level table once.
+        val sh = graft.llm.Memo.cut(s)(Tables.documents(s, dir)
           .withColumn("toks_d", expr(s"array_distinct($toksE)"))
           .withColumn("tids", expr(
             s"transform(toks_d, tok -> ${tidE("tok")})"))
-          .select(col("doc_id"), col("lang"), expr("simhash32(tids)").as("simhash"))
+          .select(col("doc_id"), col("lang"), expr("simhash32(tids)").as("simhash")))
         val banded = sh.select(col("doc_id"), col("lang"), col("simhash"),
             explode(expr(
               """transform(sequence(0, 4),

@@ -97,14 +97,19 @@ object Insights {
   private[graft] def snmCandidates(corpus: org.apache.spark.sql.DataFrame,
                                    W: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus
+    // ONE evaluation of the (possibly dedup-reduced) corpus and ONE
+    // window per pass (r15): c previously re-ran per pass per join side
+    // (4x) and each pass's rank window ran once per side (2x) — the
+    // same multi-consumer recompute class as llm_mutual_nn_snm.
+    val c = graft.llm.Memo.cut(corpus.sparkSession)(corpus
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
               col("c_nationkey"))
-      .withColumn("rname", reverse(col("c_name")))
+      .withColumn("rname", reverse(col("c_name"))))
     val passes = Seq("c_name", "rname").map { sk =>
       val w = Window.partitionBy(col("c_mktsegment"), col("c_nationkey"))
         .orderBy(col(sk), col("c_custkey"))
-      val r = c.withColumn("rn", row_number().over(w))
+      val r = graft.llm.Memo.cut(corpus.sparkSession)(
+        c.withColumn("rn", row_number().over(w)))
       val a = r.select(col("c_mktsegment").as("seg"),
                        col("c_nationkey").as("nat"),
                        col("c_custkey").as("ka"), col("c_name").as("na"),

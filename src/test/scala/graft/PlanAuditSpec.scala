@@ -758,17 +758,24 @@ class PlanAuditSpec extends SparkSuite {
       s"bottom-k not planned as TopKPerGroup:\n$p")
     assert(!p.contains("Window ["),
       s"a window survived — per-set sort is back:\n$p")
-    // The sketch subtree instantiates several times (stats, union, and
-    // intersection all read it); the initial plan duplicates it, but AQE
-    // must dedup the identical stages at runtime — otherwise the member
-    // sets get recomputed per consumer at 100 TB.
+    // The sketch subtree is read by several consumers (stats, union,
+    // intersection, exact truth). Until r15 the initial plan duplicated
+    // it and this test only demanded AQE stage reuse at runtime; the
+    // builder now rebases the member and sketch tables onto ONE
+    // evaluated RDD each (PlanCut.once) — single evaluation by
+    // construction, so the pin is stronger: the final plan must contain
+    // NO parquet re-scan (all base reads happen once inside the cuts)
+    // and the consumers must read the shared RDDs.
     val df = try {
       Registry.byName("q_theta_sketch").fn(spark, sf)
     } finally graft.plans.TopK.uninstall(spark)
     df.collect()
     val fin = df.queryExecution.executedPlan.toString
-    assert("Reused".r.findAllIn(fin).nonEmpty,
-      s"AQE did not reuse the repeated sketch stages:\n$fin")
+    assert(!fin.contains("Scan parquet"),
+      s"a consumer re-scanned the base table instead of the shared " +
+        s"sketch RDD:\n$fin")
+    assert("Scan ExistingRDD".r.findAllIn(fin).size >= 2,
+      s"consumers do not read the shared evaluated sketch RDDs:\n$fin")
   }
 
   test("llm_semdedup: centroids broadcast back; pairs block on the sign bucket") {
