@@ -61,7 +61,7 @@ object Dedup {
     * substitutes the cached subtree into SIBLING queries' audited plans
     * (the r6-s4 order-dependence bug) and has no unpersist point inside
     * a declared query — see [[Memo]]. */
-  private[graft] def shingled(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[llm] def shingled(s: org.apache.spark.sql.SparkSession, dir: String) =
     Memo.stage(s, dir, "shingles3") {
       graft.functions.Custom.register(s)
       val stage = Tables.documents(s, dir)
@@ -161,14 +161,7 @@ object Dedup {
     * shingle table (see [[fullIndexPairsOf]]). */
   private[graft] def prefixPairsOf(shingles: org.apache.spark.sql.DataFrame) = {
     val sized = shingles.withColumn("n", size(col("sh")))
-    // ONE materialized prefix index (r15): both candidate self-join
-    // sides consume it — left declarative each side re-ran the posting
-    // explode + df window + per-doc ranking window (the two
-    // posting-volume passes). Memo.cut materializes the 3-column index
-    // once; the index builder's plan shape stays audited directly on
-    // [[prefixIndexOf]] (PlanAuditSpec).
-    val pre = graft.llm.Memo.cut(shingles.sparkSession)(
-      prefixIndexOf(shingles))
+    val pre = prefixIndexOf(shingles)
     val cand = pre.select(col("lang"), col("tok"), col("doc_id").as("id_a"))
       .join(pre.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
                        col("doc_id").as("id_b")),

@@ -81,19 +81,10 @@ class PlanAuditSpec extends SparkSuite {
     val p = graft.llm.Dedup.prefixNearPairs(spark, sf)
       .queryExecution.executedPlan.toString
     assert(p.contains("HashAggregate"), s"df table not aggregated:\n$p")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"prefix ranking window not partitioned by doc_id:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair join degenerated to nested loop:\n$p")
-    // Since r15 the prefix index is Memo.cut-materialized (both
-    // candidate join sides read one evaluated RDD), so its window shape
-    // is audited on the INDEX BUILDER's own plan instead of the outer
-    // pair plan.
-    val idx = graft.llm.Dedup.prefixIndexOf(
-        graft.llm.Dedup.shingled(spark, sf))
-      .queryExecution.executedPlan.toString
-    assert(idx.contains("windowspecdefinition(doc_id"),
-      s"prefix ranking window not partitioned by doc_id:\n$idx")
-    assert(idx.contains("windowspecdefinition(lang"),
-      s"df window not partitioned by (lang, tok):\n$idx")
   }
 
   test("llm_dedup_near: declared key reads the memoized near_pairs stage") {
@@ -881,16 +872,9 @@ class PlanAuditSpec extends SparkSuite {
     val p = planOf("llm_dedup_prefix")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"prefix candidate join not an equi-join:\n$p")
-    // The per-doc prefix ranking must partition by doc_id, never
-    // globally. Since r15 the index is Memo.cut-materialized (both
-    // candidate sides read one evaluated RDD), so the window shape is
-    // audited on the index builder's own plan (the same move as the
-    // nearPairs-builder test above).
-    val idx = graft.llm.Dedup.prefixIndexOf(
-        graft.llm.Dedup.shingled(spark, sf))
-      .queryExecution.executedPlan.toString
-    assert(idx.contains("windowspecdefinition(doc_id"),
-      s"prefix ranking window not partitioned by doc_id:\n$idx")
+    // The per-doc prefix ranking must partition by doc_id, never globally.
+    assert(p.contains("windowspecdefinition(doc_id"),
+      s"prefix ranking window not partitioned by doc_id:\n$p")
   }
 
   test("shingle memo rides localCheckpoint, never CacheManager — no sibling-plan leakage") {
