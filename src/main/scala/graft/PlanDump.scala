@@ -29,22 +29,54 @@ object PlanDump {
       if (args.length > 3) args(3).split(",").toSeq
       else Registry.all.map(_._1)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
-    keys.foreach { k =>
+    var failed = 0
+    // stage:<name> pseudo-keys dump the un-memoized stage BUILDER's plan
+    // (the memoized stage itself is just a Scan ExistingRDD) — the
+    // optimization rounds' evidence for the priced stage line items.
+    val stageBuilders: Map[String, () => org.apache.spark.sql.DataFrame] = Map(
+      "stage:near_pairs" -> (() => {
+        graft.functions.Custom.register(spark)
+        graft.llm.Dedup.prefixNearPairs(spark, sfDir) }),
+      "stage:co_supply_edges" ->
+        (() => graft.operators.Analytics.coSupplyEdgesPlan(spark, sfDir)))
+    def dump(k: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/${k.replace(':', '_')}_$suffix.txt"), txt)
+      System.err.println(s"[plandump] wrote $k")
+    }
+    keys.filter(_.startsWith("stage:")).foreach { k =>
+      stageBuilders.get(k) match {
+        case Some(b) =>
+          try dump(k, b())
+          catch { case e: Throwable =>
+            failed += 1
+            System.err.println(s"[plandump] $k FAILED: ${e.getMessage}") }
+        case None =>
+          failed += 1
+          System.err.println(s"[plandump] unknown stage: $k")
+      }
+    }
+    keys.filterNot(_.startsWith("stage:")).foreach { k =>
       Registry.byName.get(k) match {
         case Some(q) =>
-          try {
-            val df = q.fn(spark, sfDir)
-            val txt = df.queryExecution.explainString(
-              org.apache.spark.sql.execution.FormattedMode)
-            java.nio.file.Files.writeString(
-              java.nio.file.Paths.get(s"$outDir/${k}_$suffix.txt"), txt)
-            System.err.println(s"[plandump] wrote $k")
-          } catch { case e: Throwable =>
+          try dump(k, q.fn(spark, sfDir))
+          catch { case e: Throwable =>
+            failed += 1
             System.err.println(s"[plandump] $k FAILED: ${e.getMessage}")
           }
-        case None => System.err.println(s"[plandump] unknown key: $k")
+        case None =>
+          failed += 1
+          System.err.println(s"[plandump] unknown key: $k")
       }
     }
     spark.stop()
+    // A run that silently dumped nothing must not look like success —
+    // the plans/rNN evidence a round commits depends on these files.
+    if (failed > 0) {
+      System.err.println(s"[plandump] $failed key(s) failed")
+      sys.exit(1)
+    }
   }
 }

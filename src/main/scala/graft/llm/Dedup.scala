@@ -64,10 +64,8 @@ object Dedup {
   private[llm] def shingled(s: org.apache.spark.sql.SparkSession, dir: String) =
     Memo.stage(s, dir, "shingles3") {
       graft.functions.Custom.register(s)
-      val stage = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), expr(s"shingles3($toksE)").as("sh"))
-      if (s.sparkContext.getCheckpointDir.isDefined) stage.checkpoint()
-      else stage.localCheckpoint()
+      Memo.cut(s)(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), expr(s"shingles3($toksE)").as("sh")))
     }
 
   /** Full-inverted-index near-pair plan — every distinct shingle posts to
@@ -154,7 +152,12 @@ object Dedup {
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
       .filter(col("pos") <= expr("n - ((3 * n + 9) div 10) + 1"))
-      .select(col("lang"), col("tok"), col("doc_id"))
+      // n and pos ride along (two ints per posting) so the candidate
+      // join can apply the PPJoin LENGTH and POSITIONAL filters without
+      // touching the arrays. pos is the token's rank within the doc's
+      // FULL rarest-first order (computed before the prefix cut above),
+      // which is what the positional bound needs.
+      .select(col("lang"), col("tok"), col("doc_id"), col("n"), col("pos"))
   }
 
   /** [[prefixNearPairs]] parameterized on an arbitrary (doc_id, lang, sh)
@@ -162,11 +165,45 @@ object Dedup {
   private[graft] def prefixPairsOf(shingles: org.apache.spark.sql.DataFrame) = {
     val sized = shingles.withColumn("n", size(col("sh")))
     val pre = prefixIndexOf(shingles)
-    val cand = pre.select(col("lang"), col("tok"), col("doc_id").as("id_a"))
+    // PPJoin candidate filters (Bayardo et al. WWW'07 §3.1, Xiao et al.
+    // VLDB'08 "PPJoin"), r16 — both live INSIDE the join condition so
+    // incompatible candidates die in the hash-join probe; only survivors
+    // reach the distinct and the two array-attaching verification joins
+    // below. At 100 TB those joins move the shingle-array payload, so
+    // every candidate pruned here is a pair of arrays never shuffled
+    // (guide §2.1/§3.2). Measured at sf0.1: 136,544 → 57,206 distinct
+    // candidate pairs (−58%). Losslessness of both is re-pinned by
+    // PrefixJoinSpec's row-exact equality against the unfiltered
+    // full-index twin, fixture + adversarial boilerplate corpus.
+    //
+    // LENGTH filter: jac >= 0.3 needs n_inter >= 0.3 * n_union, and
+    // n_inter <= min(n_a, n_b) while n_union >= max(n_a, n_b), so any
+    // surviving pair has min/max >= 0.2999995 (the declared filter
+    // compares the HALF_UP round-6 decimal against 0.3, so the true
+    // ratio may undershoot 0.3 by up to half an ulp — 29999/100000
+    // keeps that slack with margin).
+    //
+    // POSITIONAL filter: jac >= 0.3 also forces
+    // n_inter >= 0.2999995/1.2999995 * (n_a + n_b) > 29999/129999 *
+    // (n_a + n_b). For the MINIMUM common token c under the global
+    // rarest-first order, every common token ranks >= pos(c) in both
+    // docs (rank is monotone in the global order within a doc), so
+    // n_inter <= min(n_a - pos_a(c), n_b - pos_b(c)) + 1 — and c is in
+    // both prefixes by the prefix theorem, so a true pair's c-row is
+    // always among the collisions and always passes; distinct() needs
+    // exactly one surviving row per pair. Collision rows on non-minimal
+    // common tokens may be pruned freely — they are redundant.
+    val cand = pre.select(col("lang"), col("tok"), col("doc_id").as("id_a"),
+                          col("n").as("pn_a"), col("pos").as("pos_a"))
       .join(pre.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
-                       col("doc_id").as("id_b")),
+                       col("doc_id").as("id_b"), col("n").as("pn_b"),
+                       col("pos").as("pos_b")),
             col("lang") === col("lang_b") && col("tok") === col("tok_b") &&
-            col("id_a") < col("id_b"))
+            col("id_a") < col("id_b") &&
+            col("pn_a") * 100000L >= col("pn_b") * 29999L &&
+            col("pn_b") * 100000L >= col("pn_a") * 29999L &&
+            (least(col("pn_a") - col("pos_a"), col("pn_b") - col("pos_b"))
+               + 1) * 129999L >= (col("pn_a") + col("pn_b")) * 29999L)
       .select(col("lang"), col("id_a"), col("id_b"))
       .distinct()
     cand
@@ -204,9 +241,7 @@ object Dedup {
     // round's rules. Every invocation rebuilds from the parquet inputs
     // and the bench charges it honestly as stage:near_pairs.
     Memo.stage(s, dir, "near_pairs") {
-      val stage = prefixNearPairs(s, dir)
-      if (s.sparkContext.getCheckpointDir.isDefined) stage.checkpoint()
-      else stage.localCheckpoint()
+      Memo.cut(s)(prefixNearPairs(s, dir))
     }
 
   /** DuckDB spelling of the dense near-dup pair set, as a CTE-list

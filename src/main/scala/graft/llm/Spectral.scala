@@ -45,9 +45,7 @@ object Spectral {
   private[llm] def explodedStage(s: org.apache.spark.sql.SparkSession,
                                  dir: String) =
     Memo.stage(s, dir, "pca_exploded", "embeddings.parquet") {
-      val stage = exploded(s, dir)
-      if (s.sparkContext.getCheckpointDir.isDefined) stage.checkpoint()
-      else stage.localCheckpoint()
+      Memo.cut(s)(exploded(s, dir))
     }
 
   /** The K-round power-iteration direction as a memoized stage: the
@@ -102,7 +100,12 @@ object Spectral {
         .select(col("vec_id").as("id"),
                 expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("varr"))
       // posexplode emits 0..n-1 per row, so distinct pos == 0..max(n)-1.
-      val dim = base.agg(max(size(col("varr")))).head().getInt(0)
+      // Guarded head: an empty or all-null embeddings table must fail
+      // loudly here (ADVICE r15), not as an NPE three operators later.
+      val dim = Option(base.agg(max(size(col("varr")))).head().get(0))
+        .map(_.asInstanceOf[Int])
+        .getOrElse(throw new IllegalStateException(
+          s"pca_topdir: embeddings table at $dir is empty or all-null"))
       // Accumulator stays DECIMAL(28,8): a (28,8)+(28,8) add yields
       // (29,8) — no precision overflow, so Spark never drops scale (a
       // (38,8) accumulator overflows to p39 on every add and the

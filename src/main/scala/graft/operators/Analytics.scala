@@ -54,9 +54,7 @@ object Analytics {
   private[graft] def coSupplyEdges(s: SparkSession, dir: String): DataFrame =
     graft.llm.Memo.stage(s, dir, "co_supply_edges",
                          Seq("lineitem.parquet", "supplier.parquet")) {
-      val stage = coSupplyEdgesPlan(s, dir)
-      if (s.sparkContext.getCheckpointDir.isDefined) stage.checkpoint()
-      else stage.localCheckpoint()
+      graft.llm.Memo.cut(s)(coSupplyEdgesPlan(s, dir))
     }
 
   val qs: Seq[(String, Q)] = Seq(

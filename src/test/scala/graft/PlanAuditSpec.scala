@@ -93,7 +93,7 @@ class PlanAuditSpec extends SparkSuite {
     // the declared casts/sort), not a recomputation of the pair join.
     graft.functions.Custom.register(spark)
     val p = planOf("llm_dedup_near")
-    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+    assert(p.contains("Scan ExistingRDD"),
       s"llm_dedup_near does not read the checkpointed stage:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
       s"llm_dedup_near recomputes the pair join instead of reading the stage:\n$p")
