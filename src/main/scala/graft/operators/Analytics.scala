@@ -834,6 +834,12 @@ object Analytics {
           .select(col("o_custkey").as("c"),
                   (-col("l_suppkey") - 1L).as("sN"))
           .distinct()
+        // NOT pre-partitioned by u (r16 A/B): hash-partitioning und
+        // before the checkpoint to feed the per-hop joins measured
+        // STRICTLY WORSE at sf1 (53.3M -> 65.2M shuffle records,
+        // 471 -> 600 MB) — AQE broadcasts the frontier side on most
+        // hops, so und is scanned, never shuffled, and the upfront
+        // repartition is a pure extra corpus shuffle.
         val und = cut(e0.select(col("c").as("u"), col("sN").as("v"))
           .unionByName(e0.select(col("sN").as("u"), col("c").as("v"))))
         var dist = cut(Tables.customer(s, dir)
