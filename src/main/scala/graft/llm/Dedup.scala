@@ -160,41 +160,41 @@ object Dedup {
       .select(col("lang"), col("tok"), col("doc_id"), col("n"), col("pos"))
   }
 
-  /** [[prefixNearPairs]] parameterized on an arbitrary (doc_id, lang, sh)
-    * shingle table (see [[fullIndexPairsOf]]). */
-  private[graft] def prefixPairsOf(shingles: org.apache.spark.sql.DataFrame) = {
-    val sized = shingles.withColumn("n", size(col("sh")))
+  /** The distinct PPJoin candidate pair set (lang, id_a, id_b) of a
+    * shingle table: prefix-index collisions surviving the LENGTH and
+    * POSITIONAL filters (Bayardo et al. WWW'07 §3.1, Xiao et al.
+    * VLDB'08 "PPJoin"), r16 — both live INSIDE the join condition so
+    * incompatible candidates die in the hash-join probe; only survivors
+    * reach the distinct and the two array-attaching verification joins
+    * in [[prefixPairsOf]]. At 100 TB those joins move the shingle-array
+    * payload, so every candidate pruned here is a pair of arrays never
+    * shuffled (guide §2.1/§3.2). Measured at sf0.1: 136,544 → 57,206
+    * distinct candidate pairs (−58%). Losslessness of both is pinned by
+    * PrefixJoinSpec: row-exact output equality against the unfiltered
+    * full-index twin (fixture + adversarial boilerplate corpus) plus a
+    * strict candidate-count reduction vs the unfiltered collision set.
+    *
+    * LENGTH filter: jac >= 0.3 needs n_inter >= 0.3 * n_union, and
+    * n_inter <= min(n_a, n_b) while n_union >= max(n_a, n_b), so any
+    * surviving pair has min/max >= 0.2999995 (the declared filter
+    * compares the HALF_UP round-6 decimal against 0.3, so the true
+    * ratio may undershoot 0.3 by up to half an ulp — 29999/100000
+    * keeps that slack with margin).
+    *
+    * POSITIONAL filter: jac >= 0.3 also forces
+    * n_inter >= 0.2999995/1.2999995 * (n_a + n_b) > 29999/129999 *
+    * (n_a + n_b). For the MINIMUM common token c under the global
+    * rarest-first order, every common token ranks >= pos(c) in both
+    * docs (rank is monotone in the global order within a doc), so
+    * n_inter <= min(n_a - pos_a(c), n_b - pos_b(c)) + 1 — and c is in
+    * both prefixes by the prefix theorem, so a true pair's c-row is
+    * always among the collisions and always passes; distinct() needs
+    * exactly one surviving row per pair. Collision rows on non-minimal
+    * common tokens may be pruned freely — they are redundant. */
+  private[graft] def prefixCandidatesOf(shingles: org.apache.spark.sql.DataFrame) = {
     val pre = prefixIndexOf(shingles)
-    // PPJoin candidate filters (Bayardo et al. WWW'07 §3.1, Xiao et al.
-    // VLDB'08 "PPJoin"), r16 — both live INSIDE the join condition so
-    // incompatible candidates die in the hash-join probe; only survivors
-    // reach the distinct and the two array-attaching verification joins
-    // below. At 100 TB those joins move the shingle-array payload, so
-    // every candidate pruned here is a pair of arrays never shuffled
-    // (guide §2.1/§3.2). Measured at sf0.1: 136,544 → 57,206 distinct
-    // candidate pairs (−58%). Losslessness of both is re-pinned by
-    // PrefixJoinSpec's row-exact equality against the unfiltered
-    // full-index twin, fixture + adversarial boilerplate corpus.
-    //
-    // LENGTH filter: jac >= 0.3 needs n_inter >= 0.3 * n_union, and
-    // n_inter <= min(n_a, n_b) while n_union >= max(n_a, n_b), so any
-    // surviving pair has min/max >= 0.2999995 (the declared filter
-    // compares the HALF_UP round-6 decimal against 0.3, so the true
-    // ratio may undershoot 0.3 by up to half an ulp — 29999/100000
-    // keeps that slack with margin).
-    //
-    // POSITIONAL filter: jac >= 0.3 also forces
-    // n_inter >= 0.2999995/1.2999995 * (n_a + n_b) > 29999/129999 *
-    // (n_a + n_b). For the MINIMUM common token c under the global
-    // rarest-first order, every common token ranks >= pos(c) in both
-    // docs (rank is monotone in the global order within a doc), so
-    // n_inter <= min(n_a - pos_a(c), n_b - pos_b(c)) + 1 — and c is in
-    // both prefixes by the prefix theorem, so a true pair's c-row is
-    // always among the collisions and always passes; distinct() needs
-    // exactly one surviving row per pair. Collision rows on non-minimal
-    // common tokens may be pruned freely — they are redundant.
-    val cand = pre.select(col("lang"), col("tok"), col("doc_id").as("id_a"),
-                          col("n").as("pn_a"), col("pos").as("pos_a"))
+    pre.select(col("lang"), col("tok"), col("doc_id").as("id_a"),
+               col("n").as("pn_a"), col("pos").as("pos_a"))
       .join(pre.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
                        col("doc_id").as("id_b"), col("n").as("pn_b"),
                        col("pos").as("pos_b")),
@@ -206,7 +206,13 @@ object Dedup {
                + 1) * 129999L >= (col("pn_a") + col("pn_b")) * 29999L)
       .select(col("lang"), col("id_a"), col("id_b"))
       .distinct()
-    cand
+  }
+
+  /** [[prefixNearPairs]] parameterized on an arbitrary (doc_id, lang, sh)
+    * shingle table (see [[fullIndexPairsOf]]). */
+  private[graft] def prefixPairsOf(shingles: org.apache.spark.sql.DataFrame) = {
+    val sized = shingles.withColumn("n", size(col("sh")))
+    prefixCandidatesOf(shingles)
       .join(sized.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
                          col("n").as("n_a")), Seq("id_a"))
       .join(sized.select(col("doc_id").as("id_b"), col("sh").as("sh_b"),

@@ -80,6 +80,36 @@ class PrefixJoinSpec extends SparkSuite {
       s"prefix=$preSq vs full=$fullSq")
   }
 
+  test("PPJoin length+positional filters PRUNE candidates (and stay lossless)") {
+    // r16: the two integer candidate filters must actually remove
+    // collision pairs (a silently-dropped predicate would still pass the
+    // equality pins above), and every pair the verified OUTPUT needs must
+    // survive them. Unfiltered twin = the same prefix-collision join
+    // with only the id ordering.
+    graft.functions.Custom.register(spark)
+    val sh = Tables.documents(spark, sf).select(col("doc_id"), col("lang"),
+      expr("shingles3(split(lower(trim(text)), ' '))").as("sh"))
+    val pre = graft.llm.Dedup.prefixIndexOf(sh)
+    val unfiltered = pre.select(col("lang"), col("tok"), col("doc_id").as("id_a"))
+      .join(pre.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
+                       col("doc_id").as("id_b")),
+            col("lang") === col("lang_b") && col("tok") === col("tok_b") &&
+            col("id_a") < col("id_b"))
+      .select(col("lang"), col("id_a"), col("id_b")).distinct()
+    val filtered = graft.llm.Dedup.prefixCandidatesOf(sh)
+    val (nu, nf) = (unfiltered.count(), filtered.count())
+    assert(nf < nu,
+      s"PPJoin filters pruned nothing: $nf filtered vs $nu unfiltered candidates")
+    // soundness: the filtered set is a subset of the unfiltered one
+    assert(filtered.join(unfiltered, Seq("lang", "id_a", "id_b"), "left_anti")
+      .count() == 0, "filtered candidates are not a subset of the collisions")
+    // completeness: every verified output pair survives the filters
+    val missing = graft.llm.Dedup.prefixPairsOf(sh)
+      .select(col("lang"), col("id_a"), col("id_b"))
+      .join(filtered, Seq("lang", "id_a", "id_b"), "left_anti").count()
+    assert(missing == 0, s"$missing output pairs lack a surviving candidate")
+  }
+
   test("fn_jaro_snm: two-pass sorted neighborhood recovers the exact top-100") {
     // The linear-scale record-linkage plan must not trade away recall on
     // the fixture: its W=10 forward+reversed windows must surface every
